@@ -1,0 +1,102 @@
+package graft.link
+
+import graft.text.PyStr
+import scala.collection.mutable
+import scala.io.Source
+
+/** QUDT unit entity-linking dictionary (SURVEY.md §2.3 J1).
+  *
+  * Built once on the driver from a line-oriented parse of the QUDT unit
+  * ontology TTL (reference: ontologies/qudt_unit.ttl; only qudt:symbol,
+  * qudt:ucumCode and rdf:type are needed) and broadcast to executors.
+  *
+  * Lookup pins the reference's rdflib "first match wins" semantics
+  * (annotator.py:236-247): all symbol matches come before all ucumCode
+  * matches, ties broken by position in the TTL file; the reported
+  * rdf:type is the unit's first type in the file.
+  */
+final case class UnitHit(iri: String, rdfType: String)
+
+final class UnitDict(val entries: Map[String, UnitHit]) extends Serializable {
+
+  /** Normalization applied before lookup (annotator.py:228-235):
+    * strip " []():" from both ends, superscript folding (Â dropped,
+    * ¹ dropped, ²->2 ... ⁹->9, °C->Cel), then N/mm2->MPa, Nm->N.m,
+    * sec->s literal rewrites.
+    */
+  def normalize(raw: String): String = UnitDict.normalize(raw)
+
+  def lookup(token: String): Option[UnitHit] = entries.get(normalize(token))
+
+  def size: Int = entries.size
+}
+
+object UnitDict {
+
+  private val Superscripts: Seq[(String, String)] = Seq(
+    "Â" -> "", "¹" -> "", "²" -> "2", "³" -> "3",
+    "⁴" -> "4", "⁵" -> "5", "⁶" -> "6", "⁷" -> "7",
+    "⁸" -> "8", "⁹" -> "9", "°C" -> "Cel")
+
+  def normalize(raw: String): String = {
+    var s = PyStr.strip(raw, " []():")
+    Superscripts.foreach { case (k, v) => s = s.replace(k, v) }
+    s = s.replace("N/mm2", "MPa")
+    s = s.replace("Nm", "N.m")
+    s = s.replace("sec", "s")
+    s
+  }
+
+  val QudtNs = "http://qudt.org/schema/qudt/"
+  val UnitNs = "http://qudt.org/vocab/unit/"
+  val NumIri: String = UnitNs + "NUM"
+
+  private val SubjectR = raw"^unit:(\S+)\s*$$".r
+  private val TypeR = raw"^\s*a qudt:(\S+) ;\s*$$".r
+  private val SymbolR = raw"""^\s*qudt:symbol "(.*)" ;\s*$$""".r
+  private val UcumR = raw"""^\s*qudt:ucumCode "(.*)"\^\^qudt:UCUMcs ;\s*$$""".r
+
+  /** Parse the TTL. Returns raw rows so callers can also build a
+    * broadcast-join DataFrame: (key, keyKind 0=symbol/1=ucum, parseOrder,
+    * unit iri, first rdf type).
+    */
+  def parseTtl(path: String): Seq[(String, Int, Long, String, String)] = {
+    val firstType = mutable.LinkedHashMap.empty[String, String]
+    val rows = mutable.ArrayBuffer.empty[(String, Int, Long, String)]
+    var cur: String = null
+    var order = 0L
+    val src = Source.fromFile(path, "UTF-8")
+    try {
+      for (line <- src.getLines()) line match {
+        case SubjectR(name) => cur = UnitNs + name
+        case TypeR(t) if cur != null =>
+          if (!firstType.contains(cur)) firstType(cur) = QudtNs + t
+        case SymbolR(v) if cur != null =>
+          rows += ((v, 0, order, cur)); order += 1
+        case UcumR(v) if cur != null =>
+          rows += ((v, 1, order, cur)); order += 1
+        case _ =>
+      }
+    } finally src.close()
+    rows.map { case (k, kind, ord, iri) =>
+      (k, kind, ord, iri, firstType.getOrElse(iri, QudtNs + "Unit"))
+    }.toSeq
+  }
+
+  /** Winner per key: min (keyKind, parseOrder). */
+  def fromTtl(path: String): UnitDict = {
+    val best = mutable.HashMap.empty[String, (Int, Long, UnitHit)]
+    parseTtl(path).foreach { case (k, kind, ord, iri, tpe) =>
+      val cand = (kind, ord, UnitHit(iri, tpe))
+      best.get(k) match {
+        case Some((bk, bo, _)) if bk < kind || (bk == kind && bo < ord) => ()
+        case _ => best(k) = cand
+      }
+    }
+    new UnitDict(best.view.mapValues(_._3).toMap)
+  }
+
+  val DefaultTtlPath = "/root/reference/ontologies/qudt_unit.ttl"
+
+  @transient lazy val default: UnitDict = fromTtl(DefaultTtlPath)
+}
