@@ -1,0 +1,154 @@
+package graft.csv
+
+import graft.text.PyFloat
+import scala.collection.mutable.ArrayBuffer
+
+/** Reproduction of the slice of pandas `read_csv(engine="python")` behavior
+  * the reference depends on (annotator.py:594-688, csvw_parser.py:46-95):
+  * quote-aware splitting for single-char separators vs raw regex splitting,
+  * default NA values, per-column dtype inference (int64/float64/bool/object),
+  * "Unnamed: N" header naming and duplicate-name mangling.
+  * Behavior pinned by src/test/resources/oracle/stages JSONs.
+  */
+object PandasCsv {
+
+  // ------------------------------------------------------------- values
+  sealed trait PVal {
+    def render: String
+    def isNaN: Boolean = this == PNaN
+  }
+  case object PNaN extends PVal { def render = "nan" }
+  final case class PInt(v: Long) extends PVal { def render = v.toString }
+  final case class PFloat(v: Double) extends PVal { def render = PyFloat.repr(v) }
+  final case class PBool(v: Boolean) extends PVal { def render = if (v) "True" else "False" }
+  final case class PStr(s: String) extends PVal { def render = s }
+
+  /** pandas default na_values. */
+  val NaValues: Set[String] = Set(
+    "", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+    "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+    "n/a", "nan", "null")
+
+  private val TrueValues = Set("True", "TRUE", "true")
+  private val FalseValues = Set("False", "FALSE", "false")
+  private val IntR = raw"\s*[+-]?\d+\s*".r
+  private val FloatR =
+    raw"\s*[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?\s*|\s*[+-]?(?i:inf(?:inity)?)\s*".r
+
+  /** The separator regexes with plain-char csv semantics in pandas
+    * (single char after regex unescape -> csv module with quoting).
+    */
+  def singleCharSep(sepRegex: String): Option[Char] = sepRegex match {
+    case ";" => Some(';')
+    case "," => Some(',')
+    case s if s.length == 1 => Some(s.head)
+    case _ => None // "\\t", "\\|", ":+\\s+\\s*" are len>1 -> pandas regex path
+  }
+
+  /** Split one line (no trailing newline) into raw string cells.
+    * Single-char sep: csv-module semantics (quotechar '"', doublequote).
+    * Multi-char (regex) sep: pandas does `pat.split(line.strip())` —
+    * whole-line strip, quotes literal.
+    */
+  def splitLine(line: String, sepRegex: String): Vector[String] =
+    singleCharSep(sepRegex) match {
+      case Some(c) => csvSplit(line, c)
+      case None => graft.text.PyStr.strip(line).split(sepRegex, -1).toVector
+    }
+
+  private def csvSplit(line: String, sep: Char): Vector[String] = {
+    val out = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQuotes = false
+    var fieldStart = true
+    val n = line.length
+    while (i < n) {
+      val ch = line.charAt(i)
+      if (inQuotes) {
+        if (ch == '"') {
+          if (i + 1 < n && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          else inQuotes = false
+        } else cur += ch
+      } else if (ch == '"' && fieldStart) {
+        inQuotes = true; fieldStart = false
+      } else if (ch == sep) {
+        out += cur.toString; cur.clear(); fieldStart = true
+      } else {
+        cur += ch; fieldStart = false
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toVector
+  }
+
+  /** Per-column dtype inference + conversion over raw string cells
+    * (column-major input). Mirrors maybe_convert_numeric + bool inference.
+    */
+  def convertColumn(cells: Seq[String]): Vector[PVal] = {
+    val nonNa = cells.filterNot(NaValues.contains)
+    val hasNa = nonNa.size != cells.size
+    def allMatch(r: scala.util.matching.Regex) =
+      nonNa.forall(c => r.pattern.matcher(c).matches())
+    if (nonNa.nonEmpty && allMatch(IntR) &&
+        nonNa.forall(c => parseLongOpt(c).isDefined) && !hasNa) {
+      cells.map(c => PInt(parseLongOpt(c).get): PVal).toVector
+    } else if (nonNa.nonEmpty && allMatch(FloatR)) {
+      cells.map(c => if (NaValues.contains(c)) PNaN: PVal else PFloat(parseF(c))).toVector
+    } else if (nonNa.nonEmpty && !hasNa &&
+               nonNa.forall(c => TrueValues.contains(c) || FalseValues.contains(c))) {
+      cells.map(c => PBool(TrueValues.contains(c)): PVal).toVector
+    } else {
+      cells.map(c => if (NaValues.contains(c)) PNaN: PVal else PStr(c): PVal).toVector
+    }
+  }
+
+  private def parseLongOpt(s: String): Option[Long] =
+    try Some(s.trim.toLong) catch { case _: NumberFormatException => None }
+
+  private def parseF(s: String): Double = {
+    val t = s.trim
+    val tl = t.toLowerCase
+    if (tl == "inf" || tl == "infinity" || tl == "+inf" || tl == "+infinity") Double.PositiveInfinity
+    else if (tl == "-inf" || tl == "-infinity") Double.NegativeInfinity
+    else java.lang.Double.parseDouble(t)
+  }
+
+  /** Row-major conversion with a fixed column count: rows padded with NA,
+    * truncated if longer (ncols <= 0 means use first row's width).
+    */
+  def convertRows(rows: Seq[Vector[String]], ncols0: Int): Vector[Vector[PVal]] = {
+    if (rows.isEmpty) return Vector.empty
+    val ncols = if (ncols0 > 0) ncols0 else rows.head.length
+    val fixed = rows.map { r =>
+      if (r.length >= ncols) r.take(ncols) else r ++ Vector.fill(ncols - r.length)("")
+    }
+    val cols = (0 until ncols).map(j => convertColumn(fixed.map(_(j))))
+    fixed.indices.map(i => (0 until ncols).map(j => cols(j)(i)).toVector).toVector
+  }
+
+  /** pandas header naming for a block of header rows (column-major output:
+    * one names-tuple per column): "Unnamed: N" / "Unnamed: N_level_M" for
+    * NA cells, then duplicate mangling with ".k" suffixes.
+    */
+  def headerNames(headerRows: Seq[Vector[String]], ncols: Int): Vector[Vector[String]] = {
+    val nh = headerRows.size
+    val raw = (0 until ncols).map { j =>
+      (0 until nh).map { i =>
+        val cell = if (j < headerRows(i).length) headerRows(i)(j) else ""
+        if (NaValues.contains(cell)) {
+          if (nh == 1) s"Unnamed: $j" else s"Unnamed: ${j}_level_$i"
+        } else cell
+      }.toVector
+    }.toVector
+    // mangle duplicates: full tuple identity, ".k" appended to last element
+    val seen = scala.collection.mutable.HashMap.empty[Vector[String], Int]
+    raw.map { t =>
+      val k = seen.getOrElse(t, 0)
+      seen(t) = k + 1
+      if (k == 0) t
+      else t.init :+ (t.last + "." + k)
+    }
+  }
+}
