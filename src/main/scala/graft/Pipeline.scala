@@ -1,0 +1,133 @@
+package graft
+
+import graft.annotate.{Annotator, JsonLd}
+import graft.ingest.{Doc, SpanCodec}
+import graft.link.UnitDict
+import graft.rdf.{Term, TripleExpand}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One output triple row; doc_id retained for lineage / resume. */
+final case class TripleRow(doc_id: String, subj: String, pred: String, obj: String)
+final case class MetadataRow(doc_id: String, jsonld: String)
+
+/** The distributed KG-construction pipeline (SURVEY.md §3.4).
+  *
+  * Scale design (the 10^12-doc / 100 TB shape):
+  *  - The input row `(doc_id, spans)` holds a *whole* document, so stages
+  *    B-E (segment -> classify -> infer -> link -> expand) are narrow
+  *    per-row transforms: ZERO shuffles over the corpus. The obvious
+  *    alternative (posexplode lines + window by doc_id) would shuffle the
+  *    full corpus twice before doing any work.
+  *  - Per-doc work is bounded by the reference's sampling caps (30-line
+  *    classification, 20-value format consensus) + O(rows x cols) triple
+  *    fan-out, so task memory is O(largest doc), not O(partition).
+  *  - The QUDT dictionary (~3.3k keys) is a driver-built broadcast.
+  *  - The only wide operations are at the very end and are both optional:
+  *    the pred-bucketed, doc-salted repartition for the triples table
+  *    (deterministic salt = xxhash64(doc_id) % S — resumable, no rand())
+  *    and the global range-sort for the canonical N-Triples text sink.
+  *  - Resume: left_anti join of docs against already-materialized doc_ids
+  *    (broadcast when small; shuffle-hash otherwise via AQE).
+  */
+object Pipeline {
+
+  def broadcastDict(spark: SparkSession,
+                    ttlPath: String = UnitDict.DefaultTtlPath): Broadcast[UnitDict] =
+    spark.sparkContext.broadcast(UnitDict.fromTtl(ttlPath))
+
+  /** Stage B-D: metadata JSON-LD per doc. Narrow (mapPartitions via .map). */
+  def metadata(docs: Dataset[Doc], dict: Broadcast[UnitDict],
+               encodingOf: String => String = _ => "utf-8"): Dataset[MetadataRow] = {
+    import docs.sparkSession.implicits._
+    docs.map { d =>
+      val lines = SpanCodec.lines(d.spans)
+      val meta = Annotator.annotate(d.doc_id, lines, encodingOf(d.doc_id), dict.value)
+      MetadataRow(d.doc_id, JsonLd.render(meta).render)
+    }
+  }
+
+  /** Stage B-E: full triple expansion per doc. Narrow. */
+  def triples(docs: Dataset[Doc], dict: Broadcast[UnitDict],
+              encodingOf: String => String = _ => "utf-8",
+              includeProv: Boolean = true): Dataset[TripleRow] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      val lines = SpanCodec.lines(d.spans)
+      val meta = Annotator.annotate(d.doc_id, lines, encodingOf(d.doc_id), dict.value)
+      TripleExpand.expandDoc(meta, lines, includeProv)
+        .map(t => TripleRow(d.doc_id, t.subj, t.pred, t.obj))
+    }
+  }
+
+  /** Span-sequence invariant (BASELINE input_hint): kind/text/media_ref/
+    * order must round-trip exactly. Narrow validation pass; returns the
+    * number of violating docs (0 expected).
+    */
+  def spanInvariantViolations(docs: Dataset[Doc]): Long = {
+    import docs.sparkSession.implicits._
+    docs.filter { d =>
+      val sorted = d.spans.sortBy(_.offset)
+      sorted.map(_.offset) != sorted.indices.map(_.toLong).map(_.toInt) ||
+        SpanCodec.reconstruct(d.spans).isEmpty && d.spans.nonEmpty
+    }.count()
+  }
+
+  val PredBuckets = 32
+  val DocSalt = 64
+
+  /** Materialize the triples table: parquet partitioned by predicate
+    * bucket, salted by doc hash against head-predicate skew (rdf:type,
+    * oa:hasBody dominate). Deterministic (no rand) -> identical output
+    * across retries and cluster sizes.
+    */
+  def writeTriples(ts: Dataset[TripleRow], outDir: String,
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    ts.withColumn("pred_bucket", pmod(xxhash64(col("pred")), lit(PredBuckets)))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(DocSalt)))
+      .repartition(col("pred_bucket"), col("salt"))
+      .drop("salt")
+      .write.mode(mode)
+      .partitionBy("pred_bucket")
+      .parquet(outDir)
+  }
+
+  /** Canonical sorted N-Triples text sink (north rule O3): global
+    * range-partitioned sort, formatted via mapPartitions, one text part
+    * per range -> concatenation is the totally ordered file.
+    */
+  def writeSortedNTriples(ts: Dataset[TripleRow], outDir: String): Unit = {
+    import ts.sparkSession.implicits._
+    ts.select("subj", "pred", "obj").distinct()
+      .repartitionByRange(col("subj"), col("pred"), col("obj"))
+      .sortWithinPartitions("subj", "pred", "obj")
+      .as[(String, String, String)]
+      .mapPartitions(_.map { case (s, p, o) => s"$s $p $o ." })
+      .write.mode(SaveMode.Overwrite).text(outDir)
+  }
+
+  /** Per-partition lineage & extraction metrics (north rule): rows of
+    * (run_id, stage, partition_id, doc_count, triple_count, min/max doc).
+    */
+  def metrics(ts: Dataset[TripleRow], runId: String, stage: String): DataFrame = {
+    ts.groupBy(spark_partition_id().as("partition_id"))
+      .agg(approx_count_distinct(col("doc_id")).as("doc_count"),
+        count(lit(1)).as("triple_count"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .withColumn("run_id", lit(runId))
+      .withColumn("stage", lit(stage))
+  }
+
+  /** Checkpoint resume: drop docs whose triples are already materialized. */
+  def resumeFilter(docs: Dataset[Doc], spark: SparkSession,
+                   triplesDir: String): Dataset[Doc] = {
+    import spark.implicits._
+    val done =
+      try spark.read.parquet(triplesDir).select("doc_id").distinct()
+      catch { case _: Exception => return docs }
+    docs.join(done.withColumnRenamed("doc_id", "done_id"),
+        docs("doc_id") === col("done_id"), "left_anti")
+      .as[Doc]
+  }
+}

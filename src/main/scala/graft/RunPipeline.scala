@@ -1,0 +1,63 @@
+package graft
+
+import graft.ingest.{Doc, Fixtures, SpanCodec, SynthCorpus}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** spark-submit entry: run the KG pipeline end-to-end.
+  *
+  *   runMain graft.RunPipeline <fixtures|synth:N> <outDir> [--resume]
+  *
+  * Writes: <outDir>/metadata (parquet), <outDir>/triples (parquet,
+  * pred-bucket partitioned), <outDir>/ntriples (sorted text),
+  * <outDir>/metrics (parquet).
+  */
+object RunPipeline {
+
+  def session(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .appName("graft-kg")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def main(args: Array[String]): Unit = {
+    val what = args.headOption.getOrElse("fixtures")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_out"
+    val resume = args.contains("--resume")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = session(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dict = Pipeline.broadcastDict(spark)
+    val (docs0, encodingOf): (Dataset[Doc], String => String) = what match {
+      case s if s.startsWith("synth:") =>
+        (SynthCorpus.corpus(spark, s.drop(6).toLong), (_: String) => "utf-8")
+      case _ =>
+        val ds = spark.createDataset(Fixtures.Names.map(Fixtures.doc))
+        (ds, (id: String) => Fixtures.Encodings.getOrElse(id, "utf-8"))
+    }
+    val docs = if (resume) Pipeline.resumeFilter(docs0, spark, s"$outDir/triples") else docs0
+
+    val t0 = System.nanoTime()
+    Pipeline.metadata(docs, dict, encodingOf)
+      .write.mode("overwrite").parquet(s"$outDir/metadata")
+    val ts = Pipeline.triples(docs, dict, encodingOf)
+    Pipeline.writeTriples(ts, outDir + "/triples",
+      if (resume) org.apache.spark.sql.SaveMode.Append else org.apache.spark.sql.SaveMode.Overwrite)
+    val tsOut = spark.read.parquet(s"$outDir/triples")
+    Pipeline.metrics(tsOut.select($"doc_id", $"subj", $"pred", $"obj").as[TripleRow],
+        runId = what, stage = "materialize")
+      .write.mode("append").parquet(s"$outDir/metrics")
+    Pipeline.writeSortedNTriples(
+      tsOut.select($"doc_id", $"subj", $"pred", $"obj").as[TripleRow], s"$outDir/ntriples")
+    val secs = (System.nanoTime() - t0) / 1e9
+    val nDocs = spark.read.parquet(s"$outDir/metadata").count()
+    val nTriples = tsOut.count()
+    println(f"[pipeline] docs=$nDocs triples=$nTriples in $secs%.1f s " +
+      f"(${nDocs / secs}%.1f docs/s)")
+    spark.stop()
+  }
+}

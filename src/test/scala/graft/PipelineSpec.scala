@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.ingest.{Fixtures, SpanCodec, SynthCorpus}
+
+/** Spark-level pipeline checks: span invariant through parquet, core==
+  * distributed parity, determinism across partitionings.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("span sequence survives a parquet round-trip exactly") {
+    import spark.implicits._
+    val docs = Fixtures.Names.map(Fixtures.doc)
+    val dir = java.nio.file.Files.createTempDirectory("spans").toString
+    spark.createDataset(docs).write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[graft.ingest.Doc].collect()
+      .map(d => d.doc_id -> d).toMap
+    docs.foreach { d =>
+      val b = back(d.doc_id)
+      assert(b.spans.map(s => (s.kind, s.text, s.media_ref, s.offset)) ==
+        d.spans.map(s => (s.kind, s.text, s.media_ref, s.offset)), d.doc_id)
+      assert(SpanCodec.reconstruct(b.spans) == Fixtures.text(d.doc_id))
+    }
+  }
+
+  test("distributed triples == per-doc core expansion (example5)") {
+    import spark.implicits._
+    val dict = Pipeline.broadcastDict(spark)
+    val docs = spark.createDataset(Seq(Fixtures.doc("example5.csv")))
+    val dist = Pipeline.triples(docs, dict, _ => "latin-1")
+      .collect().map(t => (t.subj, t.pred, t.obj)).sorted.toVector
+    val lines = SpanCodec.lines(Fixtures.doc("example5.csv").spans)
+    val meta = graft.annotate.Annotator.annotate("example5.csv", lines,
+      "latin-1", graft.link.UnitDict.default)
+    val core = graft.rdf.TripleExpand.expandDoc(meta, lines)
+      .map(t => (t.subj, t.pred, t.obj)).sorted
+    assert(dist == core)
+  }
+
+  test("synthetic corpus output is identical across partitionings") {
+    import spark.implicits._
+    val dict = Pipeline.broadcastDict(spark)
+    def hash(parts: Int): (Long, Long) = {
+      val t = Pipeline.triples(SynthCorpus.corpus(spark, 64, parts), dict)
+      import org.apache.spark.sql.functions._
+      val r = t.select(xxhash64(col("doc_id"), col("subj"), col("pred"), col("obj")).as("h"))
+        .agg(expr("bit_xor(h)").as("s"), count(lit(1)).as("n")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val a = hash(2)
+    val b = hash(7)
+    assert(a == b && a._2 > 0)
+  }
+
+  test("resume filter drops already-materialized docs") {
+    import spark.implicits._
+    val dict = Pipeline.broadcastDict(spark)
+    val dir = java.nio.file.Files.createTempDirectory("resume").toString + "/t"
+    val docs = SynthCorpus.corpus(spark, 10)
+    Pipeline.writeTriples(Pipeline.triples(docs.filter($"doc_id" < "doc-000000000005"), dict), dir)
+    val remaining = Pipeline.resumeFilter(docs, spark, dir).collect().map(_.doc_id).sorted
+    assert(remaining.toVector == (5L until 10L).map(SynthCorpus.docId).toVector)
+  }
+}
