@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Queries
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the full KG-construction pipeline over the `documents`
+    * table at sf0.001 — each document becomes a span-doc, is annotated
+    * (segmentation, classification, schema inference, unit linking) and
+    * expanded into triples. Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dict = Pipeline.broadcastDict(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".cast("string").as("id"), $"text")
+      .as[(String, String)]
+      .map { case (id, text) => graft.ingest.SpanCodec.encode("doc://" + id, text) }
+    Pipeline.triples(docs, dict).toDF()
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * training-data ops); see graft.queries.Queries.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.registry.map { case (name, fn, _) => name -> fn }.toMap
+
+  /** DuckDB-runnable oracle SQL per query (omitted => rows-only check). */
+  def oracleSql: Map[String, String] =
+    Queries.registry.collect { case (name, _, Some(sql)) => name -> sql }.toMap
 }

@@ -1,0 +1,707 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver-contract query battery (SparkEntry): one entry per operator from
+  * SURVEY.md §2 plus the training-data-pipeline operators (dedup,
+  * similarity search, text analysis, multimodal plumbing), each as an
+  * idiomatic Spark formulation with an exactly-mirrored DuckDB oracle.
+  *
+  * Parity rules shared by both engines:
+  *  - identical regexes / word lists / hash recipes (md5 hex);
+  *  - no raw doubles in outputs: scaled BIGINTs (cents / micro-units) so
+  *    IEEE noise cannot break the value-hash compare;
+  *  - deterministic sets (no LIMIT without a total tie-broken order).
+  */
+object Queries {
+
+  // ---------------------------------------------------------------- shared
+  private def p(dir: String, t: String) = s"$dir/$t.parquet"
+
+  val SepRegexes: Vector[(String, String)] = Vector(
+    "semicolon" -> ";", "pipe" -> "\\|", "colon" -> ":+\\s+\\s*",
+    "tab" -> "\\t", "comma" -> ",")
+
+  val IntRe = "^[+-]?([1-9][0-9]*|0)$"
+  val FloatRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+  val BoolRe = "^(True|False)$"
+  val IdentRe = "^[A-Za-z_][A-Za-z0-9_]*$"
+  val DateRe = "^\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?)?$"
+  val UriRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+\\S*$"
+  val TokenSplitRe = "\\s+"
+  /** TokenSplitRe escaped for embedding in a Spark SQL string literal
+    * (Spark processes backslash escapes inside '...' literals). */
+  val TokenSplitSql = "\\\\s+"
+  val BpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  val PunctRe = "[^A-Za-z0-9\\s]"
+
+  val StopEn = Vector("the", "a", "and", "of", "to", "in", "is")
+  val StopDe = Vector("der", "die", "das", "und", "ist", "nicht", "ein")
+  val StopFr = Vector("le", "la", "les", "et", "est", "un", "une")
+  val StopEs = Vector("el", "los", "las", "y", "es", "este", "una")
+
+  val MinhashK = 8
+  val JaccardWindow = 20
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+
+  // =============================================================== queries
+
+  /** Q01 — partial-aggregatable pricing summary (A7-style groupBy). */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "lineitem"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        expr("cast(round(sum(l_quantity) * 100) as bigint)").as("sum_qty_c"),
+        expr("cast(round(sum(l_extendedprice) * 100) as bigint)").as("sum_price_c"),
+        expr("cast(round(sum(l_extendedprice * (1 - l_discount)) * 100) as bigint)").as("revenue_c"),
+        expr("cast(round(avg(l_discount) * 1000000) as bigint)").as("avg_disc_u"),
+        count(lit(1)).as("n"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_c,
+      |  CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_c,
+      |  CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_c,
+      |  CAST(round(avg(l_discount) * 1000000) AS BIGINT) AS avg_disc_u,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  /** Q02 — filter + projection (predicate/column pushdown to the scan). */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "lineitem"))
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-03-01").cast("timestamp") &&
+        col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("price_c"))
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1995-03-01' AND l_quantity < 10""".stripMargin
+
+  /** Q03 — multi-join with broadcast dimensions (J-class). */
+  def q03JoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = s.read.parquet(p(dir, "orders"))
+    val c = s.read.parquet(p(dir, "customer"))
+    val n = s.read.parquet(p(dir, "nation"))
+    val r = s.read.parquet(p(dir, "region"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"), col("r_name"))
+      .agg(expr("cast(round(sum(o_totalprice) * 100) as bigint)").as("revenue_c"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  val q03Sql: String =
+    """SELECT n_name, r_name,
+      |  CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_c,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Q04 — left-semi join (EXISTS). */
+  def q04SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = s.read.parquet(p(dir, "orders"))
+    val l = s.read.parquet(p(dir, "lineitem")).filter(col("l_quantity") > 45)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, count(*) AS n FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY 1""".stripMargin
+
+  /** Q05 — left-anti join (NOT EXISTS; the resume-filter shape). */
+  def q05AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = s.read.parquet(p(dir, "customer"))
+    val o = s.read.parquet(p(dir, "orders"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+  }
+
+  val q05Sql: String =
+    """SELECT c_nationkey, count(*) AS n FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1""".stripMargin
+
+  /** Q06 — top-k per group (O-class; total tie-broken order). */
+  def q06TopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val l = s.read.parquet(p(dir, "lineitem"))
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    l.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("l_suppkey"), col("rk"), col("l_orderkey"), col("l_linenumber"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("price_c"))
+  }
+
+  val q06Sql: String =
+    """SELECT l_suppkey, rk, l_orderkey, l_linenumber, price_c FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+      |    row_number() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+      |  FROM lineitem) WHERE rk <= 3""".stripMargin
+
+  /** Q07 — run-length segmentation via lag + cumulative sum: the window
+    * formulation of the engine's A1 segmenter (SURVEY §2.4).
+    */
+  def q07RunlengthSegments(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(p(dir, "events"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    e.withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1).otherwise(0))
+      .withColumn("seg_id", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "seg_id")
+      .agg(min("event_type").as("event_type"), count(lit(1)).as("n_events"),
+        expr("min(unix_micros(cast(ts as timestamp_ltz)))").as("first_us"))
+  }
+
+  val q07Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sgm AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS seg_id FROM v)
+      |SELECT user_id, seg_id, min(event_type) AS event_type,
+      |  count(*) AS n_events, min(epoch_us(ts)) AS first_us
+      |FROM sgm GROUP BY 1, 2""".stripMargin
+
+  /** Q08 — sessionization (gap > 30 min), same lag+sum shape. */
+  def q08Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(p(dir, "events"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    e.withColumn("prev_us", lag(expr("unix_micros(cast(ts as timestamp_ltz))"), 1).over(w))
+      .withColumn("gap",
+        when(col("prev_us").isNull ||
+          expr("unix_micros(cast(ts as timestamp_ltz))") - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("gap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id")
+      .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  val q08Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+      |         ELSE 0 END AS gap
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS session_id FROM v)
+      |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+      |FROM sess GROUP BY 1""".stripMargin
+
+  /** Q09 — structured-string field extraction (F11-class, regexp both
+    * sides to avoid engine JSON dialects).
+    */
+  def q09JsonExtract(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "events"))
+      .withColumn("kx", regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+      .withColumn("k", when(col("kx") === "", lit(null)).otherwise(col("kx")).cast("long"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+
+  val q09Sql: String =
+    """SELECT event_type,
+      |  sum(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+      |  count(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Q10 — per-line separator vote (P1), German-decimal-comma fallback
+    * included (annotator.py:254-277), as pure column arithmetic.
+    */
+  def q10SepVote(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(p(dir, "documents"))
+    val counted = SepRegexes.foldLeft(d.select(col("doc_id"), col("text"))) {
+      case (df, (label, re)) => df.withColumn("c_" + label, regexp_count(col("text"), lit(re)))
+    }
+    val Seq(c1, c2, c3, c4, c5) = SepRegexes.map { case (l, _) => col("c_" + l) }
+    val bestNonComma =
+      when(c1 >= c2 && c1 >= c3 && c1 >= c4, struct(lit("semicolon").as("sep"), c1.as("cnt")))
+        .when(c2 >= c3 && c2 >= c4, struct(lit("pipe").as("sep"), c2.as("cnt")))
+        .when(c3 >= c4, struct(lit("colon").as("sep"), c3.as("cnt")))
+        .otherwise(struct(lit("tab").as("sep"), c4.as("cnt")))
+    val winner =
+      when(greatest(c1, c2, c3, c4, c5) === lit(0), struct(lit("none").as("sep"), lit(0).as("cnt")))
+        .when(c5 > greatest(c1, c2, c3, c4),
+          // comma won outright; German fallback when runner-up >= cnt-1
+          when(greatest(c1, c2, c3, c4) >= c5 - 1, bestNonComma)
+            .otherwise(struct(lit("comma").as("sep"), c5.as("cnt"))))
+        .otherwise(bestNonComma)
+    counted.select(col("doc_id"), winner.getField("sep").as("sep"),
+      winner.getField("cnt").cast("long").as("cnt"))
+  }
+
+  val q10Sql: String = {
+    val cs = SepRegexes.map { case (l, re) =>
+      s"len(regexp_extract_all(text, '$re')) AS c_$l"
+    }.mkString(",\n    ")
+    s"""WITH counted AS (SELECT doc_id, $cs FROM documents),
+       |best AS (SELECT doc_id, c_semicolon, c_pipe, c_colon, c_tab, c_comma,
+       |  CASE WHEN c_semicolon >= c_pipe AND c_semicolon >= c_colon AND c_semicolon >= c_tab THEN 'semicolon'
+       |       WHEN c_pipe >= c_colon AND c_pipe >= c_tab THEN 'pipe'
+       |       WHEN c_colon >= c_tab THEN 'colon' ELSE 'tab' END AS nc_sep,
+       |  CASE WHEN c_semicolon >= c_pipe AND c_semicolon >= c_colon AND c_semicolon >= c_tab THEN c_semicolon
+       |       WHEN c_pipe >= c_colon AND c_pipe >= c_tab THEN c_pipe
+       |       WHEN c_colon >= c_tab THEN c_colon ELSE c_tab END AS nc_cnt
+       |  FROM counted)
+       |SELECT doc_id,
+       |  CASE WHEN greatest(c_semicolon, c_pipe, c_colon, c_tab, c_comma) = 0 THEN 'none'
+       |       WHEN c_comma > greatest(c_semicolon, c_pipe, c_colon, c_tab)
+       |         THEN CASE WHEN greatest(c_semicolon, c_pipe, c_colon, c_tab) >= c_comma - 1
+       |                   THEN nc_sep ELSE 'comma' END
+       |       ELSE nc_sep END AS sep,
+       |  CAST(CASE WHEN greatest(c_semicolon, c_pipe, c_colon, c_tab, c_comma) = 0 THEN 0
+       |       WHEN c_comma > greatest(c_semicolon, c_pipe, c_colon, c_tab)
+       |         THEN CASE WHEN greatest(c_semicolon, c_pipe, c_colon, c_tab) >= c_comma - 1
+       |                   THEN nc_cnt ELSE c_comma END
+       |       ELSE nc_cnt END AS BIGINT) AS cnt
+       |FROM best""".stripMargin
+  }
+
+  /** Q11 — cell-type sniff (F2) over all document tokens, as a codegen'd
+    * when/rlike cascade (the SQL-mirrorable core of CellType.typeOf).
+    */
+  def q11Typeof(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(p(dir, "documents"))
+    val toks = d.select(col("doc_id"),
+      posexplode(split(col("text"), TokenSplitRe)).as(Seq("pos", "tok")))
+    val t = regexp_replace(trim(col("tok")), ",", ".")
+    toks.withColumn("celltype",
+        when(t === "", "BLANK")
+          .when(t.rlike(IntRe), "INT")
+          .when(t.rlike(FloatRe), "FLOAT")
+          .when(t.rlike(BoolRe), "BOOL")
+          .when(t.rlike(IdentRe), "TEXT")
+          .when(t.rlike(DateRe), "DATE")
+          .when(t.rlike(UriRe), "URI")
+          .otherwise("TEXT"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"), col("celltype"))
+  }
+
+  val q11Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, u['pos'] AS pos, u['tok'] AS tok FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+       |      i -> {'pos': i - 1, 'tok': t[i]})) AS u
+       |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents))
+       |), prepped AS (SELECT doc_id, pos, tok, replace(trim(tok), ',', '.') AS t FROM toks)
+       |SELECT doc_id, pos, tok,
+       |  CASE WHEN t = '' THEN 'BLANK'
+       |       WHEN regexp_matches(t, '$IntRe') THEN 'INT'
+       |       WHEN regexp_matches(t, '$FloatRe') THEN 'FLOAT'
+       |       WHEN regexp_matches(t, '$BoolRe') THEN 'BOOL'
+       |       WHEN regexp_matches(t, '$IdentRe') THEN 'TEXT'
+       |       WHEN regexp_matches(t, '$DateRe') THEN 'DATE'
+       |       WHEN regexp_matches(t, '$UriRe') THEN 'URI'
+       |       ELSE 'TEXT' END AS celltype
+       |FROM prepped""".stripMargin
+
+  /** Q12 — unit-token normalization chain (F4). */
+  def q12UnitNormalize(s: SparkSession, dir: String): DataFrame = {
+    val toks = s.read.parquet(p(dir, "part"))
+      .select(col("p_partkey"), posexplode(split(col("p_name"), " ")).as(Seq("pos", "tok")))
+    val norm = regexp_replace(regexp_replace(regexp_replace(
+      expr("trim(BOTH ' []():' FROM tok)"),
+      "N/mm2", "MPa"), "Nm", "N.m"), "sec", "s")
+    toks.select(col("p_partkey"), col("pos").cast("long").as("pos"),
+      col("tok"), norm.as("norm"))
+  }
+
+  val q12Sql: String =
+    """WITH toks AS (
+      |  SELECT p_partkey, u['pos'] AS pos, u['tok'] AS tok FROM (
+      |    SELECT p_partkey, unnest(list_transform(generate_series(1, len(t)),
+      |      i -> {'pos': i - 1, 'tok': t[i]})) AS u
+      |    FROM (SELECT p_partkey, string_split(p_name, ' ') AS t FROM part)))
+      |SELECT p_partkey, pos, tok,
+      |  replace(replace(replace(trim(tok, ' []():'),
+      |    'N/mm2', 'MPa'), 'Nm', 'N.m'), 'sec', 's') AS norm
+      |FROM toks""".stripMargin
+
+  /** Q13 — entity-linking broadcast join against the QUDT dictionary (J1).
+    * No SQL oracle (the dictionary is TTL-derived) -> rows-only check.
+    */
+  def q13UnitLink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dictRows = graft.link.UnitDict.parseTtl(graft.link.UnitDict.DefaultTtlPath)
+      .map { case (k, kind, ord, iriStr, tpe) => (k, kind, ord, iriStr, tpe) }
+    val dict = dictRows.toDF("key", "key_kind", "parse_order", "unit_iri", "unit_type")
+    // deterministic winner per key: min (key_kind, parse_order)
+    val winner = dict.groupBy("key")
+      .agg(min(struct(col("key_kind"), col("parse_order"), col("unit_iri"), col("unit_type"))).as("w"))
+      .select(col("key"), col("w.unit_iri").as("unit_iri"), col("w.unit_type").as("unit_type"))
+    val toks = q12UnitNormalize(s, dir).select(col("p_partkey"), col("pos"), col("norm"))
+    toks.join(broadcast(winner), toks("norm") === winner("key"), "inner")
+      .select(col("p_partkey"), col("pos"), col("norm"), col("unit_iri"), col("unit_type"))
+  }
+
+  /** Q14 — exact deduplication: content-hash groupBy (hash-groupBy dedup). */
+  def q14DedupExact(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "documents"))
+      .withColumn("h", md5(col("text")))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+
+  val q14Sql: String =
+    "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS min_id FROM documents GROUP BY 1"
+
+  // shared shingle SQL helpers
+  /** Distinct n-token shingles, exactly mirroring the SQL construction:
+    * i in 1..greatest(len-n+1, 1); out-of-range tokens pad as ''. */
+  private def sparkShingles(n: Int): Column = {
+    val t = s"split(text, '$TokenSplitSql')"
+    val parts = (1 until n)
+      .map(k => s"coalesce(try_element_at($t, i + $k), '')")
+      .map(e => s"|| ' ' || $e").mkString(" ")
+    expr(s"""array_distinct(transform(
+      sequence(1, greatest(size($t) - ${n - 1}, 1)),
+      i -> try_element_at($t, i) $parts))""")
+  }
+
+  /** Q15 — MinHash + LSH banding for near-duplicate detection. Signature
+    * j = lexicographic min of md5(j || ':' || shingle) over distinct token
+    * 3-shingles; two 4-row bands hashed into bucket keys.
+    */
+  def q15MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(p(dir, "documents"))
+      .withColumn("sh", sparkShingles(3))
+    val sigs = (0 until MinhashK).map { j =>
+      array_min(transform(col("sh"), x => md5(concat(lit(j + ":"), x)))).as(s"sig$j")
+    }
+    val withSigs = d.select(col("doc_id") +: sigs: _*)
+    withSigs.select(col("doc_id"),
+      md5(concat_ws("|", (0 until 4).map(j => col(s"sig$j")): _*)).as("band1"),
+      md5(concat_ws("|", (4 until 8).map(j => col(s"sig$j")): _*)).as("band2"))
+  }
+
+  val q15Sql: String = {
+    val sigCols = (0 until MinhashK).map(j =>
+      s"min(md5('$j:' || sh)) AS sig$j").mkString(",\n    ")
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |shingles AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(t) - 2, 1)),
+       |    i -> t[i] || ' ' || coalesce(t[i+1], '') || ' ' || coalesce(t[i+2], '')))) AS sh
+       |  FROM toks),
+       |sigs AS (SELECT doc_id, $sigCols FROM shingles GROUP BY doc_id)
+       |SELECT doc_id,
+       |  md5(sig0 || '|' || sig1 || '|' || sig2 || '|' || sig3) AS band1,
+       |  md5(sig4 || '|' || sig5 || '|' || sig6 || '|' || sig7) AS band2
+       |FROM sigs""".stripMargin
+  }
+
+  /** Q16 — LSH candidate pairs: bucket-join on either band. */
+  def q16MinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = q15MinhashLsh(s, dir)
+    val bands = sig.select(col("doc_id"), explode(array(col("band1"), col("band2"))).as("b"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
+  val q16Sql: String =
+    s"""WITH sig AS ($q15Sql),
+       |bands AS (
+       |  SELECT doc_id, band1 AS b FROM sig
+       |  UNION ALL SELECT doc_id, band2 AS b FROM sig)
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |FROM bands a JOIN bands b ON a.b = b.b AND a.doc_id < b.doc_id""".stripMargin
+
+  /** Q17 — SimHash (16-bit demo width): per bit, majority vote of token
+    * md5 hex digits; fingerprint reassembled as a bit string.
+    */
+  def q17Simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = s.read.parquet(p(dir, "documents"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(split(text, '$TokenSplitSql'))")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bits = toks
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("bit"))
+      .withColumn("v", expr(
+        """case when ((cast(conv(substring(h, (bit div 4) + 1, 1), 16, 10) as int)
+          | div cast(pow(2, 3 - bit % 4) as int)) % 2) = 1 then 1 else -1 end""".stripMargin))
+    bits.groupBy("doc_id", "bit").agg(sum("v").as("sv"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("bit"),
+        when(col("sv") > 0, "1").otherwise("0").as("b")))).as("bs"))
+      .select(col("doc_id"),
+        expr("concat_ws('', transform(bs, x -> x.b))").as("simhash"))
+  }
+
+  val q17Sql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, u.tok FROM documents,
+      |    unnest(string_split_regex(text, '\s+')) AS u(tok)
+      |), hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+      |bits AS (
+      |  SELECT doc_id, b.bit,
+      |    CASE WHEN (strpos('0123456789abcdef', substr(h, (b.bit // 4) + 1, 1)) - 1)
+      |           // CAST(pow(2, 3 - (b.bit % 4)) AS INT) % 2 = 1 THEN 1 ELSE -1 END AS v
+      |  FROM hashed, (SELECT unnest(generate_series(0, 15)) AS bit) b
+      |), agg AS (SELECT doc_id, bit, sum(v) AS sv FROM bits GROUP BY 1, 2)
+      |SELECT doc_id, string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, ''
+      |  ORDER BY bit) AS simhash
+      |FROM agg GROUP BY doc_id""".stripMargin
+
+  /** Q18 — n-gram Jaccard near-dup scoring over banded candidate pairs
+    * (same source, id distance <= 20 — a linear-cost candidate set).
+    */
+  def q18NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(p(dir, "documents"))
+      .select(col("doc_id"), col("source"), sparkShingles(3).as("sh"))
+    val a = d.as("a"); val b = d.as("b")
+    a.join(b, col("a.source") === col("b.source") &&
+        col("b.doc_id") > col("a.doc_id") &&
+        col("b.doc_id") <= col("a.doc_id") + JaccardWindow)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("inter"),
+        (size(col("a.sh")) + size(col("b.sh"))).cast("long").as("sz"))
+      .withColumn("jac_u",
+        expr("cast(round(1000000.0 * inter / (sz - inter)) as bigint)"))
+      .select("id1", "id2", "inter", "jac_u")
+  }
+
+  val q18Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, source, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(t) - 2, 1)),
+       |    i -> t[i] || ' ' || coalesce(t[i+1], '') || ' ' || coalesce(t[i+2], ''))) AS sh
+       |  FROM (SELECT doc_id, source, string_split_regex(text, '\\s+') AS t FROM documents))
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+       |  CAST(round(1000000.0 * len(list_intersect(a.sh, b.sh)) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jac_u
+       |FROM sh a JOIN sh b ON a.source = b.source
+       |  AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + $JaccardWindow""".stripMargin
+
+  /** Q19 — brute-force cosine top-k against a query vector (vec_id 0):
+    * the exact baseline for ANN. Scores integer-scaled after rounding.
+    */
+  def q19CosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(p(dir, "embeddings"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .withColumn("dotd", expr(
+        "aggregate(zip_with(embedding, qv, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"))
+      .withColumn("qn", expr(
+        "sqrt(aggregate(qv, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"))
+      .withColumn("cos_u", expr("cast(round(1000000.0 * dotd / (nrm * qn)) as bigint)"))
+      .select(col("vec_id"), col("cos_u"))
+      .orderBy(col("cos_u").desc, col("vec_id")).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cos_u").desc, col("vec_id"))))
+  }
+
+  val q19Sql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT vec_id, CAST(round(1000000.0 *
+      |    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) /
+      |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))))) AS BIGINT) AS cos_u
+      |  FROM embeddings, q WHERE vec_id <> 0)
+      |SELECT vec_id, cos_u,
+      |  row_number() OVER (ORDER BY cos_u DESC, vec_id) AS rk
+      |FROM scored ORDER BY cos_u DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Q20 — LSH-bucketed ANN scale path: sign-random-projection buckets
+    * using dataset vectors 1..8 as deterministic hyperplanes.
+    */
+  def q20AnnBuckets(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(p(dir, "embeddings"))
+    val planes = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("plane_id"), col("embedding").as("pv"))
+    e.crossJoin(broadcast(planes))
+      .withColumn("dot_u", expr(
+        "cast(round(1000000.0 * aggregate(zip_with(embedding, pv, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)) as bigint)"))
+      .withColumn("bit", when(col("dot_u") > 0, "1").otherwise("0"))
+      .groupBy("vec_id")
+      .agg(concat_ws("", expr(
+        "transform(sort_array(collect_list(struct(plane_id, bit))), x -> x.bit)")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))
+  }
+
+  val q20Sql: String =
+    """WITH planes AS (
+      |  SELECT vec_id AS plane_id, embedding AS pv FROM embeddings
+      |  WHERE vec_id BETWEEN 1 AND 8),
+      |bits AS (
+      |  SELECT e.vec_id, p.plane_id,
+      |    CASE WHEN CAST(round(1000000.0 * list_dot_product(
+      |      CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[]))) AS BIGINT) > 0
+      |    THEN '1' ELSE '0' END AS bit
+      |  FROM embeddings e, planes p),
+      |buckets AS (
+      |  SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket
+      |  FROM bits GROUP BY vec_id)
+      |SELECT bucket, count(*) AS n, min(vec_id) AS min_vec
+      |FROM buckets GROUP BY 1""".stripMargin
+
+  /** Q21 — language identification by stopword vote (first-wins order
+    * en > de > fr > es; 'und' for unknown/no hits).
+    */
+  def q21Langid(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(p(dir, "documents"))
+    def hits(ws: Seq[String]) = expr(
+      s"size(filter(split(lower(text), '$TokenSplitSql'), w -> w IN ${sqlList(ws)}))")
+    d.select(col("doc_id"), col("lang").as("true_lang"),
+        hits(StopEn).as("h_en"), hits(StopDe).as("h_de"),
+        hits(StopFr).as("h_fr"), hits(StopEs).as("h_es"))
+      .withColumn("pred_lang",
+        when(greatest(col("h_en"), col("h_de"), col("h_fr"), col("h_es")) === 0, "und")
+          .when(col("h_en") >= greatest(col("h_de"), col("h_fr"), col("h_es")), "en")
+          .when(col("h_de") >= greatest(col("h_fr"), col("h_es")), "de")
+          .when(col("h_fr") >= col("h_es"), "fr")
+          .otherwise("es"))
+      .select(col("doc_id"), col("true_lang"), col("pred_lang"),
+        col("h_en").cast("long").as("h_en"), col("h_de").cast("long").as("h_de"),
+        col("h_fr").cast("long").as("h_fr"), col("h_es").cast("long").as("h_es"))
+  }
+
+  val q21Sql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang AS true_lang,
+       |    len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ${sqlList(StopEn)})) AS h_en,
+       |    len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ${sqlList(StopDe)})) AS h_de,
+       |    len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ${sqlList(StopFr)})) AS h_fr,
+       |    len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ${sqlList(StopEs)})) AS h_es
+       |  FROM documents)
+       |SELECT doc_id, true_lang,
+       |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+       |       WHEN h_en >= greatest(h_de, h_fr, h_es) THEN 'en'
+       |       WHEN h_de >= greatest(h_fr, h_es) THEN 'de'
+       |       WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS pred_lang,
+       |  CAST(h_en AS BIGINT) AS h_en, CAST(h_de AS BIGINT) AS h_de,
+       |  CAST(h_fr AS BIGINT) AS h_fr, CAST(h_es AS BIGINT) AS h_es
+       |FROM h""".stripMargin
+
+  /** Q22 — document quality scoring: token/punct/stopword/length stats
+    * (integer-scaled ratios).
+    */
+  def q22Quality(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "documents"))
+      .withColumn("n_tokens", size(split(col("text"), TokenSplitRe)).cast("long"))
+      .withColumn("n_punct", regexp_count(col("text"), lit(PunctRe)).cast("long"))
+      .withColumn("n_stop", size(expr(
+        s"filter(split(lower(text), '$TokenSplitSql'), w -> w IN ${sqlList(StopEn)})")).cast("long"))
+      .withColumn("stop_ratio_u", expr("cast(round(1000000.0 * n_stop / n_tokens) as bigint)"))
+      .withColumn("avg_wlen_u", expr(
+        s"cast(round(1000000.0 * aggregate(split(text, '$TokenSplitSql'), 0L, (a, w) -> a + length(w)) / n_tokens) as bigint)"))
+      .select("doc_id", "n_chars", "n_tokens", "n_punct", "n_stop",
+        "stop_ratio_u", "avg_wlen_u")
+
+  val q22Sql: String =
+    s"""SELECT doc_id, n_chars,
+       |  CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '$PunctRe')) AS BIGINT) AS n_punct,
+       |  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    w -> w IN ${sqlList(StopEn)})) AS BIGINT) AS n_stop,
+       |  CAST(round(1000000.0 * len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    w -> w IN ${sqlList(StopEn)})) / len(string_split_regex(text, '\\s+'))) AS BIGINT) AS stop_ratio_u,
+       |  CAST(round(1000000.0 * list_sum(list_transform(string_split_regex(text, '\\s+'),
+       |    w -> length(w))) / len(string_split_regex(text, '\\s+'))) AS BIGINT) AS avg_wlen_u
+       |FROM documents""".stripMargin
+
+  /** Q23 — token counting: whitespace tokens + BPE-ish regex pieces. */
+  def q23TokenCount(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "documents"))
+      .select(col("doc_id"),
+        size(split(col("text"), TokenSplitRe)).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit(BpeRe)).cast("long").as("bpe_tokens"))
+
+  val q23Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$BpeRe')) AS BIGINT) AS bpe_tokens
+       |FROM documents""".stripMargin
+
+  /** Q24 — document fingerprint: minimum md5 over 5-token shingles
+    * (winnowing-style content fingerprint).
+    */
+  def q24Fingerprint(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "documents"))
+      .withColumn("sh", sparkShingles(5))
+      .select(col("doc_id"),
+        array_min(transform(col("sh"), x => md5(x))).as("fp"))
+
+  val q24Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      |shingles AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(t) - 4, 1)),
+      |    i -> t[i] || ' ' || coalesce(t[i+1], '') || ' ' || coalesce(t[i+2], '')
+      |       || ' ' || coalesce(t[i+3], '') || ' ' || coalesce(t[i+4], '')))) AS sh
+      |  FROM toks)
+      |SELECT doc_id, min(md5(sh)) AS fp FROM shingles GROUP BY doc_id""".stripMargin
+
+  /** Q25 — multimodal plumbing: opaque binary payload + deterministic
+    * stub "decode" (see graft.ops.Multimodal for the real batch path).
+    */
+  def q25MultimodalStub(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "documents"))
+      .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("sig"))
+
+  val q25Sql: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS sig
+      |FROM documents""".stripMargin
+
+  // =============================================================== registry
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val registry: Vector[(String, Q, Option[String])] = Vector(
+    ("q01_pricing_summary", q01PricingSummary _, Some(q01Sql)),
+    ("q02_filter_project", q02FilterProject _, Some(q02Sql)),
+    ("q03_join_revenue", q03JoinRevenue _, Some(q03Sql)),
+    ("q04_semi_join", q04SemiJoin _, Some(q04Sql)),
+    ("q05_anti_join", q05AntiJoin _, Some(q05Sql)),
+    ("q06_topk_per_group", q06TopkPerGroup _, Some(q06Sql)),
+    ("q07_runlength_segments", q07RunlengthSegments _, Some(q07Sql)),
+    ("q08_sessionize", q08Sessionize _, Some(q08Sql)),
+    ("q09_json_extract", q09JsonExtract _, Some(q09Sql)),
+    ("q10_sep_vote", q10SepVote _, Some(q10Sql)),
+    ("q11_typeof", q11Typeof _, Some(q11Sql)),
+    ("q12_unit_normalize", q12UnitNormalize _, Some(q12Sql)),
+    ("q13_unit_link", q13UnitLink _, None),
+    ("q14_dedup_exact", q14DedupExact _, Some(q14Sql)),
+    ("q15_minhash_lsh", q15MinhashLsh _, Some(q15Sql)),
+    ("q16_minhash_pairs", q16MinhashPairs _, Some(q16Sql)),
+    ("q17_simhash", q17Simhash _, Some(q17Sql)),
+    ("q18_ngram_jaccard", q18NgramJaccard _, Some(q18Sql)),
+    ("q19_cosine_topk", q19CosineTopk _, Some(q19Sql)),
+    ("q20_ann_buckets", q20AnnBuckets _, Some(q20Sql)),
+    ("q21_langid", q21Langid _, Some(q21Sql)),
+    ("q22_quality", q22Quality _, Some(q22Sql)),
+    ("q23_token_count", q23TokenCount _, Some(q23Sql)),
+    ("q24_fingerprint", q24Fingerprint _, Some(q24Sql)),
+    ("q25_multimodal_stub", q25MultimodalStub _, Some(q25Sql)))
+}
