@@ -1,24 +1,50 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every registry query on SPARK_GRAFT_SF_DIR plus
+  * the KG pipeline on a synthetic corpus; ONE JSON line on stdout.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // JVM/codegen warmup on a cheap query
+    try SparkEntry.queries.head._2(spark, sfDir).count() catch { case _: Throwable => }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    graft.queries.Queries.registry.foreach { case (name, fn, _) =>
+      results(name) = time {
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => results(name) = -1.0 }
+      }
+    }
+    // headline: KG pipeline docs/sec on the deterministic synthetic corpus
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_PIPE_DOCS", "20000").toLong
+    val dict = Pipeline.broadcastDict(spark)
+    results("pipeline_synth") = time {
+      Pipeline.triples(graft.ingest.SynthCorpus.corpus(spark, nDocs), dict)
+        .write.mode("overwrite").format("noop").save()
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_docs":$nDocs,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

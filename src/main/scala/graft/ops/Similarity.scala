@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Scale path: brute-force cosine is the exact baseline (one broadcast of
+  * the query vector, a narrow scan, and a top-k — no shuffle except the
+  * final k-row ordering). For corpus-vs-corpus search, sign-projection
+  * LSH buckets bound the candidate sets; IVF-style routing falls out of
+  * the same shape with k-means centroids as the "planes".
+  */
+object Similarity {
+
+  /** dot(a, b) via zip_with + aggregate — codegen-friendly HOFs. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against one query vector (broadcast). */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                 query: DataFrame, k: Int): DataFrame = {
+    val q = query.select(col(vecCol).as("qv"))
+    df.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col(vecCol), col("qv")))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Sign-random-projection buckets; planes taken deterministically from
+    * the dataset's own vectors planeFrom..planeFrom+nPlanes-1.
+    */
+  def annBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 nPlanes: Int = 8, planeFrom: Long = 1): DataFrame = {
+    val planes = df.filter(col(idCol).between(planeFrom, planeFrom + nPlanes - 1))
+      .select(col(idCol).as("plane_id"), col(vecCol).as("pv"))
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(planes))
+      .withColumn("bit", when(dot(col(vecCol), col("pv")) > 0, "1").otherwise("0"))
+      .groupBy(col(idCol))
+      .agg(expr("concat_ws('', transform(sort_array(collect_list(struct(plane_id, bit))), x -> x.bit))").as("bucket"))
+  }
+
+  /** ANN search: restrict the exact scan to the query vector's bucket. */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nPlanes: Int = 8): DataFrame = {
+    val buckets = annBuckets(df, idCol, vecCol, nPlanes)
+    val joined = df.join(buckets, idCol)
+    val qBucket = joined.filter(col(idCol) === queryId).select(col("bucket"))
+    val qVec = joined.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    joined.join(broadcast(qBucket), "bucket")
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(qVec))
+      .withColumn("cos", cosine(col(vecCol), col("qv")))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -674,6 +674,14 @@ object Queries {
       |  md5(text) AS sig
       |FROM documents""".stripMargin
 
+  /** Q26 — make_id via the custom Catalyst expression PyTitleCase
+    * (SURVEY §7.3); no SQL oracle (Python title() has no DuckDB analog).
+    */
+  def q26MakeId(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "part"))
+      .select(col("p_partkey"), col("p_name"),
+        graft.expr.Exprs.makeId(col("p_name")).as("make_id"))
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -703,5 +711,6 @@ object Queries {
     ("q22_quality", q22Quality _, Some(q22Sql)),
     ("q23_token_count", q23TokenCount _, Some(q23Sql)),
     ("q24_fingerprint", q24Fingerprint _, Some(q24Sql)),
-    ("q25_multimodal_stub", q25MultimodalStub _, Some(q25Sql)))
+    ("q25_multimodal_stub", q25MultimodalStub _, Some(q25Sql)),
+    ("q26_make_id", q26MakeId _, None))
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docsDf = {
+    import spark.implicits._
+    spark.createDataset(graft.ingest.Fixtures.Names.map(graft.ingest.Fixtures.doc)).toDF()
+  }
+
+  test("PyTitleCase column == PyStr.title on the makeid oracle corpus") {
+    import spark.implicits._
+    val cells = scala.io.Source.fromFile("src/test/resources/oracle/makeid.tsv", "UTF-8")
+      .getLines().map(_.split("\t", -1)(0))
+      .map(b => new String(java.util.Base64.getDecoder.decode(b), "UTF-8"))
+      .toVector.distinct
+    val df = cells.toDF("s")
+      .withColumn("t_expr", graft.expr.PyTitleCase(col("s")))
+      .collect()
+    df.foreach { r =>
+      assert(r.getString(1) == graft.text.PyStr.title(r.getString(0)), r.getString(0))
+    }
+  }
+
+  test("Exprs.makeId column == MakeId core function") {
+    import spark.implicits._
+    val cells = Seq("aktuelle Probe", "Prüfzeit", "190C_1000h_1", "ROIs",
+      "DataLogger 4.0  Version 4.0 Revision 7", "Messlänge", "a-b_c d")
+    val rows = cells.toDF("s").withColumn("m", graft.expr.Exprs.makeId(col("s"))).collect()
+    rows.foreach(r => assert(r.getString(1) == graft.text.MakeId(r.getString(0)), r.getString(0)))
+  }
+
+  test("multimodal plumbing: media spans -> payloads -> batched features") {
+    val media = Multimodal.fromMediaSpans(docsDf)
+    val n = media.count()
+    assert(n > 0) // example5 carries media spans
+    val feats = Multimodal.extractFeatures(media)
+    val r = feats.orderBy("media_id").head()
+    assert(r.getAs[Long]("n_bytes") > 0)
+    assert(r.getAs[scala.collection.Seq[Float]]("features").length == 8)
+    val fo = Multimodal.frameOffsets(media, 4)
+    assert(fo.select(expr("size(frame_offsets)")).head().getInt(0) == 4)
+  }
+
+  test("similarity: annTopK returns bucket-restricted neighbors") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val topk = Similarity.annTopK(e, "vec_id", "embedding", queryId = 0, k = 5)
+    val rows = topk.collect()
+    assert(rows.length <= 5 && rows.nonEmpty)
+    // exact brute force must contain the ANN scores for the same ids
+    val exact = Similarity.cosineTopK(
+      e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      e.filter(col("vec_id") === 0), 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(math.abs(exact(r.getLong(0)) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("dedup: exact + lsh + simhash + jaccard run and are deterministic") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(Dedup.exact(d, "doc_id", "text").count() == d.count()) // all unique
+    val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text")
+    val sim = Dedup.simhash(d.limit(50), "doc_id", "text", width = 16)
+    assert(sim.select(length(col("simhash"))).distinct().head().getInt(0) == 16)
+    val jac = Dedup.ngramJaccard(d, "doc_id", "text", "source", window = 5)
+    assert(jac.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    assert(pairs.count() == Dedup.lshCandidatePairs(d, "doc_id", "text").count())
+  }
+
+  test("text analysis: langid/quality/tokens/fingerprint") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val li = TextAnalysis.langId(d, "text")
+    assert(li.filter(col("pred_lang").isNull).count() == 0)
+    val q = TextAnalysis.quality(d, "text")
+    assert(q.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() == 0)
+    val t = TextAnalysis.tokenCounts(d, "text")
+    assert(t.filter(col("bpe_tokens") < col("ws_tokens")).count() == 0)
+    val f = TextAnalysis.fingerprint(d, "text")
+    assert(f.select(countDistinct("fp")).head().getLong(0) > 400)
+  }
+}
