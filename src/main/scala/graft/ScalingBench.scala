@@ -3,12 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scaling-efficiency evidence (BASELINE north rule): the same pipeline
-  * job at two parallelism levels — local[8] vs local[32] as the sandbox
+  * job at two parallelism levels — local[N] vs local[4N] as the sandbox
   * proxy for N vs 4N executors — on the identical deterministic corpus.
-  * Reports docs/sec at both, efficiency = (T8/T32)/4, and verifies the
-  * outputs are identical (xor-hash) — determinism under parallelism.
   *
-  *   runMain graft.ScalingBench [nDocs]
+  * The sandbox host is noisy (2x swings between identical runs), so each
+  * level is run `reps` times interleaved and the per-level minimum
+  * (least-contended sample) is reported. Outputs are verified identical
+  * across levels (xor-hash) — determinism under parallelism.
+  *
+  *   runMain graft.ScalingBench [nDocs] [lowCpus] [highCpus] [reps]
   */
 object ScalingBench {
 
@@ -25,9 +28,8 @@ object ScalingBench {
     import org.apache.spark.sql.functions._
     try {
       val dict = Pipeline.broadcastDict(spark)
-      // fixed task granularity: same split count at both parallelism
-      // levels (4 tasks per core at the larger size) so the comparison
-      // varies only the executor-thread count, like adding executors
+      // fixed split count at both levels: only executor-thread count
+      // varies, like adding executors to a cluster
       val parts = 128
       val t0 = System.nanoTime()
       val ts = Pipeline.triples(graft.ingest.SynthCorpus.corpus(spark, nDocs, parts), dict)
@@ -43,15 +45,24 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val nDocs = args.headOption.map(_.toLong)
-      .orElse(sys.env.get("SPARK_GRAFT_SCALE_DOCS").map(_.toLong))
-      .getOrElse(200000L)
-    // warmup JVM+codegen once at small size
-    run(8, 2000)
-    val (t8, h8, n8) = run(8, nDocs)
-    val (t32, h32, n32) = run(32, nDocs)
-    val eff = (t8 / t32) / 4.0
-    val identical = h8 == h32 && n8 == n32
-    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","docs":$nDocs,"t_local8_sec":$t8%.1f,"t_local32_sec":$t32%.1f,"docs_per_sec_8":${nDocs / t8}%.1f,"docs_per_sec_32":${nDocs / t32}%.1f,"triples":$n8,"identical_output":$identical}""")
+    val nDocs = if (args.length > 0) args(0).toLong else 150000L
+    val lo = if (args.length > 1) args(1).toInt else 8
+    val hi = if (args.length > 2) args(2).toInt else 32
+    val reps = if (args.length > 3) args(3).toInt else 3
+    run(lo, 2000) // JVM + codegen warmup
+    val los = Vector.newBuilder[(Double, Long, Long)]
+    val his = Vector.newBuilder[(Double, Long, Long)]
+    for (_ <- 1 to reps) {
+      los += run(lo, nDocs)
+      his += run(hi, nDocs)
+    }
+    val l = los.result(); val h = his.result()
+    val tLo = l.map(_._1).min
+    val tHi = h.map(_._1).min
+    val factor = hi.toDouble / lo
+    val eff = (tLo / tHi) / factor
+    val hashes = (l ++ h).map(r => (r._2, r._3)).distinct
+    val identical = hashes.size == 1
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","docs":$nDocs,"low_cpus":$lo,"high_cpus":$hi,"reps":$reps,"t_low_sec":$tLo%.1f,"t_high_sec":$tHi%.1f,"docs_per_sec_low":${nDocs / tLo}%.1f,"docs_per_sec_high":${nDocs / tHi}%.1f,"t_low_all":[${l.map(x => f"${x._1}%.1f").mkString(",")}],"t_high_all":[${h.map(x => f"${x._1}%.1f").mkString(",")}],"triples":${l.head._3},"identical_output":$identical}""")
   }
 }

@@ -94,7 +94,7 @@ object Annotator {
     */
   private def classify(rawLines: IndexedSeq[String], p: Part): Part = {
     val sample = (p.start until math.min(p.end, p.start + 30)).map { i =>
-      rawLines(i).split(p.sep, -1).map(c => numberCoalesce(CellType.typeOf(c))).toVector
+      graft.text.Patterns.split(rawLines(i), p.sep).map(c => numberCoalesce(CellType.typeOf(c))).toVector
     }
     val first = sample.head
     val sameTypesAsFirst = sample.forall(_ == first)
@@ -261,7 +261,7 @@ object Annotator {
     var broke = false
     var i = p.start
     while (i < lines.length && !broke) {
-      val allText = lines(i).split(p.sep, -1).forall { c =>
+      val allText = graft.text.Patterns.split(lines(i), p.sep).forall { c =>
         val t = CellType.typeOf(c)
         t == CellType.BLANK || t == CellType.TEXT
       }

@@ -53,7 +53,7 @@ object PandasCsv {
   def splitLine(line: String, sepRegex: String): Vector[String] =
     singleCharSep(sepRegex) match {
       case Some(c) => csvSplit(line, c)
-      case None => graft.text.PyStr.strip(line).split(sepRegex, -1).toVector
+      case None => graft.text.Patterns.split(graft.text.PyStr.strip(line), sepRegex).toVector
     }
 
   private def csvSplit(line: String, sep: Char): Vector[String] = {

@@ -44,7 +44,7 @@ object SpanCodec {
       off += 1
       val (sep, _) = Annotator.vote(line)
       if (sep != null) {
-        line.stripSuffix("\n").stripSuffix("\r").split(sep, -1).foreach { cell =>
+        graft.text.Patterns.split(line.stripSuffix("\n").stripSuffix("\r"), sep).foreach { cell =>
           val c = PyStr.strip(cell)
           if (CellType.isValidUri(c)) {
             spans += Span("media", cell, c, off)

@@ -49,10 +49,26 @@ object Term {
   /** Deterministic skolem IRI for a blank node (north rule: resumable /
     * deterministic ids; path encodes doc + structural role).
     */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
   def skolem(path: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(path.getBytes("UTF-8"))
-    iri("urn:skolem:" + h.take(10).map(b => f"$b%02x").mkString)
+    val md = md5Local.get()
+    md.reset()
+    val h = md.digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(33)
+    sb.append("<urn:skolem:")
+    var i = 0
+    while (i < 10) {
+      val b = h(i) & 0xFF
+      sb.append(HexChars(b >> 4)).append(HexChars(b & 0xF))
+      i += 1
+    }
+    sb.append('>')
+    sb.toString
   }
 
   def isBlankish(term: String): Boolean =
