@@ -22,12 +22,16 @@ object Dedup {
       .groupBy("h")
       .agg(count(lit(1)).as("n"), min(idCol).as("keep_id"))
 
-  /** Distinct n-token shingles of a text column. */
+  /** Distinct n-token shingles of a text column. The token array is
+    * bound once via a single-element-array lambda so the regex split is
+    * not re-executed per element.
+    */
   def shingles(textCol: String, n: Int): Column = {
-    val t = s"split($textCol, '$TokenSplitSql')"
     val parts = (1 until n)
-      .map(k => s"|| ' ' || coalesce(try_element_at($t, i + $k), '')").mkString(" ")
-    expr(s"array_distinct(transform(sequence(1, greatest(size($t) - ${n - 1}, 1)), i -> try_element_at($t, i) $parts))")
+      .map(k => s"|| ' ' || coalesce(try_element_at(t, i + $k), '')").mkString(" ")
+    expr(s"""element_at(transform(array(split($textCol, '$TokenSplitSql')), t ->
+      array_distinct(transform(sequence(1, greatest(size(t) - ${n - 1}, 1)),
+        i -> try_element_at(t, i) $parts))), 1)""")
   }
 
   /** MinHash signatures: sig_j = min md5(j || ':' || shingle); k salts. */

@@ -370,13 +370,16 @@ object Queries {
   /** Distinct n-token shingles, exactly mirroring the SQL construction:
     * i in 1..greatest(len-n+1, 1); out-of-range tokens pad as ''. */
   private def sparkShingles(n: Int): Column = {
-    val t = s"split(text, '$TokenSplitSql')"
+    // bind the token array once via a single-element-array lambda (else
+    // Catalyst inlines the split() into the HOF lambda and re-executes
+    // the regex split per shingle element)
     val parts = (1 until n)
-      .map(k => s"coalesce(try_element_at($t, i + $k), '')")
+      .map(k => s"coalesce(try_element_at(t, i + $k), '')")
       .map(e => s"|| ' ' || $e").mkString(" ")
-    expr(s"""array_distinct(transform(
-      sequence(1, greatest(size($t) - ${n - 1}, 1)),
-      i -> try_element_at($t, i) $parts))""")
+    expr(s"""element_at(transform(array(split(text, '$TokenSplitSql')), t ->
+      array_distinct(transform(
+        sequence(1, greatest(size(t) - ${n - 1}, 1)),
+        i -> try_element_at(t, i) $parts))), 1)""")
   }
 
   /** Q15 — MinHash + LSH banding for near-duplicate detection. Signature
