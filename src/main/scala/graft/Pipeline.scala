@@ -131,3 +131,38 @@ object Pipeline {
       .as[Doc]
   }
 }
+
+/** Structured Streaming mode: the per-doc pipeline is stateless across
+  * documents (each is self-contained), so incremental processing is the
+  * same narrow flatMap under a streaming source — no watermarks or
+  * stateful operators needed (SURVEY.md §2.9). Checkpointing gives
+  * exactly-once into the triples table.
+  */
+object StreamingPipeline {
+  import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+  import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+
+  /** Start a stream: parquet docs dir -> triples parquet sink. */
+  def start(spark: SparkSession, docsDir: String, outDir: String,
+            checkpointDir: String,
+            dict: org.apache.spark.broadcast.Broadcast[graft.link.UnitDict]): StreamingQuery = {
+    implicit val docEnc = Encoders.product[graft.ingest.Doc]
+    implicit val tEnc = Encoders.product[TripleRow]
+    val docSchema = Encoders.product[graft.ingest.Doc].schema
+    val docs: Dataset[graft.ingest.Doc] = spark.readStream
+      .schema(docSchema).parquet(docsDir).as[graft.ingest.Doc]
+    val triples = docs.flatMap { d =>
+      val lines = graft.ingest.SpanCodec.lines(d.spans)
+      val meta = graft.annotate.Annotator.annotate(d.doc_id, lines, "utf-8", dict.value)
+      graft.rdf.TripleExpand.expandDoc(meta, lines)
+        .map(t => TripleRow(d.doc_id, t.subj, t.pred, t.obj))
+    }
+    triples.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+}
