@@ -1,0 +1,89 @@
+package graft.rdf
+
+import graft.TripleRow
+import org.apache.spark.sql.{Dataset, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Graph serialization sinks (reference S6 surface, SURVEY §2.1): the
+  * reference exposes rdflib's formats (turtle, nt, json-ld, ...); the
+  * engine's equivalents are:
+  *  - "nt"        unsorted N-Triples text (fastest, narrow)
+  *  - "nt-sorted" canonical globally sorted N-Triples (Pipeline)
+  *  - "ttl"       Turtle: subject-grouped blocks, prefix header per part
+  *                file (Turtle allows @prefix re-declaration, so
+  *                concatenated part files remain one valid document)
+  * Metadata JSON-LD is a per-doc column (Pipeline.metadata). Skolemized
+  * bnodes are serialized as urn:skolem IRIs — isomorphic to the
+  * reference's blank nodes under the comparator's canonical labeling.
+  */
+object Serialize {
+
+  val Prefixes: Seq[(String, String)] = Seq(
+    "rdf" -> Term.RdfNs, "rdfs" -> Term.RdfsNs, "xsd" -> Term.XsdNs,
+    "csvw" -> Term.CsvwNs, "oa" -> Term.OaNs, "qudt" -> Term.QudtNs,
+    "dc11" -> Term.DcNs, "prov" -> Term.ProvNs)
+
+  private def qname(term: String): String =
+    if (term.startsWith("<")) {
+      val iriStr = term.substring(1, term.length - 1)
+      Prefixes.collectFirst {
+        case (p, ns) if iriStr.startsWith(ns) &&
+          iriStr.drop(ns.length).matches("[A-Za-z0-9_-]+") =>
+          s"$p:${iriStr.drop(ns.length)}"
+      }.getOrElse(term)
+    } else term
+
+  /** One subject's Turtle block from its (pred, obj) pairs. */
+  def subjectBlock(subj: String, pos: Seq[(String, String)]): String = {
+    val sb = new StringBuilder
+    sb ++= qname(subj)
+    val byPred = pos.groupBy(_._1).toSeq.sortBy(_._1)
+    val parts = byPred.map { case (p, oss) =>
+      val pn = if (p == Term.RdfType) "a" else qname(p)
+      val os = oss.map(_._2).distinct.sorted.map(qname).mkString(", ")
+      s"$pn $os"
+    }
+    sb ++= " " + parts.mkString(" ;\n    ") + " .\n"
+    sb.toString
+  }
+
+  def header: String =
+    Prefixes.map { case (p, ns) => s"@prefix $p: <$ns> ." }.mkString("", "\n", "\n\n")
+
+  /** Distributed Turtle sink: hash-partition by subject, group within
+    * partitions, prefix header per part.
+    */
+  def writeTurtle(ts: Dataset[TripleRow], outDir: String, partitions: Int = 0): Unit = {
+    import ts.sparkSession.implicits._
+    val base = ts.select("subj", "pred", "obj").distinct()
+    val parted = if (partitions > 0) base.repartition(partitions, col("subj"))
+                 else base.repartition(col("subj"))
+    parted
+      .sortWithinPartitions("subj", "pred", "obj")
+      .as[(String, String, String)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var cur: String = null
+        var pos = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        def flush(): Unit = if (cur != null) {
+          out += subjectBlock(cur, pos.toSeq)
+          pos = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        }
+        it.foreach { case (s, p, o) =>
+          if (s != cur) { flush(); cur = s }
+          pos += ((p, o))
+        }
+        flush()
+        if (out.isEmpty) Iterator.empty
+        else Iterator(header + out.mkString("\n"))
+      }
+      .write.mode(SaveMode.Overwrite).text(outDir)
+  }
+
+  /** Unsorted N-Triples (narrow, no shuffle). */
+  def writeNTriples(ts: Dataset[TripleRow], outDir: String): Unit = {
+    import ts.sparkSession.implicits._
+    ts.select(concat_ws(" ", col("subj"), col("pred"), col("obj"), lit(".")))
+      .write.mode(SaveMode.Overwrite).text(outDir)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, rng}
+import graft.text.{CellType, MakeId, PyFloat}
+import graft.ingest.SpanCodec
+
+/** ScalaCheck properties (SURVEY §5.2-1). */
+class PropertySpec extends AnyFunSuite {
+
+  /** minimal deterministic forAll (scalatestplus bridge not on classpath) */
+  private def forAll[T](gen: Gen[T], n: Int = 300)(f: T => Unit): Unit = {
+    val seed0 = rng.Seed(42L)
+    var seed = seed0
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private def forAll(f: Double => Unit)(implicit d: DummyImplicit): Unit =
+    forAll(Gen.chooseNum(-1e300, 1e300))(f)
+
+
+  test("typeOf tags rendered primitives correctly") {
+    forAll(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)) { (n: Long) =>
+      assert(CellType.typeOf(n.toString) == CellType.INT)
+    }
+    forAll(Gen.chooseNum(-1e15, 1e15)) { (d: Double) =>
+      val r = PyFloat.repr(d)
+      if (r.contains('.') || r.contains('e'))
+        assert(CellType.typeOf(r) == CellType.FLOAT, r)
+    }
+    assert(CellType.typeOf("True") == CellType.BOOL)
+    assert(CellType.typeOf("False") == CellType.BOOL)
+  }
+
+  test("PyFloat.repr round-trips") {
+    forAll(Gen.oneOf[Gen[Double]](
+      Gen.chooseNum(-1e300, 1e300), Gen.chooseNum(-1.0, 1.0),
+      Gen.chooseNum(-1e-300, 1e-300)).flatMap(g => g)) { d =>
+      if (!d.isNaN && !d.isInfinite)
+        assert(java.lang.Double.parseDouble(PyFloat.repr(d)) == d, PyFloat.repr(d))
+    }
+  }
+
+  // not idempotent by design: removing a separator can re-expose a title
+  // boundary — mirrors Python make_id exactly
+  test("makeId stays in its alphabet") {
+    val gen = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '_', '-', '.', '[', ']', '(', ')'),
+      1 -> Gen.oneOf('ä', 'ö', 'ü', 'Ä', 'Ö', 'Ü', 'ß', '°', 'é'))).map(_.mkString)
+    forAll(gen) { (s: String) =>
+      val m = MakeId(s)
+      assert(m.matches("[A-ZÜÖÄa-z0-9]*"), s"[$s] -> [$m]")
+      assert(MakeId(m).matches("[A-ZÜÖÄa-z0-9]*"))
+    }
+  }
+
+  test("span codec reconstructs arbitrary multi-line text exactly") {
+    val lineGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', ';', ',', '\t', ':', '|', '"'))).map(_.mkString)
+    val textGen = for {
+      ls <- Gen.listOf(lineGen)
+      crlf <- Gen.oneOf("\n", "\r\n")
+      trailing <- Gen.oneOf(true, false)
+    } yield {
+      val joined = ls.mkString(crlf)
+      if (trailing && joined.nonEmpty) joined + crlf else joined
+    }
+    forAll(textGen) { (text: String) =>
+      val doc = SpanCodec.encode("d", text)
+      assert(SpanCodec.reconstruct(doc.spans) == text)
+      assert(doc.spans.map(_.offset) == doc.spans.indices)
+    }
+  }
+
+  test("separator vote: comma quirks hold") {
+    // a single comma votes (';', 0) — the German-decimal fallback
+    assert(graft.annotate.Annotator.vote("a,b\n") == (";", 0))
+    // two+ commas with no other separators vote comma
+    assert(graft.annotate.Annotator.vote("a,b,c\n") == (",", 2))
+    forAll(Gen.chooseNum(2, 20)) { (n: Int) =>
+      val line = (0 to n).map(i => s"v$i").mkString(",") + "\n"
+      assert(graft.annotate.Annotator.vote(line) == (",", n))
+    }
+  }
+}
