@@ -20,30 +20,48 @@ object Annotator {
 
   /** the order is important: first-wins tie break (annotator.py:92-93) */
   val SeparatorRegexes: Vector[String] = Vector(";", "\\|", ":+\\s+\\s*", "\\t", ",")
-  private val SepPatterns = SeparatorRegexes.map(r => r -> r.r.pattern)
 
   /** Per-line separator vote (annotator.py:254-277). `line` must include
     * its trailing newline (the reference scans io.StringIO lines).
     * Returns (sepRegex, count) or (null, 0) when no separator matches.
     */
+  /** Java regex \s (the semantics the oracle-validated patterns used). */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   def vote(line: String): (String, Int) = {
-    val counts = SepPatterns.map { case (r, p) =>
-      val m = p.matcher(line)
-      var c = 0
-      while (m.find()) c += 1
-      r -> c
+    // single fused scan: ';' '|' '\t' ',' are plain char counts; the colon
+    // regex ":+\\s+\\s*" counts maximal colon-runs followed by >=1
+    // whitespace (whitespace is NOT consumed here so tab counts stay exact)
+    var cSemi = 0; var cPipe = 0; var cColon = 0; var cTab = 0; var cComma = 0
+    var i = 0
+    val n = line.length
+    while (i < n) {
+      line.charAt(i) match {
+        case ';' => cSemi += 1; i += 1
+        case '|' => cPipe += 1; i += 1
+        case '\t' => cTab += 1; i += 1
+        case ',' => cComma += 1; i += 1
+        case ':' =>
+          while (i < n && line.charAt(i) == ':') i += 1
+          if (i < n && isWs(line.charAt(i))) cColon += 1
+        case _ => i += 1
+      }
     }
-    var (bestSep, bestCount) = counts.head
-    for ((r, c) <- counts.drop(1)) if (c > bestCount) { bestSep = r; bestCount = c }
+    val counts = Array(cSemi, cPipe, cColon, cTab, cComma)
+    var best = 0
+    var bi = 1
+    while (bi < 5) { if (counts(bi) > counts(best)) best = bi; bi += 1 }
+    val bestCount = counts(best)
     if (bestCount == 0) return (null, 0) // re.search on the winner fails
-    if (bestSep == ",") {
+    if (best == 4) {
       // German decimal commas: prefer the runner-up when within one
-      val rest = counts.filterNot(_._1 == ",")
-      var (sSep, sCount) = rest.head
-      for ((r, c) <- rest.drop(1)) if (c > sCount) { sSep = r; sCount = c }
-      if (sCount >= bestCount - 1) return (sSep, sCount)
+      var sb = 0
+      var j = 1
+      while (j < 4) { if (counts(j) > counts(sb)) sb = j; j += 1 }
+      if (counts(sb) >= bestCount - 1) return (SeparatorRegexes(sb), counts(sb))
     }
-    (bestSep, bestCount)
+    (SeparatorRegexes(best), bestCount)
   }
 
   private def numberCoalesce(t: String): String =

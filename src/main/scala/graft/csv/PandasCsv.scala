@@ -104,8 +104,24 @@ object PandasCsv {
     }
   }
 
-  private def parseLongOpt(s: String): Option[Long] =
-    try Some(s.trim.toLong) catch { case _: NumberFormatException => None }
+  private def parseLongOpt(s: String): Option[Long] = {
+    val t = s.trim
+    if (t.isEmpty) return None
+    var i = if (t.charAt(0) == '+' || t.charAt(0) == '-') 1 else 0
+    if (i >= t.length || t.length - i > 18) {
+      // >18 digits may overflow Long: fall back to the exception path
+      return try Some(t.toLong) catch { case _: NumberFormatException => None }
+    }
+    val neg = t.charAt(0) == '-'
+    var v = 0L
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c < '0' || c > '9') return None
+      v = v * 10 + (c - '0')
+      i += 1
+    }
+    Some(if (neg) -v else v)
+  }
 
   private def parseF(s: String): Double = {
     val t = s.trim

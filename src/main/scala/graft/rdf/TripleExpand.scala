@@ -54,8 +54,18 @@ object TripleExpand {
 
   def expand(m: DocMeta, tableRows: Map[String, Vector[Vector[PVal]]],
              includeProv: Boolean = true): Vector[Triple] = {
+    // rdflib Graph is a set. Cell-data triples are structurally unique by
+    // construction (skolem ids embed row/col), so only the metadata/PROV
+    // stream needs set semantics — a much smaller dedup than distinct()
+    // over the full fan-out.
     val ts = ArrayBuffer.empty[Triple]
-    def add(s: String, p: String, o: String): Unit = ts += Triple(s, p, o)
+    val seen = scala.collection.mutable.HashSet.empty[Triple]
+    var dedup = true
+    def add(s: String, p: String, o: String): Unit = {
+      val t = Triple(s, p, o)
+      if (!dedup) ts += t
+      else if (seen.add(t)) ts += t
+    }
     val doc = iri(m.id)
     val metadataIri = {
       val i = m.id.lastIndexOf('.')
@@ -99,6 +109,7 @@ object TripleExpand {
 
     // ---- tables: metadata ----------------------------------------
     m.tables.foreach { t =>
+      dedup = true // metadata/PROV stream needs set semantics per table
       val table = iri(t.id)
       add(doc, iri(CsvwNs + "table"), table)
       add(table, RdfType, iri(CsvwNs + "Table"))
@@ -141,6 +152,7 @@ object TripleExpand {
       }
 
       // ---- table data (csvw_parser.add_table_data) ----------------
+      dedup = false // unique by construction (skolem ids embed row/col)
       val rows = tableRows.getOrElse(t.id, Vector.empty)
       val colMeta = t.columns // includes GID at 0
       rows.zipWithIndex.foreach { case (row, index) =>
@@ -200,6 +212,7 @@ object TripleExpand {
     }
 
     // ---- PROV ----------------------------------------------------
+    dedup = true
     if (includeProv) {
       // annotate-time block (metadata JSON-LD, app.py:300-317)
       val annApi = iri(JsonLd.AnnotateApiUrl)
@@ -234,7 +247,7 @@ object TripleExpand {
         add(table, iri(ProvNs + "qualifiedUsage"), iri(metadataIri))
       }
     }
-    ts.distinct.toVector // rdflib Graph is a set: duplicates collapse
+    ts.toVector
   }
 
   /** Convenience: full per-doc pipeline meta -> triples. */

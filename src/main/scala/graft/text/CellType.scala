@@ -105,11 +105,46 @@ object CellType {
     depth == 0
   }
 
+  /** ASCII fast paths for the overwhelmingly common cell shapes (plain
+    * ints / d.d floats); behavior identical to the full cascade (pinned
+    * by the 169k-cell oracle, which runs through this same entry point).
+    */
+  private def fastPath(s: String): String = {
+    var i = if (s.charAt(0) == '+' || s.charAt(0) == '-') 1 else 0
+    if (i >= s.length) return null
+    var dots = 0
+    var digits = 0
+    val start = i
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') digits += 1
+      else if (c == '.') dots += 1
+      else return null
+      i += 1
+    }
+    if (digits == 0) return null
+    if (dots == 0) {
+      // leading zeros (other than a lone run of zeros) are SyntaxError ->
+      // date path; let the slow path decide those
+      if (s.charAt(start) != '0') {
+        if (digits <= 18) INT else null
+      } else if (digits == s.length - start) {
+        var allZero = true
+        var j = start
+        while (j < s.length) { if (s.charAt(j) != '0') allZero = false; j += 1 }
+        if (allZero) INT else null
+      } else null
+    } else if (dots == 1) FLOAT
+    else null
+  }
+
   /** The full sniff. Mirrors annotator.py:187-214. */
   def typeOf(raw: String): String = {
     if (raw == null) return BLANK
     val s = PyStr.strip(raw).replace(',', '.')
     if (s.isEmpty) return BLANK
+    val fp = fastPath(s)
+    if (fp != null) return fp
     litKind(s) match {
       case LInt   => INT
       case LFloat => FLOAT

@@ -416,9 +416,29 @@ object DateSniff {
     idx
   }
 
+  /** Word tokens dateutil can ever accept (months, weekdays, hms, am/pm,
+    * jump words, utc zones) — everything else makes _parse raise, so we
+    * reject exception-free up front (the hot path: most TEXT cells).
+    * <=5-char all-uppercase tokens may be tzname candidates and pass.
+    */
+  private def wordAcceptable(t: String): Boolean = {
+    val lo = t.toLowerCase
+    Months.contains(lo) || Weekdays.contains(lo) || Hms.contains(lo) ||
+      Ampm.contains(lo) || UtcZone.contains(lo) || Jump.contains(lo) ||
+      (t.length <= 5 && t.forall(c => c >= 'A' && c <= 'Z'))
+  }
+
   def parse(raw: String): Option[Parsed] =
     try {
       val l = lex(raw)
+      // exception-free prefilter: any never-acceptable word token -> None
+      var pi = 0
+      while (pi < l.length) {
+        val t = l(pi)
+        if (t.length > 0 && isWordC(t.charAt(0)) && tokFloat(t).isEmpty &&
+            !wordAcceptable(t)) return None
+        pi += 1
+      }
       val res = new Res
       val ymd = new Ymd
       val n = l.length
