@@ -43,7 +43,8 @@ object RunPipeline {
 
     val t0 = System.nanoTime()
     Pipeline.metadata(docs, dict, encodingOf)
-      .write.mode("overwrite").parquet(s"$outDir/metadata")
+      .write.mode(if (resume) "append" else "overwrite")
+      .parquet(s"$outDir/metadata")
     val ts = Pipeline.triples(docs, dict, encodingOf)
     Pipeline.writeTriples(ts, outDir + "/triples",
       if (resume) org.apache.spark.sql.SaveMode.Append else org.apache.spark.sql.SaveMode.Overwrite)

@@ -49,6 +49,41 @@ object Similarity {
       .agg(expr("concat_ws('', transform(sort_array(collect_list(struct(plane_id, bit))), x -> x.bit))").as("bucket"))
   }
 
+  /** IVF-style routing: assign every vector to its nearest "centroid"
+    * (deterministic: dataset vectors centroidFrom..+nCells-1 serve as the
+    * coarse codebook; a k-means codebook drops into the same shape), then
+    * search only the query's cell. At scale the centroid table stays
+    * broadcast-sized and the scan prunes to ~1/nCells of the corpus.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                nCells: Int = 16, centroidFrom: Long = 1): DataFrame = {
+    val cents = df.filter(col(idCol).between(centroidFrom, centroidFrom + nCells - 1))
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cv"))
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", cosine(col(vecCol), col("cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("d").desc, col("cell_id"))))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("cell_id"))
+  }
+
+  /** IVF top-k: exact cosine within the query's cell only. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nCells: Int = 16): DataFrame = {
+    val assign = ivfAssign(df, idCol, vecCol, nCells)
+    val joined = df.join(assign, idCol)
+    val qCell = joined.filter(col(idCol) === queryId).select(col("cell_id"))
+    val qVec = joined.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    joined.join(broadcast(qCell), "cell_id")
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(qVec))
+      .withColumn("cos", cosine(col(vecCol), col("qv")))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN search: restrict the exact scan to the query vector's bucket. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, nPlanes: Int = 8): DataFrame = {

@@ -66,6 +66,18 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(math.abs(exact(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("similarity: ivfTopK scores agree with exact within the cell") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val topk = Similarity.ivfTopK(e, "vec_id", "embedding", queryId = 0, k = 5)
+    val rows = topk.collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val exact = Similarity.cosineTopK(
+      e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      e.filter(col("vec_id") === 0), 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(math.abs(exact(r.getLong(0)) - r.getDouble(1)) < 1e-9))
+  }
+
   test("dedup: exact + lsh + simhash + jaccard run and are deterministic") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert(Dedup.exact(d, "doc_id", "text").count() == d.count()) // all unique
