@@ -29,10 +29,10 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     graft.queries.Queries.registry.foreach { case (name, fn, _) =>
-      results(name) = time {
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => results(name) = -1.0 }
-      }
+      val t =
+        try { val d = time(fn(spark, sfDir).write.mode("overwrite").format("noop").save()); d }
+        catch { case _: Throwable => -1.0 }
+      results(name) = t
     }
     // headline: KG pipeline docs/sec on the deterministic synthetic corpus
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_PIPE_DOCS", "20000").toLong

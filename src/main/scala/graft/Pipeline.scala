@@ -48,16 +48,27 @@ object Pipeline {
     }
   }
 
-  /** Stage B-E: full triple expansion per doc. Narrow. */
+  /** Stage B-E: full triple expansion per doc. Narrow. With
+    * `failFast = false` a pathological document cannot kill a
+    * 1000-executor job: it is skipped and counted in the accumulator.
+    */
   def triples(docs: Dataset[Doc], dict: Broadcast[UnitDict],
               encodingOf: String => String = _ => "utf-8",
-              includeProv: Boolean = true): Dataset[TripleRow] = {
+              includeProv: Boolean = true,
+              failFast: Boolean = true,
+              errorCounter: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[TripleRow] = {
     import docs.sparkSession.implicits._
     docs.flatMap { d =>
-      val lines = SpanCodec.lines(d.spans)
-      val meta = Annotator.annotate(d.doc_id, lines, encodingOf(d.doc_id), dict.value)
-      TripleExpand.expandDoc(meta, lines, includeProv)
-        .map(t => TripleRow(d.doc_id, t.subj, t.pred, t.obj))
+      try {
+        val lines = SpanCodec.lines(d.spans)
+        val meta = Annotator.annotate(d.doc_id, lines, encodingOf(d.doc_id), dict.value)
+        TripleExpand.expandDoc(meta, lines, includeProv)
+          .map(t => TripleRow(d.doc_id, t.subj, t.pred, t.obj))
+      } catch {
+        case e: Throwable if !failFast =>
+          errorCounter.foreach(_.add(1))
+          Vector.empty
+      }
     }
   }
 
@@ -69,8 +80,15 @@ object Pipeline {
     import docs.sparkSession.implicits._
     docs.filter { d =>
       val sorted = d.spans.sortBy(_.offset)
-      sorted.map(_.offset) != sorted.indices.map(_.toLong).map(_.toInt) ||
-        SpanCodec.reconstruct(d.spans).isEmpty && d.spans.nonEmpty
+      val offsetsOk = sorted.map(_.offset) == sorted.indices
+      val kindsOk = sorted.forall(s =>
+        (s.kind == "text" && s.media_ref == null) ||
+          (s.kind == "media" && s.media_ref != null))
+      // re-encoding the reconstructed text must reproduce the sequence
+      val re = SpanCodec.encode(d.doc_id, SpanCodec.reconstruct(sorted))
+      val roundTrip = re.spans.map(s => (s.kind, s.text, s.media_ref, s.offset)) ==
+        sorted.map(s => (s.kind, s.text, s.media_ref, s.offset))
+      !(offsetsOk && kindsOk && roundTrip)
     }.count()
   }
 

@@ -41,6 +41,8 @@ object RunPipeline {
     }
     val docs = if (resume) Pipeline.resumeFilter(docs0, spark, s"$outDir/triples") else docs0
 
+    val bad = Pipeline.spanInvariantViolations(docs)
+    require(bad == 0, s"span invariant violated by $bad docs")
     val t0 = System.nanoTime()
     Pipeline.metadata(docs, dict, encodingOf)
       .write.mode(if (resume) "append" else "overwrite")

@@ -37,10 +37,12 @@ object Dedup {
   /** MinHash signatures: sig_j = min md5(j || ':' || shingle); k salts. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, shingleN: Int = 3): DataFrame = {
-    val sh = df.withColumn("sh", shingles(textCol, shingleN))
-    val sigs = (0 until k).map(j =>
-      array_min(transform(col("sh"), x => md5(concat(lit(j + ":"), x)))).as(s"sig$j"))
-    sh.select(col(idCol) +: sigs: _*)
+    // explode + groupBy-agg: the shingle array is computed once per row
+    // (k parallel min-aggregates), instead of k inlined recomputations
+    val sh = df.select(col(idCol), explode(shingles(textCol, shingleN)).as("sh"))
+    val aggs = (0 until k).map(j =>
+      min(md5(concat(lit(j + ":"), col("sh")))).as(s"sig$j"))
+    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: hash bands of the signature into bucket keys, then

@@ -387,13 +387,12 @@ object Queries {
     * 3-shingles; two 4-row bands hashed into bucket keys.
     */
   def q15MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val d = s.read.parquet(p(dir, "documents"))
-      .withColumn("sh", sparkShingles(3))
-    val sigs = (0 until MinhashK).map { j =>
-      array_min(transform(col("sh"), x => md5(concat(lit(j + ":"), x)))).as(s"sig$j")
-    }
-    val withSigs = d.select(col("doc_id") +: sigs: _*)
-    withSigs.select(col("doc_id"),
+    val sh = s.read.parquet(p(dir, "documents"))
+      .select(col("doc_id"), explode(sparkShingles(3)).as("sh"))
+    val aggs = (0 until MinhashK).map(j =>
+      min(md5(concat(lit(j + ":"), col("sh")))).as(s"sig$j"))
+    val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    sigs.select(col("doc_id"),
       md5(concat_ws("|", (0 until 4).map(j => col(s"sig$j")): _*)).as("band1"),
       md5(concat_ws("|", (4 until 8).map(j => col(s"sig$j")): _*)).as("band2"))
   }
