@@ -31,9 +31,47 @@ object PandasCsv {
 
   private val TrueValues = Set("True", "TRUE", "true")
   private val FalseValues = Set("False", "FALSE", "false")
-  private val IntR = raw"\s*[+-]?\d+\s*".r
-  private val FloatR =
-    raw"\s*[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?\s*|\s*[+-]?(?i:inf(?:inity)?)\s*".r
+
+  /** pandas maybe_convert_numeric shape scan (exception/regex-free):
+    * 0 = not numeric, 1 = integer, 2 = float. Leading zeros allowed
+    * (unlike Python literals); surrounding ASCII whitespace allowed;
+    * inf/infinity (any case, signed) is float.
+    */
+  private def numKind(cell: String): Int = {
+    var i = 0
+    var j = cell.length
+    while (i < j && Character.isWhitespace(cell.charAt(i))) i += 1
+    while (j > i && Character.isWhitespace(cell.charAt(j - 1))) j -= 1
+    if (i >= j) return 0
+    var k = i
+    val c0 = cell.charAt(k)
+    if (c0 == '+' || c0 == '-') k += 1
+    if (k >= j) return 0
+    // inf / infinity
+    val rem = j - k
+    if ((rem == 3 || rem == 8) && (cell.charAt(k) == 'i' || cell.charAt(k) == 'I')) {
+      val t = cell.substring(k, j).toLowerCase
+      return if (t == "inf" || t == "infinity") 2 else 0
+    }
+    var digits = 0
+    var dot = false
+    var exp = false
+    var expDigits = 0
+    while (k < j) {
+      val c = cell.charAt(k)
+      if (c >= '0' && c <= '9') { if (exp) expDigits += 1 else digits += 1 }
+      else if (c == '.' && !dot && !exp) dot = true
+      else if ((c == 'e' || c == 'E') && !exp && digits > 0) {
+        exp = true
+        if (k + 1 < j && (cell.charAt(k + 1) == '+' || cell.charAt(k + 1) == '-')) k += 1
+      } else return 0
+      k += 1
+    }
+    if (digits == 0) 0
+    else if (exp && expDigits == 0) 0
+    else if (dot || exp) 2
+    else 1
+  }
 
   /** The separator regexes with plain-char csv semantics in pandas
     * (single char after regex unescape -> csv module with quoting).
@@ -89,12 +127,10 @@ object PandasCsv {
   def convertColumn(cells: Seq[String]): Vector[PVal] = {
     val nonNa = cells.filterNot(NaValues.contains)
     val hasNa = nonNa.size != cells.size
-    def allMatch(r: scala.util.matching.Regex) =
-      nonNa.forall(c => r.pattern.matcher(c).matches())
-    if (nonNa.nonEmpty && allMatch(IntR) &&
-        nonNa.forall(c => parseLongOpt(c).isDefined) && !hasNa) {
+    if (nonNa.nonEmpty && !hasNa && nonNa.forall(c => numKind(c) == 1) &&
+        nonNa.forall(c => parseLongOpt(c).isDefined)) {
       cells.map(c => PInt(parseLongOpt(c).get): PVal).toVector
-    } else if (nonNa.nonEmpty && allMatch(FloatR)) {
+    } else if (nonNa.nonEmpty && nonNa.forall(c => numKind(c) >= 1)) {
       cells.map(c => if (NaValues.contains(c)) PNaN: PVal else PFloat(parseF(c))).toVector
     } else if (nonNa.nonEmpty && !hasNa &&
                nonNa.forall(c => TrueValues.contains(c) || FalseValues.contains(c))) {

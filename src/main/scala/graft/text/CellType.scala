@@ -114,15 +114,21 @@ object CellType {
     if (i >= s.length) return null
     var dots = 0
     var digits = 0
+    var exp = false
+    var expDigits = 0
     val start = i
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c >= '0' && c <= '9') digits += 1
-      else if (c == '.') dots += 1
-      else return null
+      if (c >= '0' && c <= '9') { if (exp) expDigits += 1 else digits += 1 }
+      else if (c == '.' && !exp) dots += 1
+      else if ((c == 'e' || c == 'E') && !exp && digits > 0 && dots <= 1) {
+        exp = true
+        if (i + 1 < s.length && (s.charAt(i + 1) == '+' || s.charAt(i + 1) == '-')) i += 1
+      } else return null
       i += 1
     }
     if (digits == 0) return null
+    if (exp) return if (expDigits > 0 && dots <= 1) FLOAT else null
     if (dots == 0) {
       // leading zeros (other than a lone run of zeros) are SyntaxError ->
       // date path; let the slow path decide those

@@ -105,11 +105,13 @@ object DateSniff {
     out.toVector
   }
 
+  private val SplitDecimal = java.util.regex.Pattern.compile("(?<=[.,])|(?=[.,])")
+
   private def emit(out: ArrayBuffer[String], tokRaw: String, dotted: Boolean, seenLetters: Boolean): Unit = {
     var tok = tokRaw
     if (dotted && (seenLetters || tok.count(_ == '.') > 1 ||
         (tok.nonEmpty && (tok.last == '.' || tok.last == ',')))) {
-      val parts = tok.split("(?<=[.,])|(?=[.,])") // split keeping . and , as tokens
+      val parts = SplitDecimal.split(tok, -1) // split keeping . and , as tokens
       var first = true
       for (p <- parts; if p.nonEmpty) {
         if (first) { out += p; first = false } else out += p
