@@ -115,14 +115,26 @@ object Pipeline {
     * range-partitioned sort, formatted via mapPartitions, one text part
     * per range -> concatenation is the totally ordered file.
     */
-  def writeSortedNTriples(ts: Dataset[TripleRow], outDir: String): Unit = {
+  def writeSortedNTriples(ts: Dataset[TripleRow], outDir: String,
+                          compress: Boolean = true): Unit = {
     import ts.sparkSession.implicits._
-    ts.select("subj", "pred", "obj").distinct()
+    // one shuffle: range partitioning co-locates equal triples, so the
+    // set semantics fall out of adjacent-dedup after the sort (no
+    // separate distinct() shuffle); gzip parts concatenate into one
+    // valid, totally ordered gzip document
+    val w = ts.select("subj", "pred", "obj")
       .repartitionByRange(col("subj"), col("pred"), col("obj"))
       .sortWithinPartitions("subj", "pred", "obj")
       .as[(String, String, String)]
-      .mapPartitions(_.map { case (s, p, o) => s"$s $p $o ." })
-      .write.mode(SaveMode.Overwrite).text(outDir)
+      .mapPartitions { it =>
+        var prev: (String, String, String) = null
+        it.flatMap { t =>
+          if (t == prev) Iterator.empty
+          else { prev = t; Iterator(s"${t._1} ${t._2} ${t._3} .") }
+        }
+      }
+      .write.mode(SaveMode.Overwrite)
+    (if (compress) w.option("compression", "gzip") else w).text(outDir)
   }
 
   /** Per-partition lineage & extraction metrics (north rule): rows of

@@ -44,18 +44,28 @@ object RunPipeline {
     val bad = Pipeline.spanInvariantViolations(docs)
     require(bad == 0, s"span invariant violated by $bad docs")
     val t0 = System.nanoTime()
+    def lap(label: String, t: Long): Long = {
+      val now = System.nanoTime()
+      println(f"[pipeline] $label: ${(now - t) / 1e9}%.1f s")
+      now
+    }
+    var tl = t0
     Pipeline.metadata(docs, dict, encodingOf)
       .write.mode(if (resume) "append" else "overwrite")
       .parquet(s"$outDir/metadata")
+    tl = lap("metadata", tl)
     val ts = Pipeline.triples(docs, dict, encodingOf)
     Pipeline.writeTriples(ts, outDir + "/triples",
       if (resume) org.apache.spark.sql.SaveMode.Append else org.apache.spark.sql.SaveMode.Overwrite)
+    tl = lap("triples-table", tl)
     val tsOut = spark.read.parquet(s"$outDir/triples")
     Pipeline.metrics(tsOut.select($"doc_id", $"subj", $"pred", $"obj").as[TripleRow],
         runId = what, stage = "materialize")
       .write.mode("append").parquet(s"$outDir/metrics")
+    tl = lap("metrics", tl)
     Pipeline.writeSortedNTriples(
       tsOut.select($"doc_id", $"subj", $"pred", $"obj").as[TripleRow], s"$outDir/ntriples")
+    tl = lap("ntriples-sorted", tl)
     val secs = (System.nanoTime() - t0) / 1e9
     val nDocs = spark.read.parquet(s"$outDir/metadata").count()
     val nTriples = tsOut.count()
