@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audits: the properties .explain() showed are pinned so
+  * refactors can't silently regress them.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.queries.Queries.registry.find(_._1 == name).get
+      ._2(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filters and projection pushed to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(2000))
+    // column pruning: only the 5 referenced columns in ReadSchema
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("l_partkey") && !rs.contains("l_comment"), rs)
+  }
+
+  test("q03: all dimension joins are broadcast") {
+    val p = plan("q03_join_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "dims must not sort-merge")
+  }
+
+  test("q01: partial aggregation before the exchange") {
+    val p = plan("q01_pricing_summary")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exch = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exch > firstAgg)
+  }
+
+  test("pipeline stages B-E are shuffle-free") {
+    import spark.implicits._
+    val dict = Pipeline.broadcastDict(spark)
+    val docs = graft.ingest.SynthCorpus.corpus(spark, 8)
+    val p = Pipeline.triples(docs, dict).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q13: unit dictionary join is broadcast") {
+    val p = plan("q13_unit_link")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+}
