@@ -12,12 +12,10 @@ object SparkEntry {
     * expanded into triples. Driver smoke-checks rows > 0.
     */
   def entry(spark: SparkSession): DataFrame = {
-    import spark.implicits._
     val dict = Pipeline.broadcastDict(spark)
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select($"doc_id".cast("string").as("id"), $"text")
-      .as[(String, String)]
-      .map { case (id, text) => graft.ingest.SpanCodec.encode("doc://" + id, text) }
+    val docs = graft.ingest.Ingest.fromTextTable(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text", idPrefix = "doc://")
     Pipeline.triples(docs, dict).toDF()
   }
 

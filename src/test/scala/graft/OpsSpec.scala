@@ -89,6 +89,26 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.count() == Dedup.lshCandidatePairs(d, "doc_id", "text").count())
   }
 
+  test("binaryFile ingest reproduces the fixture docs exactly") {
+    val docs = graft.ingest.Ingest.fromCsvFiles(spark,
+      "/root/reference/example5.csv", charset = "latin-1").collect()
+    assert(docs.length == 1)
+    val want = graft.ingest.Fixtures.doc("example5.csv")
+    assert(docs(0).doc_id == "example5.csv")
+    assert(docs(0).spans.map(s => (s.kind, s.text, s.media_ref, s.offset)) ==
+      want.spans.map(s => (s.kind, s.text, s.media_ref, s.offset)))
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val nd = Dedup.embeddingNearDups(e, "vec_id", "embedding", nPlanes = 4, threshold = 0.1)
+    val rows = nd.collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.1)
+    }
+  }
+
   test("text analysis: langid/quality/tokens/fingerprint") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val li = TextAnalysis.langId(d, "text")
