@@ -68,8 +68,11 @@ object TripleExpand {
     }
     val doc = iri(m.id)
     val metadataIri = {
-      val i = m.id.lastIndexOf('.')
-      (if (i > 0) m.id.substring(0, i) else m.id) + "-metadata.json"
+      // reference: filename.rsplit('.', 1)[0] + "-metadata.json" — only
+      // strip an extension that appears after the last path segment
+      val slash = m.id.lastIndexOf('/')
+      val dot = m.id.lastIndexOf('.')
+      (if (dot > slash) m.id.substring(0, dot) else m.id) + "-metadata.json"
     }
 
     add(doc, RdfType, iri(CsvwNs + "TableGroup"))
