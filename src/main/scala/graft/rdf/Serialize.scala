@@ -80,6 +80,69 @@ object Serialize {
       .write.mode(SaveMode.Overwrite).text(outDir)
   }
 
+  private val TypedLitRe = """^"(.*)"\^\^<([^>]+)>$""".r
+  private val PlainLitRe = "(?s)^\"(.*)\"$".r
+
+  /** One RDF term -> flattened JSON-LD value object. */
+  def jsonLdValue(term: String): graft.json.JValue = {
+    import graft.json._
+    term match {
+      case TypedLitRe(lex, dt) =>
+        JObj.of("@value" -> JStr(Term.unescape(lex)), "@type" -> JStr(dt))
+      case PlainLitRe(lex) => JObj.of("@value" -> JStr(Term.unescape(lex)))
+      case iriTerm => JObj.of("@id" -> JStr(iriTerm.substring(1, iriTerm.length - 1)))
+    }
+  }
+
+  /** Flattened JSON-LD: one node object per subject, one JSON line per
+    * node (concatenation of parts = a JSON-LD array body; the standard
+    * "flattened" form rdflib's json-ld serializer also produces, minus
+    * pretty-printing). Narrow except the subject repartition.
+    */
+  def writeJsonLd(ts: Dataset[TripleRow], outDir: String, partitions: Int = 0): Unit = {
+    import ts.sparkSession.implicits._
+    import graft.json._
+    val base = ts.select("subj", "pred", "obj").distinct()
+    val parted = if (partitions > 0) base.repartition(partitions, col("subj"))
+                 else base.repartition(col("subj"))
+    parted.sortWithinPartitions("subj", "pred", "obj")
+      .as[(String, String, String)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var cur: String = null
+        var preds = scala.collection.mutable.LinkedHashMap.empty[String, Vector[JValue]]
+        def flush(): Unit = if (cur != null) {
+          val node = JObj(Vector("@id" -> (JStr(cur.substring(1, cur.length - 1)): JValue)) ++
+            preds.toVector.map { case (p, vs) =>
+              val key = if (p == Term.RdfType) "@type" else p.substring(1, p.length - 1)
+              val value: JValue =
+                if (key == "@type") JArr(vs.collect { case o: JObj => o("@id") })
+                else JArr(vs)
+              key -> value
+            })
+          out += node.render
+          preds = scala.collection.mutable.LinkedHashMap.empty[String, Vector[JValue]]
+        }
+        it.foreach { case (s0, p, o) =>
+          if (s0 != cur) { flush(); cur = s0 }
+          preds(p) = preds.getOrElse(p, Vector.empty) :+ jsonLdValue(o)
+        }
+        flush()
+        out.iterator
+      }
+      .write.mode(SaveMode.Overwrite).text(outDir)
+  }
+
+  /** N-Quads with the doc_id as the graph label — per-document lineage
+    * directly in the serialization. Narrow, no shuffle.
+    */
+  def writeNQuads(ts: Dataset[TripleRow], outDir: String): Unit = {
+    import ts.sparkSession.implicits._
+    ts.select(concat_ws(" ", col("subj"), col("pred"), col("obj"),
+        concat(lit("<urn:graft:doc:"), col("doc_id"), lit(">")), lit(".")))
+      .write.mode(SaveMode.Overwrite).text(outDir)
+  }
+
   /** Unsorted N-Triples (narrow, no shuffle). */
   def writeNTriples(ts: Dataset[TripleRow], outDir: String): Unit = {
     import ts.sparkSession.implicits._

@@ -40,6 +40,26 @@ object Term {
 
   def lit(s: String): String = "\"" + escape(s) + "\""
 
+  def unescape(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        i += 1
+        s.charAt(i) match {
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case 't' => sb.append('\t')
+          case other => sb.append(other)
+        }
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
   def typed(s: String, dtIri: String): String = lit(s) + "^^<" + dtIri + ">"
 
   def integer(v: Long): String = typed(v.toString, XsdNs + "integer")

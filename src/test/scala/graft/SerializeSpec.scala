@@ -13,6 +13,45 @@ class SerializeSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("json-ld sink round-trips to the same canonical triples") {
+    import spark.implicits._
+    val dict = Pipeline.broadcastDict(spark)
+    val docs = spark.createDataset(Seq(Fixtures.doc("example5.csv")))
+    val ts = Pipeline.triples(docs, dict, _ => "latin-1")
+    val dir = java.nio.file.Files.createTempDirectory("jsonld").toString + "/g"
+    Serialize.writeJsonLd(ts, dir, partitions = 2)
+    val back = scala.collection.mutable.ArrayBuffer.empty[graft.rdf.Triple]
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).filter(_.endsWith(".txt")).foreach { p =>
+      scala.io.Source.fromFile(p, "UTF-8").getLines().foreach { line =>
+        val node = graft.json.Json.parse(line).asInstanceOf[graft.json.JObj]
+        val subj = "<" + node("@id").asInstanceOf[graft.json.JStr].s + ">"
+        node.fields.filter(_._1 != "@id").foreach {
+          case ("@type", graft.json.JArr(ts0)) =>
+            ts0.foreach(t => back += graft.rdf.Triple(subj, graft.rdf.Term.RdfType,
+              "<" + t.asInstanceOf[graft.json.JStr].s + ">"))
+          case (pred, graft.json.JArr(vs)) =>
+            vs.foreach { v =>
+              val o = v.asInstanceOf[graft.json.JObj]
+              val term = (o.get("@id"), o.get("@value"), o.get("@type")) match {
+                case (Some(graft.json.JStr(id)), _, _) => "<" + id + ">"
+                case (_, Some(graft.json.JStr(lex)), Some(graft.json.JStr(dt))) =>
+                  graft.rdf.Term.typed(lex, dt)
+                case (_, Some(graft.json.JStr(lex)), _) => graft.rdf.Term.lit(lex)
+                case _ => fail(s"bad value $v")
+              }
+              back += graft.rdf.Triple(subj, "<" + pred + ">", term)
+            }
+          case other => fail(s"bad field $other")
+        }
+      }
+    }
+    val orig = ts.collect().map(t => graft.rdf.Triple(t.subj, t.pred, t.obj)).toSeq
+    val pr = Canon.compare(back.toSeq, orig)
+    assert(pr.precision == 1.0 && pr.recall == 1.0,
+      s"p=${pr.precision} r=${pr.recall} missing=${pr.missing.take(3)} extra=${pr.extra.take(3)}")
+  }
+
   test("turtle sink round-trips through the turtle reader") {
     import spark.implicits._
     val dict = Pipeline.broadcastDict(spark)
