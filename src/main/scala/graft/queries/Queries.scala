@@ -339,14 +339,15 @@ object Queries {
       |    'N/mm2', 'MPa'), 'Nm', 'N.m'), 'sec', 's') AS norm
       |FROM toks""".stripMargin
 
-  /** Q13 — entity-linking broadcast join against the QUDT dictionary (J1).
-    * No SQL oracle (the dictionary is TTL-derived) -> rows-only check.
+  /** Q13 — entity-linking broadcast join against the QUDT dictionary
+    * (J1). The oracle inlines the winner-per-key dictionary as VALUES so
+    * DuckDB checks the join itself (the dictionary derivation from TTL
+    * is pinned separately by OracleSpec against the reference).
     */
   def q13UnitLink(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dictRows = graft.link.UnitDict.parseTtl(graft.link.UnitDict.DefaultTtlPath)
-      .map { case (k, kind, ord, iriStr, tpe) => (k, kind, ord, iriStr, tpe) }
-    val dict = dictRows.toDF("key", "key_kind", "parse_order", "unit_iri", "unit_type")
+    val dict = graft.link.UnitDict.parseTtl(graft.link.UnitDict.DefaultTtlPath)
+      .toDF("key", "key_kind", "parse_order", "unit_iri", "unit_type")
     // deterministic winner per key: min (key_kind, parse_order)
     val winner = dict.groupBy("key")
       .agg(min(struct(col("key_kind"), col("parse_order"), col("unit_iri"), col("unit_type"))).as("w"))
@@ -354,6 +355,19 @@ object Queries {
     val toks = q12UnitNormalize(s, dir).select(col("p_partkey"), col("pos"), col("norm"))
     toks.join(broadcast(winner), toks("norm") === winner("key"), "inner")
       .select(col("p_partkey"), col("pos"), col("norm"), col("unit_iri"), col("unit_type"))
+  }
+
+  lazy val q13Sql: String = {
+    def esc(x: String) = x.replace("'", "''")
+    val winners = graft.link.UnitDict.fromTtl(graft.link.UnitDict.DefaultTtlPath)
+      .entries.toSeq.sortBy(_._1)
+      .map { case (k, h) => s"('${esc(k)}','${esc(h.iri)}','${esc(h.rdfType)}')" }
+      .mkString(",\n    ")
+    s"""WITH dict(key, unit_iri, unit_type) AS (VALUES
+       |    $winners),
+       |toks AS ($q12Sql)
+       |SELECT p_partkey, pos, norm, unit_iri, unit_type
+       |FROM toks JOIN dict ON norm = key""".stripMargin
   }
 
   /** Q14 — exact deduplication: content-hash groupBy (hash-groupBy dedup). */
@@ -701,7 +715,7 @@ object Queries {
     ("q10_sep_vote", q10SepVote _, Some(q10Sql)),
     ("q11_typeof", q11Typeof _, Some(q11Sql)),
     ("q12_unit_normalize", q12UnitNormalize _, Some(q12Sql)),
-    ("q13_unit_link", q13UnitLink _, None),
+    ("q13_unit_link", q13UnitLink _, Some(q13Sql)),
     ("q14_dedup_exact", q14DedupExact _, Some(q14Sql)),
     ("q15_minhash_lsh", q15MinhashLsh _, Some(q15Sql)),
     ("q16_minhash_pairs", q16MinhashPairs _, Some(q16Sql)),
