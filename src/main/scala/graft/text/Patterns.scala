@@ -20,7 +20,32 @@ object Patterns {
     }
   }
 
-  /** Python re.split semantics (trailing empties kept). */
-  def split(s: String, regex: String): Array[String] =
-    get(regex).split(s, -1)
+  /** Python re.split semantics (trailing empties kept). Literal
+    * single-char separators (incl. the escaped "\\t" / "\\|" forms)
+    * bypass the regex engine entirely.
+    */
+  def split(s: String, regex: String): Array[String] = {
+    val ch: Int = regex match {
+      case ";" => ';'
+      case "," => ','
+      case "\\t" => '\t'
+      case "\\|" => '|'
+      case _ => -1
+    }
+    if (ch < 0) return get(regex).split(s, -1)
+    val c = ch.toChar
+    var n = 0
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == c) n += 1; i += 1 }
+    val out = new Array[String](n + 1)
+    var start = 0
+    var k = 0
+    i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == c) { out(k) = s.substring(start, i); k += 1; start = i + 1 }
+      i += 1
+    }
+    out(k) = s.substring(start)
+    out
+  }
 }
