@@ -41,7 +41,7 @@ object Dedup {
     // (k parallel min-aggregates), instead of k inlined recomputations
     val sh = df.select(col(idCol), explode(shingles(textCol, shingleN)).as("sh"))
     val aggs = (0 until k).map(j =>
-      min(md5(concat(lit(j + ":"), col("sh")))).as(s"sig$j"))
+      min(md5(concat(lit(s"$j:"), col("sh")))).as(s"sig$j"))
     sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -404,7 +404,7 @@ object Queries {
     val sh = s.read.parquet(p(dir, "documents"))
       .select(col("doc_id"), explode(sparkShingles(3)).as("sh"))
     val aggs = (0 until MinhashK).map(j =>
-      min(md5(concat(lit(j + ":"), col("sh")))).as(s"sig$j"))
+      min(md5(concat(lit(s"$j:"), col("sh")))).as(s"sig$j"))
     val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     sigs.select(col("doc_id"),
       md5(concat_ws("|", (0 until 4).map(j => col(s"sig$j")): _*)).as("band1"),
