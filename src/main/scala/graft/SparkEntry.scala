@@ -25,7 +25,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.registry.map { case (name, fn, _) => name -> fn }.toMap
 
-  /** DuckDB-runnable oracle SQL per query (omitted => rows-only check). */
+  /** DuckDB-runnable oracle SQL per query (omitted => rows-only check).
+    * Oracle construction must never take down the whole dump: a query
+    * whose SQL cannot be built (e.g. the q13 dictionary TTL is absent in
+    * some environment) degrades to a rows-only check.
+    */
   def oracleSql: Map[String, String] =
     Queries.registry.collect { case (name, _, Some(sql)) => name -> sql }.toMap
 }

@@ -357,6 +357,8 @@ object Queries {
       .select(col("p_partkey"), col("pos"), col("norm"), col("unit_iri"), col("unit_type"))
   }
 
+  lazy val q13SqlOpt: Option[String] = scala.util.Try(q13Sql).toOption
+
   lazy val q13Sql: String = {
     def esc(x: String) = x.replace("'", "''")
     val winners = graft.link.UnitDict.fromTtl(graft.link.UnitDict.DefaultTtlPath)
@@ -702,7 +704,7 @@ object Queries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  val registry: Vector[(String, Q, Option[String])] = Vector(
+  lazy val registry: Vector[(String, Q, Option[String])] = Vector(
     ("q01_pricing_summary", q01PricingSummary _, Some(q01Sql)),
     ("q02_filter_project", q02FilterProject _, Some(q02Sql)),
     ("q03_join_revenue", q03JoinRevenue _, Some(q03Sql)),
@@ -715,7 +717,7 @@ object Queries {
     ("q10_sep_vote", q10SepVote _, Some(q10Sql)),
     ("q11_typeof", q11Typeof _, Some(q11Sql)),
     ("q12_unit_normalize", q12UnitNormalize _, Some(q12Sql)),
-    ("q13_unit_link", q13UnitLink _, Some(q13Sql)),
+    ("q13_unit_link", q13UnitLink _, q13SqlOpt),
     ("q14_dedup_exact", q14DedupExact _, Some(q14Sql)),
     ("q15_minhash_lsh", q15MinhashLsh _, Some(q15Sql)),
     ("q16_minhash_pairs", q16MinhashPairs _, Some(q16Sql)),
