@@ -17,6 +17,8 @@ object SegmenterExpr {
 
   /** struct(sep, cnt) vote for one line expression (annotator.py:254-277
     * semantics incl. the German-comma fallback). */
+  def voteSqlPublic(line: String): String = voteSql(line)
+
   private def voteSql(line: String): String = {
     val c = Seq(
       s"regexp_count($line, ';')",
