@@ -37,14 +37,30 @@ object Pipeline {
                     ttlPath: String = UnitDict.DefaultTtlPath): Broadcast[UnitDict] =
     spark.sparkContext.broadcast(UnitDict.fromTtl(ttlPath))
 
+  /** Only the text lines reach the JVM objects: when docs come from a
+    * file scan this prunes the nested schema to spans.kind/text/offset
+    * (media_ref payloads never leave parquet). Narrow.
+    */
+  private def docLines(docs: Dataset[Doc]): Dataset[(String, Seq[String])] = {
+    import docs.sparkSession.implicits._
+    // direct field extraction (GetArrayStructFields) is the pattern the
+    // nested-schema-pruning rule supports; HOF lambdas over the full
+    // struct would force a whole-spans read
+    docs.select(col("doc_id"), expr(
+      """transform(array_sort(
+        |  filter(arrays_zip(spans.kind, spans.text, spans.offset),
+        |         s -> s.kind = 'text'),
+        |  (a, b) -> a.offset - b.offset), s -> s.text)""".stripMargin).as("lines"))
+      .as[(String, Seq[String])]
+  }
+
   /** Stage B-D: metadata JSON-LD per doc. Narrow (mapPartitions via .map). */
   def metadata(docs: Dataset[Doc], dict: Broadcast[UnitDict],
                encodingOf: String => String = _ => "utf-8"): Dataset[MetadataRow] = {
     import docs.sparkSession.implicits._
-    docs.map { d =>
-      val lines = SpanCodec.lines(d.spans)
-      val meta = Annotator.annotate(d.doc_id, lines, encodingOf(d.doc_id), dict.value)
-      MetadataRow(d.doc_id, JsonLd.render(meta).render)
+    docLines(docs).map { case (id, ls) =>
+      val meta = Annotator.annotate(id, ls.toIndexedSeq, encodingOf(id), dict.value)
+      MetadataRow(id, JsonLd.render(meta).render)
     }
   }
 
@@ -58,12 +74,12 @@ object Pipeline {
               failFast: Boolean = true,
               errorCounter: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[TripleRow] = {
     import docs.sparkSession.implicits._
-    docs.flatMap { d =>
+    docLines(docs).flatMap { case (id, ls) =>
       try {
-        val lines = SpanCodec.lines(d.spans)
-        val meta = Annotator.annotate(d.doc_id, lines, encodingOf(d.doc_id), dict.value)
+        val lines = ls.toIndexedSeq
+        val meta = Annotator.annotate(id, lines, encodingOf(id), dict.value)
         TripleExpand.expandDoc(meta, lines, includeProv)
-          .map(t => TripleRow(d.doc_id, t.subj, t.pred, t.obj))
+          .map(t => TripleRow(id, t.subj, t.pred, t.obj))
       } catch {
         case e: Throwable if !failFast =>
           errorCounter.foreach(_.add(1))

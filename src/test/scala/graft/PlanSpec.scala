@@ -51,6 +51,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("pipeline prunes media_ref out of the parquet scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    spark.createDataset(graft.ingest.Fixtures.Names.map(graft.ingest.Fixtures.doc))
+      .write.mode("overwrite").parquet(dir)
+    val dict = Pipeline.broadcastDict(spark)
+    val p = Pipeline.triples(spark.read.parquet(dir).as[graft.ingest.Doc], dict)
+      .queryExecution.executedPlan.toString
+    val scan = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scan.contains("media_ref"), scan)
+    assert(scan.contains("text"), scan)
+  }
+
   test("q13: unit dictionary join is broadcast") {
     val p = plan("q13_unit_link")
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
