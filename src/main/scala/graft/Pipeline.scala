@@ -34,8 +34,9 @@ final case class MetadataRow(doc_id: String, jsonld: String)
 object Pipeline {
 
   def broadcastDict(spark: SparkSession,
-                    ttlPath: String = UnitDict.DefaultTtlPath): Broadcast[UnitDict] =
-    spark.sparkContext.broadcast(UnitDict.fromTtl(ttlPath))
+                    ttlPath: String = ""): Broadcast[UnitDict] =
+    spark.sparkContext.broadcast(
+      if (ttlPath.isEmpty) UnitDict.default else UnitDict.fromTtl(ttlPath))
 
   /** Only the text lines reach the JVM objects: when docs come from a
     * file scan this prunes the nested schema to spans.kind/text/offset

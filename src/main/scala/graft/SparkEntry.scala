@@ -30,6 +30,14 @@ object SparkEntry {
     * whose SQL cannot be built (e.g. the q13 dictionary TTL is absent in
     * some environment) degrades to a rows-only check.
     */
-  def oracleSql: Map[String, String] =
-    Queries.registry.collect { case (name, _, Some(sql)) => name -> sql }.toMap
+  def oracleSql: Map[String, String] = {
+    val static =
+      Queries.registry.collect { case (name, _, Some(sql)) => name -> sql }.toMap
+    val dynamic = for {
+      (name, build) <- Queries.dynamicOracles
+      dir <- Queries.oracleSfDir.toSeq
+      sql <- scala.util.Try(build(SparkSession.active, dir)).toOption.toSeq
+    } yield name -> sql
+    static ++ dynamic
+  }
 }

@@ -56,18 +56,38 @@ object UnitDict {
   private val SymbolR = raw"""^\s*qudt:symbol "(.*)" ;\s*$$""".r
   private val UcumR = raw"""^\s*qudt:ucumCode "(.*)"\^\^qudt:UCUMcs ;\s*$$""".r
 
-  /** Parse the TTL. Returns raw rows so callers can also build a
+  /** Parse the TTL from a file path. */
+  def parseTtl(path: String): Seq[(String, Int, Long, String, String)] = {
+    val src = Source.fromFile(path, "UTF-8")
+    try parseLines(src.getLines()) finally src.close()
+  }
+
+  /** Vendored 3-predicate extract (same line syntax, same order) so the
+    * jar is deployable without the reference tree; falls back to
+    * [[DefaultTtlPath]] for environments that want the full ontology.
+    */
+  val ResourceName = "/graft/qudt_unit_extract.ttl"
+
+  /** Rows from the classpath extract, or the reference TTL as fallback. */
+  def defaultRows: Seq[(String, Int, Long, String, String)] = {
+    val in = getClass.getResourceAsStream(ResourceName)
+    if (in != null) {
+      val src = Source.fromInputStream(in, "UTF-8")
+      try parseLines(src.getLines()) finally src.close()
+    } else parseTtl(DefaultTtlPath)
+  }
+
+  /** Parse TTL lines. Returns raw rows so callers can also build a
     * broadcast-join DataFrame: (key, keyKind 0=symbol/1=ucum, parseOrder,
     * unit iri, first rdf type).
     */
-  def parseTtl(path: String): Seq[(String, Int, Long, String, String)] = {
+  def parseLines(lines: Iterator[String]): Seq[(String, Int, Long, String, String)] = {
     val firstType = mutable.LinkedHashMap.empty[String, String]
     val rows = mutable.ArrayBuffer.empty[(String, Int, Long, String)]
     var cur: String = null
     var order = 0L
-    val src = Source.fromFile(path, "UTF-8")
-    try {
-      for (line <- src.getLines()) line match {
+    locally {
+      for (line <- lines) line match {
         case SubjectR(name) => cur = UnitNs + name
         case TypeR(t) if cur != null =>
           if (!firstType.contains(cur)) firstType(cur) = QudtNs + t
@@ -77,16 +97,16 @@ object UnitDict {
           rows += ((v, 1, order, cur)); order += 1
         case _ =>
       }
-    } finally src.close()
+    }
     rows.map { case (k, kind, ord, iri) =>
       (k, kind, ord, iri, firstType.getOrElse(iri, QudtNs + "Unit"))
     }.toSeq
   }
 
   /** Winner per key: min (keyKind, parseOrder). */
-  def fromTtl(path: String): UnitDict = {
+  def fromRows(parsed: Seq[(String, Int, Long, String, String)]): UnitDict = {
     val best = mutable.HashMap.empty[String, (Int, Long, UnitHit)]
-    parseTtl(path).foreach { case (k, kind, ord, iri, tpe) =>
+    parsed.foreach { case (k, kind, ord, iri, tpe) =>
       val cand = (kind, ord, UnitHit(iri, tpe))
       best.get(k) match {
         case Some((bk, bo, _)) if bk < kind || (bk == kind && bo < ord) => ()
@@ -96,7 +116,9 @@ object UnitDict {
     new UnitDict(best.view.mapValues(_._3).toMap)
   }
 
+  def fromTtl(path: String): UnitDict = fromRows(parseTtl(path))
+
   val DefaultTtlPath = "/root/reference/ontologies/qudt_unit.ttl"
 
-  @transient lazy val default: UnitDict = fromTtl(DefaultTtlPath)
+  @transient lazy val default: UnitDict = fromRows(defaultRows)
 }

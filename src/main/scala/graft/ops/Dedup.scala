@@ -46,37 +46,62 @@ object Dedup {
   }
 
   /** LSH banding: hash bands of the signature into bucket keys, then
-    * bucket-join for candidate pairs. bands*rowsPerBand must == k.
+    * generate candidate pairs *within* each bucket. bands*rowsPerBand
+    * must == k.
+    *
+    * Scale guards (both essential at 100 TB):
+    *  - the signature subtree is computed once (grouped pair expansion,
+    *    no bucket self-join that would evaluate it per join side);
+    *  - `maxBucket` caps the ids considered per bucket (deterministic:
+    *    first maxBucket in id order via a per-bucket row_number), so a
+    *    degenerate corpus of near-identical documents cannot turn one
+    *    bucket into a quadratic, single-reducer pair explosion. The
+    *    row_number window streams + spills (never materializes the
+    *    uncapped bucket as an array), and the following groupBy reuses
+    *    the window's hash partitioning on `bucket` — no extra shuffle.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+                        k: Int = 8, bands: Int = 2, shingleN: Int = 3,
+                        maxBucket: Int = 1024): DataFrame = {
     val rows = k / bands
     val sig = minhashSignatures(df, idCol, textCol, k, shingleN)
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|", (b * rows until (b + 1) * rows).map(j => col(s"sig$j")): _*))
     }
     val buckets = sig.select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bucket"))
-    buckets.as("a").join(buckets.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("id")
+    buckets
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= maxBucket)
+      .groupBy("bucket").agg(array_sort(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> named_struct('id1', x, 'id2', y))))""".stripMargin)).as("pr"))
+      .select(col("pr.id1").as("id1"), col("pr.id2").as("id2"))
       .distinct()
   }
 
-  /** SimHash fingerprint over distinct tokens (width bits, <= 64). */
+  /** SimHash fingerprint over distinct tokens (width bits, <= 128).
+    * Single-pass shape: one row per distinct token (no x-width bit
+    * explode), width per-bit +/-1 votes as map-side-combined sums ->
+    * ONE shuffle on the id key.
+    */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               width: Int = 64): DataFrame = {
+    require(width >= 1 && width <= 128, "md5 supplies 128 bits")
     val toks = df.select(col(idCol),
         explode(expr(s"array_distinct(split($textCol, '$TokenSplitSql'))")).as("tok"))
       .withColumn("h", md5(col("tok")))
-    toks.select(col(idCol), col("h"),
-        explode(sequence(lit(0), lit(width - 1))).as("bit"))
-      .withColumn("v", expr(
-        "case when ((cast(conv(substring(h, (bit div 4) + 1, 1), 16, 10) as int) div cast(pow(2, 3 - bit % 4) as int)) % 2) = 1 then 1 else -1 end"))
-      .groupBy(col(idCol), col("bit")).agg(sum("v").as("sv"))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("bit"),
-        when(col("sv") > 0, "1").otherwise("0").as("b")))).as("bs"))
-      .select(col(idCol), expr("concat_ws('', transform(bs, x -> x.b))").as("simhash"))
+    def vote(bit: Int): Column = {
+      val nib = bit / 4; val shift = 1 << (3 - bit % 4)
+      expr(s"case when ((cast(conv(substring(h, ${nib + 1}, 1), 16, 10) as int) div $shift) % 2) = 1 then 1 else -1 end")
+    }
+    val sums = (0 until width).map(b => sum(vote(b)).as(s"sv$b"))
+    toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol), concat(
+        (0 until width).map(b => when(col(s"sv$b") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
   /** n-gram Jaccard over a banded candidate set (same group, bounded id

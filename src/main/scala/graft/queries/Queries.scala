@@ -141,7 +141,7 @@ object Queries {
     val l = s.read.parquet(p(dir, "lineitem"))
     val w = Window.partitionBy("l_suppkey")
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    l.withColumn("rk", row_number().over(w))
+    l.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select(col("l_suppkey"), col("rk"), col("l_orderkey"), col("l_linenumber"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("price_c"))
@@ -178,8 +178,10 @@ object Queries {
       |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), sgm AS (
-      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS UNBOUNDED PRECEDING) AS seg_id FROM v)
+      |  -- CAST: DuckDB's uncast sum() is HUGEINT; Spark's is BIGINT, and
+      |  -- the driver hash is type-sensitive (VERDICT r01 item 1).
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_id FROM v)
       |SELECT user_id, seg_id, min(event_type) AS event_type,
       |  count(*) AS n_events, min(epoch_us(ts)) AS first_us
       |FROM sgm GROUP BY 1, 2""".stripMargin
@@ -206,8 +208,8 @@ object Queries {
       |         ELSE 0 END AS gap
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), sess AS (
-      |  SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS UNBOUNDED PRECEDING) AS session_id FROM v)
+      |  SELECT *, CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM v)
       |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
       |FROM sess GROUP BY 1""".stripMargin
 
@@ -223,7 +225,7 @@ object Queries {
 
   val q09Sql: String =
     """SELECT event_type,
-      |  sum(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+      |  CAST(sum(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
       |  count(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
@@ -346,7 +348,7 @@ object Queries {
     */
   def q13UnitLink(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dict = graft.link.UnitDict.parseTtl(graft.link.UnitDict.DefaultTtlPath)
+    val dict = graft.link.UnitDict.defaultRows
       .toDF("key", "key_kind", "parse_order", "unit_iri", "unit_type")
     // deterministic winner per key: min (key_kind, parse_order)
     val winner = dict.groupBy("key")
@@ -361,7 +363,7 @@ object Queries {
 
   lazy val q13Sql: String = {
     def esc(x: String) = x.replace("'", "''")
-    val winners = graft.link.UnitDict.fromTtl(graft.link.UnitDict.DefaultTtlPath)
+    val winners = graft.link.UnitDict.default
       .entries.toSeq.sortBy(_._1)
       .map { case (k, h) => s"('${esc(k)}','${esc(h.iri)}','${esc(h.rdfType)}')" }
       .mkString(",\n    ")
@@ -429,13 +431,26 @@ object Queries {
        |FROM sigs""".stripMargin
   }
 
-  /** Q16 — LSH candidate pairs: bucket-join on either band. */
+  /** Q16 — LSH candidate pairs. Pairs are generated *within* each bucket
+    * group (groupBy bucket -> sorted id set -> i<j pair expansion), not
+    * via a bucket self-join: the signature subtree (shingling + 8 md5
+    * min-aggregates) is computed ONCE instead of once per join side, and
+    * there is no join at all — one shuffle on the bucket key plus the
+    * final pair distinct. Same result set as the join formulation (the
+    * oracle keeps the join form). The capped, skew-safe production
+    * variant is [[graft.ops.Dedup.lshCandidatePairs]].
+    */
   def q16MinhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = q15MinhashLsh(s, dir)
-    val bands = sig.select(col("doc_id"), explode(array(col("band1"), col("band2"))).as("b"))
-    val a = bands.as("a"); val b = bands.as("b")
-    a.join(b, col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    val buckets = sig.select(col("doc_id"),
+      explode(array(col("band1"), col("band2"))).as("b"))
+    buckets.groupBy("b").agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> named_struct('id1', x, 'id2', y))))""".stripMargin)).as("pr"))
+      .select(col("pr.id1").as("id1"), col("pr.id2").as("id2"))
       .distinct()
   }
 
@@ -451,21 +466,23 @@ object Queries {
     * md5 hex digits; fingerprint reassembled as a bit string.
     */
   def q17Simhash(s: SparkSession, dir: String): DataFrame = {
+    // Single-pass shape: one row per distinct token (not x16 via an
+    // explode over bits), 16 per-bit +/-1 votes as map-side-combined sum
+    // aggregates -> ONE shuffle, 1/16th the shuffled rows (r01 used two
+    // aggregations over a 16x-exploded stream).
     val toks = s.read.parquet(p(dir, "documents"))
       .select(col("doc_id"), explode(expr(
         s"array_distinct(split(text, '$TokenSplitSql'))")).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val bits = toks
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("bit"))
-      .withColumn("v", expr(
-        """case when ((cast(conv(substring(h, (bit div 4) + 1, 1), 16, 10) as int)
-          | div cast(pow(2, 3 - bit % 4) as int)) % 2) = 1 then 1 else -1 end""".stripMargin))
-    bits.groupBy("doc_id", "bit").agg(sum("v").as("sv"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("bit"),
-        when(col("sv") > 0, "1").otherwise("0").as("b")))).as("bs"))
-      .select(col("doc_id"),
-        expr("concat_ws('', transform(bs, x -> x.b))").as("simhash"))
+    def vote(bit: Int): Column = {
+      val nib = bit / 4; val shift = 1 << (3 - bit % 4)
+      expr(s"""case when ((cast(conv(substring(h, ${nib + 1}, 1), 16, 10) as int)
+        | div $shift) % 2) = 1 then 1 else -1 end""".stripMargin)
+    }
+    val sums = (0 until 16).map(b => sum(vote(b)).as(s"sv$b"))
+    toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), concat(
+        (0 until 16).map(b => when(col(s"sv$b") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
   val q17Sql: String =
@@ -531,7 +548,7 @@ object Queries {
       .select(col("vec_id"), col("cos_u"))
       .orderBy(col("cos_u").desc, col("vec_id")).limit(10)
       .withColumn("rk", row_number().over(
-        Window.orderBy(col("cos_u").desc, col("vec_id"))))
+        Window.orderBy(col("cos_u").desc, col("vec_id"))).cast("long"))
   }
 
   val q19Sql: String =
@@ -585,9 +602,14 @@ object Queries {
     */
   def q21Langid(s: SparkSession, dir: String): DataFrame = {
     val d = s.read.parquet(p(dir, "documents"))
+    // Bind the token array once in its own projection: CollapseProject
+    // keeps a non-cheap alias referenced >1x un-inlined, so the regex
+    // split runs once per row instead of once per language (plan-audited
+    // by PlanSpec).
     def hits(ws: Seq[String]) = expr(
-      s"size(filter(split(lower(text), '$TokenSplitSql'), w -> w IN ${sqlList(ws)}))")
-    d.select(col("doc_id"), col("lang").as("true_lang"),
+      s"size(filter(toks, w -> w IN ${sqlList(ws)}))")
+    d.withColumn("toks", split(lower(col("text")), TokenSplitRe))
+      .select(col("doc_id"), col("lang").as("true_lang"),
         hits(StopEn).as("h_en"), hits(StopDe).as("h_de"),
         hits(StopFr).as("h_fr"), hits(StopEs).as("h_es"))
       .withColumn("pred_lang",
@@ -623,13 +645,15 @@ object Queries {
     */
   def q22Quality(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(p(dir, "documents"))
-      .withColumn("n_tokens", size(split(col("text"), TokenSplitRe)).cast("long"))
+      // token array bound once (multi-ref alias survives CollapseProject)
+      .withColumn("toks", split(col("text"), TokenSplitRe))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_punct", regexp_count(col("text"), lit(PunctRe)).cast("long"))
       .withColumn("n_stop", size(expr(
-        s"filter(split(lower(text), '$TokenSplitSql'), w -> w IN ${sqlList(StopEn)})")).cast("long"))
+        s"filter(toks, w -> lower(w) IN ${sqlList(StopEn)})")).cast("long"))
       .withColumn("stop_ratio_u", expr("cast(round(1000000.0 * n_stop / n_tokens) as bigint)"))
       .withColumn("avg_wlen_u", expr(
-        s"cast(round(1000000.0 * aggregate(split(text, '$TokenSplitSql'), 0L, (a, w) -> a + length(w)) / n_tokens) as bigint)"))
+        "cast(round(1000000.0 * aggregate(toks, 0L, (a, w) -> a + length(w)) / n_tokens) as bigint)"))
       .select("doc_id", "n_chars", "n_tokens", "n_punct", "n_stop",
         "stop_ratio_u", "avg_wlen_u")
 
@@ -693,12 +717,33 @@ object Queries {
       |FROM documents""".stripMargin
 
   /** Q26 — make_id via the custom Catalyst expression PyTitleCase
-    * (SURVEY §7.3); no SQL oracle (Python title() has no DuckDB analog).
+    * (SURVEY §7.3).
     */
   def q26MakeId(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(p(dir, "part"))
       .select(col("p_partkey"), col("p_name"),
         graft.expr.Exprs.makeId(col("p_name")).as("make_id"))
+
+  /** Q26 oracle: Python title() has no DuckDB analog, so the expected
+    * (p_name -> make_id) mapping is inlined as a VALUES dict computed by
+    * the scalar [[graft.text.MakeId]] (pinned against the reference by
+    * OracleSpec); DuckDB then exercises the join + compares the
+    * distributed PyTitleCase expression path end-to-end — the q13
+    * pattern. Dir-dependent (distinct p_names of the verified sf), hence
+    * a builder, not a constant.
+    */
+  def q26Sql(s: SparkSession, dir: String): String = {
+    def esc(x: String) = x.replace("'", "''")
+    val names = s.read.parquet(p(dir, "part"))
+      .select("p_name").distinct().collect().map(_.getString(0)).sorted
+    val values = names
+      .map(n => s"('${esc(n)}','${esc(graft.text.MakeId(n))}')")
+      .mkString(",\n    ")
+    s"""WITH dict(p_name, make_id) AS (VALUES
+       |    $values)
+       |SELECT p.p_partkey, p.p_name, d.make_id
+       |FROM part p JOIN dict d ON p.p_name = d.p_name""".stripMargin
+  }
 
   // =============================================================== registry
 
@@ -731,4 +776,17 @@ object Queries {
     ("q24_fingerprint", q24Fingerprint _, Some(q24Sql)),
     ("q25_multimodal_stub", q25MultimodalStub _, Some(q25Sql)),
     ("q26_make_id", q26MakeId _, None))
+
+  /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
+    * dicts derived from the data). Evaluated by Verify with the live
+    * session + sfDir; a build failure degrades that query to the
+    * driver's rows-only check rather than taking down the dump.
+    */
+  val dynamicOracles: Map[String, (SparkSession, String) => String] =
+    Map("q26_make_id" -> (q26Sql _))
+
+  /** Set by Verify (and tests) so the no-arg SparkEntry.oracleSql
+    * contract can build the dir-dependent oracles.
+    */
+  @volatile var oracleSfDir: Option[String] = None
 }

@@ -42,4 +42,15 @@ class EdgeSpec extends AnyFunSuite {
       assert(TripleExpand.expandDoc(meta2, lines) == ts)
     }
   }
+
+  test("vendored QUDT extract is parse-identical to the full reference TTL") {
+    val in = getClass.getResourceAsStream(UnitDict.ResourceName)
+    assert(in != null, "vendored qudt_unit_extract.ttl missing from classpath")
+    in.close()
+    if (new java.io.File(UnitDict.DefaultTtlPath).exists()) {
+      val full = UnitDict.parseTtl(UnitDict.DefaultTtlPath)
+      assert(UnitDict.defaultRows == full)
+    }
+    assert(dict.size > 2900)
+  }
 }

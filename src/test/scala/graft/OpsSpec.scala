@@ -89,6 +89,22 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.count() == Dedup.lshCandidatePairs(d, "doc_id", "text").count())
   }
 
+  test("lsh bucket cap bounds a degenerate near-identical corpus") {
+    import spark.implicits._
+    // 1,000 identical documents: uncapped LSH would emit ~500k pairs
+    // from ONE bucket on one reducer; the cap keeps it quadratic only
+    // in maxBucket.
+    val d = (0 until 1000)
+      .map(i => (f"doc$i%04d", "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.lshCandidatePairs(d, "doc_id", "text", maxBucket = 10)
+    assert(capped.count() == 10L * 9 / 2)
+    // deterministic winner set: first maxBucket ids in order
+    val ids = capped.select("id1").union(capped.select("id2"))
+      .distinct().as[String].collect().sorted
+    assert(ids.sameElements((0 until 10).map(i => f"doc$i%04d")))
+  }
+
   test("binaryFile ingest reproduces the fixture docs exactly") {
     val docs = graft.ingest.Ingest.fromCsvFiles(spark,
       "/root/reference/example5.csv", charset = "latin-1").collect()

@@ -68,4 +68,37 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q13_unit_link")
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
+
+  private def optimized(name: String): String =
+    graft.queries.Queries.registry.find(_._1 == name).get
+      ._2(spark, dir).queryExecution.optimizedPlan.toString
+
+  test("q21/q22: token split bound once (no per-language re-split)") {
+    assert("split\\(".r.findAllIn(optimized("q21_langid")).size == 1)
+    assert("split\\(".r.findAllIn(optimized("q22_quality")).size == 1)
+  }
+
+  test("q16: no self-join; signature subtree appears once") {
+    val p = optimized("q16_minhash_pairs")
+    assert(!p.contains("Join"), p.take(1500))
+    // the 3-shingle construction (one split) exists exactly once
+    assert("split\\(".r.findAllIn(p).size == 1)
+  }
+
+  test("q17: single aggregation, no bit-explode") {
+    val p = optimized("q17_simhash")
+    assert("Aggregate".r.findAllIn(p).size == 1, p.take(1500))
+    // exactly one Generate: the token explode (the x16 bit explode is gone)
+    assert("Generate".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
+  test("ops.lshCandidatePairs: bucket cap reuses the window partitioning") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Dedup.lshCandidatePairs(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // shuffles: sig groupBy(doc_id), bucket window, final distinct — the
+    // groupBy(bucket) after the window must NOT add a fourth exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
 }

@@ -35,9 +35,18 @@ for name in sorted(os.listdir(out)):
             return v
         return sorted(tuple(nv(r[i]) for i in order) for r in rows)
     ok_cols = sorted(cols) == sorted(wcols)
+    # The driver hash is TYPE-sensitive (r01: DuckDB HUGEINT sum() vs
+    # Spark BIGINT hashed differently despite equal values) — compare
+    # result column types by name too.
+    mtypes = dict(zip(cols, map(str, con.sql(f"SELECT * FROM '{d}/*.parquet'").types)))
+    wtypes = dict(zip(wcols, map(str, con.sql(oracle[name]).types)))
+    type_mism = {c: (mtypes.get(c), wtypes.get(c))
+                 for c in set(mtypes) | set(wtypes) if mtypes.get(c) != wtypes.get(c)}
     a, b = norm(mine, cols), norm(want, wcols)
-    ok = ok_cols and a == b
+    ok = ok_cols and a == b and not type_mism
     status = "OK " if ok else "FAIL"
+    if type_mism:
+        print(f"   type-mismatch {name}: {type_mism}")
     print(f"{status} {name}: mine={len(mine)} oracle={len(want)} cols={'ok' if ok_cols else (cols, wcols)}")
     if not ok:
         fails += 1
