@@ -1,6 +1,6 @@
 package graft
 
-import graft.annotate.{Annotator, JsonLd}
+import graft.annotate.{Annotator, CsvwReader, JsonLd}
 import graft.ingest.{Doc, SpanCodec}
 import graft.link.UnitDict
 import graft.rdf.{Term, TripleExpand}
@@ -83,6 +83,33 @@ object Pipeline {
           .map(t => TripleRow(id, t.subj, t.pred, t.obj))
       } catch {
         case e: Throwable if !failFast =>
+          errorCounter.foreach(_.add(1))
+          Vector.empty
+      }
+    }
+  }
+
+  /** The reference's `/api/rdf` entry point, distributed: expand
+    * externally-supplied CSVW metadata documents (JSON-LD text — the
+    * engine's own, the reference's, or hand-edited) against their raw
+    * CSV text. Stages B-D are skipped; the metadata is authoritative
+    * (csvw_parser.py:166-247). Narrow — one flatMap, no shuffle.
+    *
+    * Input: (metadataJson, csvText) pairs.
+    */
+  def triplesFromMetadata(rows: Dataset[(String, String)],
+                          includeProv: Boolean = true,
+                          failFast: Boolean = true,
+                          errorCounter: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[TripleRow] = {
+    import rows.sparkSession.implicits._
+    rows.flatMap { case (metaJson, csvText) =>
+      try {
+        val meta = CsvwReader.read(metaJson)
+        val lines = SpanCodec.lines(SpanCodec.encode(meta.id, csvText).spans)
+        TripleExpand.expandDoc(meta, lines, includeProv)
+          .map(t => TripleRow(meta.id, t.subj, t.pred, t.obj))
+      } catch {
+        case _: Throwable if !failFast =>
           errorCounter.foreach(_.add(1))
           Vector.empty
       }
