@@ -89,6 +89,31 @@ object Pipeline {
     }
   }
 
+  /** Stage B-E over docs whose encoding label travels with the row
+    * (the raw-bytes + detection ingest, [[graft.ingest.Ingest
+    * .fromCsvFilesDetected]]) — at scale the label cannot come from a
+    * driver-side map. Narrow.
+    */
+  def triplesDetected(docs: Dataset[(Doc, String)],
+                      dict: Broadcast[UnitDict],
+                      includeProv: Boolean = true,
+                      failFast: Boolean = true,
+                      errorCounter: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[TripleRow] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { case (d, enc) =>
+      try {
+        val lines = SpanCodec.lines(d.spans)
+        val meta = Annotator.annotate(d.doc_id, lines, enc, dict.value)
+        TripleExpand.expandDoc(meta, lines, includeProv)
+          .map(t => TripleRow(d.doc_id, t.subj, t.pred, t.obj))
+      } catch {
+        case _: Throwable if !failFast =>
+          errorCounter.foreach(_.add(1))
+          Vector.empty
+      }
+    }
+  }
+
   /** The reference's `/api/rdf` entry point, distributed: expand
     * externally-supplied CSVW metadata documents (JSON-LD text — the
     * engine's own, the reference's, or hand-edited) against their raw

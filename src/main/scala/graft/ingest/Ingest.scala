@@ -9,11 +9,23 @@ import org.apache.spark.sql.functions._
 object Ingest {
 
   /** CSV files on disk -> Dataset[Doc] via the binaryFile source
-    * (distributed read; doc_id = file name, bytes decoded with the given
-    * charset — plug a charset-detection pass here if inputs are mixed).
+    * (distributed read; doc_id = file name). `charset = "auto"` runs the
+    * per-file [[EncodingSniff]] detection kernel (the reference's
+    * chardet path, annotator.py:361-372); a concrete charset pins it.
     */
   def fromCsvFiles(spark: SparkSession, pathGlob: String,
-                   charset: String = "UTF-8"): Dataset[Doc] = {
+                   charset: String = "auto"): Dataset[Doc] = {
+    import spark.implicits._
+    fromCsvFilesDetected(spark, pathGlob, charset).map(_._1)
+  }
+
+  /** Like [[fromCsvFiles]] but keeps the (detected or pinned) encoding
+    * label alongside each doc — the label lands in the metadata dialect
+    * (Annotator needs it), so at scale it must travel with the row, not
+    * through a driver-side map.
+    */
+  def fromCsvFilesDetected(spark: SparkSession, pathGlob: String,
+                           charset: String = "auto"): Dataset[(Doc, String)] = {
     import spark.implicits._
     val cs = charset
     spark.read.format("binaryFile").load(pathGlob)
@@ -21,8 +33,8 @@ object Ingest {
       .as[(String, Array[Byte])]
       .map { case (path, bytes) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
-        SpanCodec.encode(name, new String(bytes,
-          java.nio.charset.Charset.forName(if (cs == "latin-1") "ISO-8859-1" else cs)))
+        val enc = if (cs == "auto") EncodingSniff.detect(bytes) else cs
+        (SpanCodec.encode(name, EncodingSniff.decode(bytes, enc)), enc)
       }
   }
 

@@ -149,4 +149,119 @@ object Serialize {
     ts.select(concat_ws(" ", col("subj"), col("pred"), col("obj"), lit(".")))
       .write.mode(SaveMode.Overwrite).text(outDir)
   }
+
+  /** TriG: one named graph per document (graph IRI = urn:graft:doc:ID —
+    * the same per-doc lineage writeNQuads encodes), Turtle blocks
+    * inside. Prefix header per part file; TriG, like Turtle, permits
+    * prefix re-declaration, so concatenated parts remain one valid
+    * document. One shuffle (repartition by doc).
+    */
+  def writeTriG(ts: Dataset[TripleRow], outDir: String, partitions: Int = 0): Unit = {
+    import ts.sparkSession.implicits._
+    val base = ts.select("doc_id", "subj", "pred", "obj").distinct()
+    val parted = if (partitions > 0) base.repartition(partitions, col("doc_id"))
+                 else base.repartition(col("doc_id"))
+    parted
+      .sortWithinPartitions("doc_id", "subj", "pred", "obj")
+      .as[(String, String, String, String)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
+        var curDoc: String = null
+        var curSubj: String = null
+        var pos = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        def flushSubj(): Unit = if (curSubj != null) {
+          blocks += subjectBlock(curSubj, pos.toSeq)
+          pos = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        }
+        def flushDoc(): Unit = if (curDoc != null) {
+          flushSubj()
+          out += s"<urn:graft:doc:$curDoc> {\n" + blocks.mkString("\n") + "}\n"
+          blocks.clear()
+          curSubj = null
+        }
+        it.foreach { case (d, s, p, o) =>
+          if (d != curDoc) { flushDoc(); curDoc = d }
+          if (s != curSubj) { flushSubj(); curSubj = s }
+          pos += ((p, o))
+        }
+        flushDoc()
+        if (out.isEmpty) Iterator.empty
+        else Iterator(header + out.mkString("\n"))
+      }
+      .write.mode(SaveMode.Overwrite).text(outDir)
+  }
+
+  private def xmlText(s: String): String = s.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case c => c.toString
+  }
+  private def xmlAttr(s: String): String = xmlText(s).replace("\"", "&quot;")
+
+  /** Splits a predicate IRI at the last '#' or '/' into (namespace,
+    * NCName local part) — the same split rdflib's RDF/XML serializer
+    * performs (it likewise cannot serialize a predicate with no valid
+    * QName split).
+    */
+  def qnameSplit(iriStr: String): (String, String) = {
+    val cut = math.max(iriStr.lastIndexOf('#'), iriStr.lastIndexOf('/'))
+    require(cut > 0 && cut < iriStr.length - 1, s"predicate not QName-able: $iriStr")
+    val local = iriStr.substring(cut + 1)
+    require(local.matches("[A-Za-z_][A-Za-z0-9_.-]*"), s"invalid NCName: $local")
+    (iriStr.substring(0, cut + 1), local)
+  }
+
+  /** RDF/XML sink: subject-grouped rdf:Description blocks. Each part
+    * file is a complete standalone RDF/XML document (XML cannot be
+    * concatenated like Turtle; consumers read the directory as a set of
+    * documents of one graph — the shape rdflib produces per file). One
+    * shuffle (repartition by subject).
+    */
+  def writeRdfXml(ts: Dataset[TripleRow], outDir: String, partitions: Int = 0): Unit = {
+    import ts.sparkSession.implicits._
+    val base = ts.select("subj", "pred", "obj").distinct()
+    val parted = if (partitions > 0) base.repartition(partitions, col("subj"))
+                 else base.repartition(col("subj"))
+    parted
+      .sortWithinPartitions("subj", "pred", "obj")
+      .as[(String, String, String)]
+      .mapPartitions { it =>
+        val ns = scala.collection.mutable.LinkedHashMap(Prefixes.map(_.swap): _*)
+        def prefixOf(namespace: String): String =
+          ns.getOrElseUpdate(namespace, "g" + ns.size)
+        val body = new StringBuilder
+        var cur: String = null
+        def open(s: String): Unit = {
+          body ++= s"""  <rdf:Description rdf:about="${xmlAttr(s.substring(1, s.length - 1))}">\n"""
+        }
+        it.foreach { case (s, p, o) =>
+          if (s != cur) {
+            if (cur != null) body ++= "  </rdf:Description>\n"
+            cur = s; open(s)
+          }
+          val (pns, plocal) = qnameSplit(p.substring(1, p.length - 1))
+          val pq = s"${prefixOf(pns)}:$plocal"
+          o match {
+            case TypedLitRe(lex, dt) =>
+              body ++= s"""    <$pq rdf:datatype="${xmlAttr(dt)}">${xmlText(Term.unescape(lex))}</$pq>\n"""
+            case PlainLitRe(lex) =>
+              body ++= s"""    <$pq>${xmlText(Term.unescape(lex))}</$pq>\n"""
+            case iriTerm =>
+              body ++= s"""    <$pq rdf:resource="${xmlAttr(iriTerm.substring(1, iriTerm.length - 1))}"/>\n"""
+          }
+        }
+        if (cur != null) body ++= "  </rdf:Description>\n"
+        if (body.isEmpty) Iterator.empty
+        else {
+          val decls = ns.map { case (n, p) => s"""xmlns:$p="${xmlAttr(n)}"""" }
+            .mkString("\n         ")
+          Iterator(
+            "<?xml version=\"1.0\" encoding=\"utf-8\"?>\n" +
+              s"<rdf:RDF $decls>\n" + body.toString + "</rdf:RDF>")
+        }
+      }
+      .write.mode(SaveMode.Overwrite).text(outDir)
+  }
 }

@@ -69,4 +69,85 @@ class SerializeSpec extends AnyFunSuite {
     assert(pr.precision == 1.0 && pr.recall == 1.0,
       s"p=${pr.precision} r=${pr.recall} missing=${pr.missing.take(3)} extra=${pr.extra.take(3)}")
   }
+
+  private def partFiles(dir: String): Seq[String] =
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).filter(_.endsWith(".txt")).sorted.toSeq
+      .map(p => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8"))
+
+  test("trig sink round-trips per named graph") {
+    import spark.implicits._
+    val dict = Pipeline.broadcastDict(spark)
+    val docs = spark.createDataset(Seq(
+      Fixtures.doc("example2.csv"), Fixtures.doc("example5.csv")))
+    val enc = Map("example2.csv" -> "utf-8", "example5.csv" -> "latin-1")
+    val ts = Pipeline.triples(docs, dict, enc)
+    val dir = java.nio.file.Files.createTempDirectory("trig").toString + "/g"
+    Serialize.writeTriG(ts, dir, partitions = 3)
+    val back = scala.collection.mutable.Map.empty[String, Vector[graft.rdf.Triple]]
+    partFiles(dir).foreach { text =>
+      val headerEnd = text.indexOf("\n\n")
+      val header = text.substring(0, headerEnd + 2)
+      var rest = text.substring(headerEnd + 2)
+      while (rest.contains("{")) {
+        val open = rest.indexOf("{")
+        val graphIri = rest.substring(0, open).trim
+        val doc = graphIri.stripPrefix("<urn:graft:doc:").stripSuffix(">")
+        val close = rest.indexOf("\n}\n", open)
+        val interior = rest.substring(open + 1, close + 1)
+        back(doc) = back.getOrElse(doc, Vector.empty) ++
+          Turtle.parse(header + interior)
+        rest = rest.substring(close + 3)
+      }
+    }
+    val orig = ts.collect().groupBy(_.doc_id)
+      .map { case (d, rows) =>
+        d -> rows.map(t => graft.rdf.Triple(t.subj, t.pred, t.obj)).distinct.toSeq }
+    assert(back.keySet == orig.keySet)
+    for ((d, want) <- orig) {
+      val pr = Canon.compare(back(d), want)
+      assert(pr.precision == 1.0 && pr.recall == 1.0,
+        s"$d p=${pr.precision} r=${pr.recall} missing=${pr.missing.take(3)} extra=${pr.extra.take(3)}")
+    }
+  }
+
+  test("rdf/xml sink round-trips through a DOM parse") {
+    import spark.implicits._
+    val dict = Pipeline.broadcastDict(spark)
+    val docs = spark.createDataset(Seq(Fixtures.doc("example5.csv")))
+    val ts = Pipeline.triples(docs, dict, _ => "latin-1")
+    val dir = java.nio.file.Files.createTempDirectory("rdfxml").toString + "/g"
+    Serialize.writeRdfXml(ts, dir, partitions = 3)
+    val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val back = scala.collection.mutable.ArrayBuffer.empty[graft.rdf.Triple]
+    partFiles(dir).foreach { text =>
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setNamespaceAware(true)
+      val dom = dbf.newDocumentBuilder().parse(
+        new java.io.ByteArrayInputStream(text.getBytes("UTF-8")))
+      val descs = dom.getElementsByTagNameNS(RdfNs, "Description")
+      for (i <- 0 until descs.getLength) {
+        val e = descs.item(i).asInstanceOf[org.w3c.dom.Element]
+        val subj = "<" + e.getAttributeNS(RdfNs, "about") + ">"
+        val kids = e.getChildNodes
+        for (j <- 0 until kids.getLength) kids.item(j) match {
+          case pe: org.w3c.dom.Element =>
+            val pred = "<" + pe.getNamespaceURI + pe.getLocalName + ">"
+            val obj =
+              if (pe.hasAttributeNS(RdfNs, "resource"))
+                "<" + pe.getAttributeNS(RdfNs, "resource") + ">"
+              else if (pe.hasAttributeNS(RdfNs, "datatype"))
+                graft.rdf.Term.typed(pe.getTextContent, pe.getAttributeNS(RdfNs, "datatype"))
+              else graft.rdf.Term.lit(pe.getTextContent)
+            back += graft.rdf.Triple(subj, pred, obj)
+          case _ =>
+        }
+      }
+    }
+    val orig = ts.collect().map(t => graft.rdf.Triple(t.subj, t.pred, t.obj)).toSeq
+    val pr = Canon.compare(back.toSeq, orig)
+    assert(pr.precision == 1.0 && pr.recall == 1.0,
+      s"p=${pr.precision} r=${pr.recall} missing=${pr.missing.take(3)} extra=${pr.extra.take(3)}")
+  }
 }
