@@ -161,6 +161,21 @@ object Pipeline {
     }.count()
   }
 
+  /** Bucketed materialization of a triple/metadata table: downstream
+    * analytics that repeatedly join on the bucket column (triples ↔
+    * triples, triples ↔ metadata, entity-centric rollups) read
+    * co-located buckets on both sides and skip the shuffle entirely —
+    * at 100 TB the single biggest repeated-join saving. PlanSpec pins
+    * the no-Exchange join plan.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+                    bucketCol: String = "subj", buckets: Int = 64): Unit =
+    df.write.format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .option("path", path)
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(tableName)
+
   val PredBuckets = 32
   val DocSalt = 64
 

@@ -192,6 +192,45 @@ object Serialize {
       .write.mode(SaveMode.Overwrite).text(outDir)
   }
 
+  /** Hextuples (the reference's `hext` format, app.py:50-68): NDJSON,
+    * one 6-element JSON array per statement —
+    * [subject, predicate, value, datatype, language, graph] with
+    * "globalId" as the datatype marker for IRI objects (the public
+    * rdflib-hext profile). Graph = the per-doc lineage IRI, like
+    * writeNQuads. Narrow, no shuffle.
+    */
+  def writeHext(ts: Dataset[TripleRow], outDir: String): Unit = {
+    import ts.sparkSession.implicits._
+    import graft.json._
+    ts.map { t =>
+      def bare(term: String) = term.substring(1, term.length - 1)
+      val (value, dt) = t.obj match {
+        case TypedLitRe(lex, dtIri) => (Term.unescape(lex), dtIri)
+        case PlainLitRe(lex) => (Term.unescape(lex), Term.XsdNs + "string")
+        case iriTerm => (bare(iriTerm), "globalId")
+      }
+      JArr.of(JStr(bare(t.subj)), JStr(bare(t.pred)), JStr(value),
+        JStr(dt), JStr(""), JStr("urn:graft:doc:" + t.doc_id)).render
+    }.write.mode(SaveMode.Overwrite).text(outDir)
+  }
+
+  /** Format dispatcher covering the reference's serialization enum
+    * (app.py:50-68). `n3` and `longturtle` are served by the Turtle
+    * sink: rdflib's n3 output for graphs without formulae IS Turtle,
+    * and longturtle differs only in pretty-printing.
+    */
+  def write(ts: Dataset[TripleRow], format: String, outDir: String): Unit =
+    format match {
+      case "nt" | "ntriples" => writeNTriples(ts, outDir)
+      case "nquads" => writeNQuads(ts, outDir)
+      case "turtle" | "ttl" | "n3" | "longturtle" => writeTurtle(ts, outDir)
+      case "json-ld" => writeJsonLd(ts, outDir)
+      case "trig" => writeTriG(ts, outDir)
+      case "xml" | "rdf/xml" | "pretty-xml" => writeRdfXml(ts, outDir)
+      case "hext" => writeHext(ts, outDir)
+      case other => throw new IllegalArgumentException(s"unknown format: $other")
+    }
+
   private def xmlText(s: String): String = s.flatMap {
     case '&' => "&amp;"
     case '<' => "&lt;"

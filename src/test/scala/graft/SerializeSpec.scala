@@ -112,6 +112,41 @@ class SerializeSpec extends AnyFunSuite {
     }
   }
 
+  test("hext sink round-trips per statement incl. graph lineage") {
+    import spark.implicits._
+    val dict = Pipeline.broadcastDict(spark)
+    val docs = spark.createDataset(Seq(Fixtures.doc("example5.csv")))
+    val ts = Pipeline.triples(docs, dict, _ => "latin-1")
+    val dir = java.nio.file.Files.createTempDirectory("hext").toString + "/g"
+    Serialize.writeHext(ts, dir)
+    val back = scala.collection.mutable.ArrayBuffer.empty[(String, graft.rdf.Triple)]
+    partFiles(dir).foreach { text =>
+      text.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val graft.json.JArr(items) = graft.json.Json.parse(line): @unchecked
+        val Vector(s, p, v, dt, lang, g) =
+          items.map(_.asInstanceOf[graft.json.JStr].s)
+        assert(lang == "")
+        val obj = dt match {
+          case "globalId" => "<" + v + ">"
+          case d if d == graft.rdf.Term.XsdNs + "string" => graft.rdf.Term.lit(v)
+          case d => graft.rdf.Term.typed(v, d)
+        }
+        back += ((g.stripPrefix("urn:graft:doc:"),
+          graft.rdf.Triple("<" + s + ">", "<" + p + ">", obj)))
+      }
+    }
+    val orig = ts.collect()
+      .map(t => (t.doc_id, graft.rdf.Triple(t.subj, t.pred, t.obj))).toSeq
+    // plain literals re-read as xsd:string-typed is the hext profile's
+    // canonical form; normalize both sides the same way for compare
+    def norm(tr: graft.rdf.Triple) = tr.copy(obj =
+      if (tr.obj.startsWith("\"") && !tr.obj.contains("^^")) tr.obj + "^^<" + graft.rdf.Term.XsdNs + "string>"
+      else tr.obj)
+    def key(x: (String, graft.rdf.Triple)) = (x._1, x._2.subj, x._2.pred, x._2.obj)
+    assert(back.map { case (d, tr) => (d, norm(tr)) }.sortBy(key) ==
+      orig.map { case (d, tr) => (d, norm(tr)) }.sortBy(key))
+  }
+
   test("rdf/xml sink round-trips through a DOM parse") {
     import spark.implicits._
     val dict = Pipeline.broadcastDict(spark)
