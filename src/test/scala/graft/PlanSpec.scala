@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Physical-plan audits: the properties .explain() showed are pinned so
   * refactors can't silently regress them.
@@ -109,6 +110,42 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Exchange"), p.take(2500))
       assert(j.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("AQE splits the skewed join partition at runtime (skew=true)") {
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // head-entity skew: one subject carries 200x the median key volume;
+      // payloads are hash-valued so shuffle compression can't erase the
+      // size signal the skew detector reads
+      def pay(i: Int) = java.lang.Long.toHexString(i * 0x9E3779B97F4A7C15L) * 4
+      val left = ((0 until 20000).map(i => ("hot", pay(i))) ++
+        (0 until 100).flatMap(i => (0 until 100).map(j => (s"k$i", pay(i * 1000 + j))))).toDF("k", "v")
+      val right = (Seq("hot") ++ (0 until 100).map(i => s"k$i"))
+        .flatMap(k => (0 until 50).map(j => (k, j))).toDF("k", "w")
+      // global agg downstream: a groupBy on the join key would force AQE
+      // to keep the join's hash partitioning and skip the skew split
+      val j = left.join(right, "k").agg(sum(length(col("v"))).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(3000))
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("ops.lshCandidatePairs: bucket cap reuses the window partitioning") {

@@ -28,4 +28,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toVector == batch.toVector)
     assert(batch.nonEmpty)
   }
+
+  test("stateful streaming dedup: first-seen wins across micro-batches and restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val docSchema = org.apache.spark.sql.Encoders.product[graft.ingest.Doc].schema
+    def runOnce(): Unit = {
+      val docs = spark.readStream.schema(docSchema)
+        .parquet(s"$base/docs").as[graft.ingest.Doc]
+      val q = graft.streaming.StreamingDedup.dedupStream(docs)
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+    }
+    def doc(id: String, text: String) = graft.ingest.SpanCodec.encode(id, text)
+    // batch 1: two unique texts, one in-batch duplicate
+    spark.createDataset(Seq(
+      doc("d1", "alpha beta\n"), doc("d2", "gamma delta\n"),
+      doc("d3", "alpha beta\n"))).write.parquet(s"$base/docs")
+    runOnce()
+    // batch 2 (new file): one cross-batch duplicate + one new text
+    spark.createDataset(Seq(
+      doc("d4", "alpha beta\n"), doc("d5", "epsilon zeta\n")))
+      .write.mode("append").parquet(s"$base/docs")
+    runOnce() // same checkpoint: state survives the restart
+    val kept = spark.read.parquet(s"$base/out").select("doc_id")
+      .as[String].collect().sorted.toVector
+    assert(kept == Vector("d1", "d2", "d5"), kept)
+  }
 }
