@@ -121,18 +121,33 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs within LSH buckets: see
-    * [[Similarity.annBuckets]] for bucketing; join within buckets, keep
-    * pairs above threshold.
+    * [[Similarity.annBuckets]] for bucketing. Pairs expand *within*
+    * each bucket group (no bucket self-join — the bucketing subtree is
+    * computed once, not per join side) and `maxBucket` caps the ids per
+    * bucket (deterministic first-by-id via a streaming row_number
+    * window) so one degenerate bucket cannot go quadratic — the same
+    * guards as [[lshCandidatePairs]].
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        nPlanes: Int, threshold: Double): DataFrame = {
+                        nPlanes: Int, threshold: Double,
+                        maxBucket: Int = 1024): DataFrame = {
     val bucketed = Similarity.annBuckets(df, idCol, vecCol, nPlanes)
       .join(df.select(col(idCol), col(vecCol)), idCol)
-    bucketed.as("a").join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cos", Similarity.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(idCol)
+    bucketed
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= maxBucket)
+      .groupBy("bucket")
+      .agg(array_sort(collect_list(
+        struct(col(idCol).as("id"), col(vecCol).as("v")))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(expr(
+        """flatten(transform(items, (a, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |            b -> named_struct('id1', a.id, 'id2', b.id,
+          |                              'v1', a.v, 'v2', b.v))))""".stripMargin)).as("pr"))
+      .withColumn("cos", Similarity.cosine(col("pr.v1"), col("pr.v2")))
       .filter(col("cos") >= threshold)
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), col("cos"))
+      .select(col("pr.id1").as("id1"), col("pr.id2").as("id2"), col("cos"))
   }
 }

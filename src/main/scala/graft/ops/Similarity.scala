@@ -68,6 +68,68 @@ object Similarity {
       .select(col(idCol), col("cell_id"))
   }
 
+  /** Assignment against an explicit codebook DataFrame (cell_id, cv) —
+    * broadcast argmax-cosine, narrow except the tiny codebook broadcast.
+    */
+  def ivfAssignWith(df: DataFrame, idCol: String, vecCol: String,
+                    codebook: DataFrame): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(codebook))
+      .withColumn("d", cosine(col(vecCol), col("cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("d").desc, col("cell_id"))))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("cell_id"))
+
+  /** Train an IVF codebook with Lloyd's iterations expressed as
+    * DataFrame operations: assignment = broadcast-codebook argmax
+    * (narrow), update = elementwise mean via posexplode + one
+    * groupBy(cell, pos) — two shuffles per iteration over the TRAINING
+    * SAMPLE only (at 100 TB, train on df.limit(n); the corpus-wide pass
+    * is just the final broadcast assignment). Deterministic: init =
+    * first k vectors in id order, ties broken by cell_id; no rand().
+    * Returns (cell_id, cv).
+    */
+  def kmeansCodebook(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int = 5): DataFrame = {
+    val vecs = df.select(col(idCol), col(vecCol))
+    var codebook = vecs.orderBy(col(idCol)).limit(k)
+      .select(row_number().over(Window.orderBy(col(idCol))).cast("long").as("cell_id"),
+        col(vecCol).as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssignWith(vecs, idCol, vecCol, codebook)
+        .join(vecs, idCol)
+      val updated = assigned
+        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell_id", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell_id")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> cast(s.m as float))").as("cv"))
+      // materialize each round: k x dim doubles — driver-sized by design
+      val rows = updated.collect()
+      codebook = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), updated.schema)
+    }
+    codebook
+  }
+
+  /** IVF top-k against a trained codebook: exact cosine within the
+    * query's cell only.
+    */
+  def ivfTopKWith(df: DataFrame, idCol: String, vecCol: String,
+                  codebook: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val assign = ivfAssignWith(df, idCol, vecCol, codebook)
+    val joined = df.join(assign, idCol)
+    val qCell = joined.filter(col(idCol) === queryId).select(col("cell_id"))
+    val qVec = joined.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    joined.join(broadcast(qCell), "cell_id")
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(qVec))
+      .withColumn("cos", cosine(col(vecCol), col("qv")))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF top-k: exact cosine within the query's cell only. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, nCells: Int = 16): DataFrame = {

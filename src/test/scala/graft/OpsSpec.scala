@@ -78,6 +78,27 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(math.abs(exact(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("kmeans codebook: deterministic, converged cells; ivfTopKWith agrees with exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb1 = Similarity.kmeansCodebook(e, "vec_id", "embedding", k = 4, iters = 3)
+    val cb2 = Similarity.kmeansCodebook(e, "vec_id", "embedding", k = 4, iters = 3)
+    val c1 = cb1.orderBy("cell_id").collect().map(_.toString)
+    assert(c1.sameElements(cb2.orderBy("cell_id").collect().map(_.toString)))
+    assert(c1.length == 4)
+    // every vector routes to exactly one cell
+    val assigned = Similarity.ivfAssignWith(e, "vec_id", "embedding", cb1)
+    assert(assigned.count() == e.count())
+    assert(assigned.select("vec_id").distinct().count() == e.count())
+    // in-cell top-k scores match the exact brute force for the same ids
+    val topk = Similarity.ivfTopKWith(e, "vec_id", "embedding", cb1, queryId = 0, k = 5).collect()
+    assert(topk.nonEmpty && topk.length <= 5)
+    val exact = Similarity.cosineTopK(
+      e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      e.filter(col("vec_id") === 0), 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    topk.foreach(r => assert(math.abs(exact(r.getLong(0)) - r.getDouble(1)) < 1e-9))
+  }
+
   test("dedup: exact + lsh + simhash + jaccard run and are deterministic") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert(Dedup.exact(d, "doc_id", "text").count() == d.count()) // all unique
