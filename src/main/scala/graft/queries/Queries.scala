@@ -745,6 +745,56 @@ object Queries {
        |FROM part p JOIN dict d ON p.p_name = d.p_name""".stripMargin
   }
 
+  /** Q27 — k-means-trained IVF: train the codebook with Lloyd's
+    * iterations (deterministic, [[graft.ops.Similarity.kmeansCodebook]]),
+    * route every vector to its argmax-cosine cell, exact top-k inside
+    * the query's cell. The oracle receives the trained codebook as an
+    * inlined VALUES table and performs the ASSIGNMENT + IN-CELL TOP-K
+    * independently in DuckDB — the distributed routing/scoring math is
+    * what's being checked (the q19/q20 float->double dot-product parity
+    * recipe).
+    */
+  def q27IvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(p(dir, "embeddings"))
+    val cb = graft.ops.Similarity.kmeansCodebook(e, "vec_id", "embedding", k = 4, iters = 2)
+    graft.ops.Similarity.ivfTopKWith(e, "vec_id", "embedding", cb, queryId = 0, k = 10)
+      .select(col("vec_id"), expr("cast(round(1000000.0 * cos) as bigint)").as("cos_u"))
+  }
+
+  def q27Sql(s: SparkSession, dir: String): String = {
+    val cb = graft.ops.Similarity.kmeansCodebook(
+      s.read.parquet(p(dir, "embeddings")), "vec_id", "embedding", k = 4, iters = 2)
+    val rows = cb.orderBy("cell_id").collect().map { r =>
+      val vec = r.getSeq[Float](1).map(_.toString).mkString("[", ", ", "]")
+      s"(${r.getLong(0)}, CAST($vec AS FLOAT[]))"
+    }.mkString(",\n    ")
+    s"""WITH cb(cell_id, cv) AS (VALUES
+       |    $rows),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cbd AS (SELECT cell_id, CAST(cv AS DOUBLE[]) AS cvd FROM cb),
+       |scored AS (
+       |  SELECT e.vec_id, cbd.cell_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_dot_product(v, cvd) /
+       |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cvd, cvd))) DESC,
+       |      cell_id) AS rk
+       |  FROM e, cbd),
+       |assign AS (SELECT vec_id, cell_id FROM scored WHERE rk = 1),
+       |qcell AS (SELECT cell_id FROM assign WHERE vec_id = 0),
+       |qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT e.vec_id, e.v FROM e
+       |  JOIN assign USING (vec_id) JOIN qcell USING (cell_id)
+       |  WHERE e.vec_id <> 0)
+       |SELECT vec_id,
+       |  CAST(round(1000000.0 * list_dot_product(v, qvec) /
+       |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec)))) AS BIGINT) AS cos_u
+       |FROM cand, qv
+       |ORDER BY list_dot_product(v, qvec) /
+       |  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))) DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -775,7 +825,8 @@ object Queries {
     ("q23_token_count", q23TokenCount _, Some(q23Sql)),
     ("q24_fingerprint", q24Fingerprint _, Some(q24Sql)),
     ("q25_multimodal_stub", q25MultimodalStub _, Some(q25Sql)),
-    ("q26_make_id", q26MakeId _, None))
+    ("q26_make_id", q26MakeId _, None),
+    ("q27_ivf_kmeans", q27IvfKmeans _, None))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live
@@ -783,7 +834,7 @@ object Queries {
     * driver's rows-only check rather than taking down the dump.
     */
   val dynamicOracles: Map[String, (SparkSession, String) => String] =
-    Map("q26_make_id" -> (q26Sql _))
+    Map("q26_make_id" -> (q26Sql _), "q27_ivf_kmeans" -> (q27Sql _))
 
   /** Set by Verify (and tests) so the no-arg SparkEntry.oracleSql
     * contract can build the dir-dependent oracles.
