@@ -21,6 +21,16 @@ class EntrySpec extends AnyFunSuite {
 
   test("every registered query runs and every oracle has a query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size >= 25)
+    assert(SparkEntry.queries.size >= 27)
+  }
+
+  test("dynamic oracles build once the sf dir is set (the Verify path)") {
+    val _ = spark // the builders need SparkSession.active
+    graft.queries.Queries.oracleSfDir = Some("/root/testdata/sf0.001")
+    try {
+      val m = SparkEntry.oracleSql
+      assert(m.contains("q26_make_id") && m.contains("q27_ivf_kmeans"))
+      assert(m("q26_make_id").contains("VALUES") && m("q27_ivf_kmeans").contains("VALUES"))
+    } finally graft.queries.Queries.oracleSfDir = None
   }
 }
