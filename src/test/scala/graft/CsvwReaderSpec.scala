@@ -70,6 +70,59 @@ class CsvwReaderSpec extends AnyFunSuite {
     }
   }
 
+  test("reader inverts the renderer on generated DocMeta (property fuzz)") {
+    import org.scalacheck.{Gen, rng}
+    import graft.annotate._
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.oneOf("über ä", "a;b\"c\\d", "x\ny\tz", "100%", "it's", "", " ",
+        "{GID}", "née Großmann", "€42", "a,b", "\"quoted\""))
+    val unitGen = Gen.option(Gen.zip(strGen, strGen).map {
+      case (a, b) => UnitRef("http://u/" + a, "http://t/" + b) })
+    val bodyGen: Gen[Body] = Gen.oneOf(
+      Gen.zip(Gen.oneOf(Gen.chooseNum(-99999L, 99999L).map(_.toString),
+          Gen.chooseNum(-1e6, 1e6).map(d => graft.text.PyFloat.repr(d)),
+          strGen.map(s => "\"" + s.replace("\"", "") + "\""),
+          Gen.oneOf("true", "false")).flatMap(identity(_)),
+        Gen.oneOf(JsonLd.Xsd + "integer", JsonLd.Xsd + "double",
+          JsonLd.Xsd + "string", JsonLd.Xsd + "boolean"), unitGen)
+        .map { case (v, t, u) => QuantityBody(v, t, u) },
+      strGen.map(TextBody(_)),
+      strGen.map(s => UriBody("http://x/" + s.replace(" ", ""))))
+    val noteGen = for {
+      id <- strGen; label <- strGen; rn <- Gen.chooseNum(0, 500)
+      bodies <- Gen.listOfN(2, bodyGen)
+    } yield Note("http://n/" + id.replace(" ", ""), label, rn, bodies.toVector)
+    val colGen = for {
+      nm <- strGen; titles <- Gen.listOfN(2, strGen); u <- unitGen
+      fmt <- Gen.option(Gen.oneOf(JsonLd.Xsd + "integer", JsonLd.Xsd + "string"))
+    } yield ColumnDesc("http://c/" + nm.replace(" ", ""),
+      if (nm.isEmpty) "col" else nm, titles.toVector, u, fmt)
+    val tableGen = for {
+      id <- strGen; delim <- Gen.oneOf(";", ",", "\t", ":+\\s+\\s*")
+      skip <- Gen.chooseNum(0, 3); hdr <- Gen.chooseNum(0, 2)
+      enc <- Gen.oneOf("utf-8", "latin-1")
+      cols <- Gen.listOfN(3, colGen)
+    } yield TableDesc("http://t/" + id.replace(" ", ""), "http://t/u", delim,
+      skip, hdr, enc, "http://t/a-{GID}", "GID",
+      ColumnDesc("http://c/gid", "GID", Vector("GID"), None, None) +: cols.toVector)
+    val metaGen = for {
+      notes <- Gen.listOfN(3, noteGen); tables <- Gen.listOfN(2, tableGen)
+    } yield DocMeta("http://d/doc", "http://d/doc/",
+      tables.headOption.map(_.encoding).getOrElse("utf-8"),
+      notes.toVector, tables.toVector)
+    var seed = rng.Seed(7L)
+    var i = 0
+    while (i < 200) {
+      metaGen.apply(Gen.Parameters.default, seed).foreach { m =>
+        val back = CsvwReader.read(JsonLd.render(m).render)
+        assert(back == m, m.toString.take(400))
+      }
+      seed = seed.next
+      i += 1
+    }
+  }
+
   test("Pipeline.triplesFromMetadata == per-doc expandDoc (distributed path)") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
