@@ -29,6 +29,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("watermarked windowed aggregation == batch over emitted windows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("swin").toString
+    // events parquet (ts timestamp_ntz in this testdata: cast for event time)
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("cast(ts as timestamp) as ts", "event_type")
+    ev.write.parquet(s"$base/events")
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$base/events")
+    val q = graft.streaming.StreamingWindows.windowedCounts(stream)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", s"$base/out")
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$base/out")
+      .collect().map(_.toString).sorted.toVector
+    val batch = graft.streaming.StreamingWindows.batchEmittedCounts(ev)
+      .collect().map(_.toString).sorted.toVector
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stateful streaming dedup: first-seen wins across micro-batches and restarts") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
