@@ -63,9 +63,10 @@ object Exprs {
   /** F9 trailing-colon strip. */
   def colonStrip(c: Column): Column = regexp_replace(c, ":$", "")
 
-  /** Register SQL names for the custom expression + combinators. */
+  /** Register SQL names for the custom expressions + combinators. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "py_titlecase", exprs => PyTitleCase(exprs.head), "scala_udf")
+    ArrayDot.register(spark)
   }
 }

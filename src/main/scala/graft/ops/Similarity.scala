@@ -14,13 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) via zip_with + aggregate — codegen-friendly HOFs. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b) — native codegen Expression (bit-identical to the HOF
+    * `aggregate(zip_with(...))` form, pinned by OpsSpec; a tight
+    * primitive loop instead of an interpreted lambda per element).
+    */
+  def dot(a: Column, b: Column): Column = graft.expr.ArrayDot(a, b)
+
+  /** The HOF formulation, kept as the equality reference. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

@@ -537,13 +537,11 @@ object Queries {
   def q19CosineTopk(s: SparkSession, dir: String): DataFrame = {
     val e = s.read.parquet(p(dir, "embeddings"))
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // graft_dot: native codegen Expression, bit-identical to the HOF form
     e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-      .withColumn("dotd", expr(
-        "aggregate(zip_with(embedding, qv, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"))
-      .withColumn("qn", expr(
-        "sqrt(aggregate(qv, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"))
+      .withColumn("dotd", graft.expr.ArrayDot(col("embedding"), col("qv")))
+      .withColumn("nrm", sqrt(graft.expr.ArrayDot(col("embedding"), col("embedding"))))
+      .withColumn("qn", sqrt(graft.expr.ArrayDot(col("qv"), col("qv"))))
       .withColumn("cos_u", expr("cast(round(1000000.0 * dotd / (nrm * qn)) as bigint)"))
       .select(col("vec_id"), col("cos_u"))
       .orderBy(col("cos_u").desc, col("vec_id")).limit(10)
@@ -571,8 +569,8 @@ object Queries {
     val planes = e.filter(col("vec_id").between(1, 8))
       .select(col("vec_id").as("plane_id"), col("embedding").as("pv"))
     e.crossJoin(broadcast(planes))
-      .withColumn("dot_u", expr(
-        "cast(round(1000000.0 * aggregate(zip_with(embedding, pv, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)) as bigint)"))
+      .withColumn("dot_u", round(lit(1000000.0) *
+        graft.expr.ArrayDot(col("embedding"), col("pv"))).cast("long"))
       .withColumn("bit", when(col("dot_u") > 0, "1").otherwise("0"))
       .groupBy("vec_id")
       .agg(concat_ws("", expr(

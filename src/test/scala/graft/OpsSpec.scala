@@ -78,6 +78,33 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(math.abs(exact(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("graft_dot Expression is bit-identical to the HOF dot product") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = e.crossJoin(broadcast(q))
+      .select(
+        Similarity.dot(col("embedding"), col("qv")).as("native"),
+        Similarity.dotHof(col("embedding"), col("qv")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-exact
+    // null behavior parity: length mismatch and null elements -> null
+    import spark.implicits._
+    val odd = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof")).collect()
+    odd.foreach(r => assert(r.isNullAt(0) == r.isNullAt(1)))
+    // whole-stage codegen actually compiles the loop (no fallback)
+    val dfp = e.crossJoin(broadcast(q))
+      .select(Similarity.dot(col("embedding"), col("qv")).as("d"))
+    dfp.collect() // finalize the adaptive plan
+    val p = dfp.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks the project as inside a codegen stage
+    assert("\\*\\(\\d+\\) Project \\[graft_dot".r.findFirstIn(p).isDefined, p.take(800))
+  }
+
   test("kmeans codebook: deterministic, converged cells; ivfTopKWith agrees with exact") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cb1 = Similarity.kmeansCodebook(e, "vec_id", "embedding", k = 4, iters = 3)
