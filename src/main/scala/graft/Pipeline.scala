@@ -233,13 +233,39 @@ object Pipeline {
       .withColumn("stage", lit(stage))
   }
 
-  /** Checkpoint resume: drop docs whose triples are already materialized. */
+  /** Snapshot-commit sidecar dir under the triples table. */
+  private def commitsDir(triplesDir: String) = triplesDir + "_doc_commits"
+
+  /** Record completed doc_ids AFTER a successful triples write — the
+    * snapshot-commit half of resume. One tiny parquet append per run
+    * (one row per DOC, not per triple): at 10^12 docs the resume
+    * anti-join reads this sidecar, never the 500x-larger triple table.
+    * Write-then-commit ordering gives crash safety: dying between the
+    * two leaves docs unrecorded and they are re-done idempotently
+    * (output is deterministic, so the re-write is byte-identical).
+    */
+  def commitDocIds(docs: Dataset[Doc], triplesDir: String,
+                   mode: SaveMode = SaveMode.Append): Unit = {
+    import docs.sparkSession.implicits._
+    docs.map(_.doc_id).toDF("doc_id")
+      .write.mode(mode).parquet(commitsDir(triplesDir))
+  }
+
+  /** Checkpoint resume: drop docs whose triples are already
+    * materialized. Prefers the compact commit sidecar (see
+    * [[commitDocIds]]); falls back to a distinct over the triple table
+    * for directories written before the sidecar existed.
+    */
   def resumeFilter(docs: Dataset[Doc], spark: SparkSession,
                    triplesDir: String): Dataset[Doc] = {
     import spark.implicits._
     val done =
-      try spark.read.parquet(triplesDir).select("doc_id").distinct()
-      catch { case _: Exception => return docs }
+      try spark.read.parquet(commitsDir(triplesDir)).select("doc_id")
+      catch {
+        case _: Exception =>
+          try spark.read.parquet(triplesDir).select("doc_id").distinct()
+          catch { case _: Exception => return docs }
+      }
     docs.join(done.withColumnRenamed("doc_id", "done_id"),
         docs("doc_id") === col("done_id"), "left_anti")
       .as[Doc]

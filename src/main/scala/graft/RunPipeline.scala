@@ -57,6 +57,12 @@ object RunPipeline {
     val ts = Pipeline.triples(docs, dict, encodingOf)
     Pipeline.writeTriples(ts, outDir + "/triples",
       if (resume) org.apache.spark.sql.SaveMode.Append else org.apache.spark.sql.SaveMode.Overwrite)
+    // snapshot commit: record completed doc_ids (tiny) so a later
+    // --resume anti-joins the sidecar, not the triple table; a fresh
+    // (non-resume) run must not inherit stale commits
+    Pipeline.commitDocIds(docs, outDir + "/triples",
+      if (resume) org.apache.spark.sql.SaveMode.Append
+      else org.apache.spark.sql.SaveMode.Overwrite)
     tl = lap("triples-table", tl)
     val tsOut = spark.read.parquet(s"$outDir/triples")
     Pipeline.metrics(tsOut.select($"doc_id", $"subj", $"pred", $"obj").as[TripleRow],

@@ -60,7 +60,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b && a._2 > 0)
   }
 
-  test("resume filter drops already-materialized docs") {
+  test("resume filter drops already-materialized docs (triple-scan fallback)") {
     import spark.implicits._
     val dict = Pipeline.broadcastDict(spark)
     val dir = java.nio.file.Files.createTempDirectory("resume").toString + "/t"
@@ -68,5 +68,28 @@ class PipelineSpec extends AnyFunSuite {
     Pipeline.writeTriples(Pipeline.triples(docs.filter($"doc_id" < "doc-000000000005"), dict), dir)
     val remaining = Pipeline.resumeFilter(docs, spark, dir).collect().map(_.doc_id).sorted
     assert(remaining.toVector == (5L until 10L).map(SynthCorpus.docId).toVector)
+  }
+
+  test("resume prefers the doc-commit sidecar over scanning the triple table") {
+    import spark.implicits._
+    val dict = Pipeline.broadcastDict(spark)
+    val dir = java.nio.file.Files.createTempDirectory("resume2").toString + "/t"
+    val docs = SynthCorpus.corpus(spark, 10)
+    val first = docs.filter($"doc_id" < "doc-000000000005")
+    Pipeline.writeTriples(Pipeline.triples(first, dict), dir)
+    Pipeline.commitDocIds(first, dir)
+    val remaining = Pipeline.resumeFilter(docs, spark, dir)
+    // sidecar path: the plan must scan <dir>_doc_commits, not the table
+    val p = remaining.queryExecution.executedPlan.toString
+    assert(p.contains("_doc_commits"), p.take(1500))
+    assert(!p.linesIterator.exists(l => l.contains("FileScan") && l.contains("/t]")), p.take(1500))
+    assert(remaining.collect().map(_.doc_id).sorted.toVector ==
+      (5L until 10L).map(SynthCorpus.docId).toVector)
+    // second increment: append commit, everything done
+    val rest = Pipeline.resumeFilter(docs, spark, dir)
+    Pipeline.writeTriples(Pipeline.triples(rest, dict), dir,
+      org.apache.spark.sql.SaveMode.Append)
+    Pipeline.commitDocIds(rest, dir)
+    assert(Pipeline.resumeFilter(docs, spark, dir).count() == 0)
   }
 }
