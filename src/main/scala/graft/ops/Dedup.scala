@@ -22,11 +22,19 @@ object Dedup {
       .groupBy("h")
       .agg(count(lit(1)).as("n"), min(idCol).as("keep_id"))
 
-  /** Distinct n-token shingles of a text column. The token array is
+  /** Distinct n-token shingles of a text column — the native codegen
+    * [[graft.expr.ShinglesOf]] Expression (bit-identical to
+    * [[shinglesHof]], pinned by OpsSpec; one pass instead of
+    * interpreted HOF lambdas).
+    */
+  def shingles(textCol: String, n: Int): Column =
+    graft.expr.ShinglesOf(col(textCol), n)
+
+  /** The HOF formulation, kept as the equality reference: token array
     * bound once via a single-element-array lambda so the regex split is
     * not re-executed per element.
     */
-  def shingles(textCol: String, n: Int): Column = {
+  def shinglesHof(textCol: String, n: Int): Column = {
     val parts = (1 until n)
       .map(k => s"|| ' ' || coalesce(try_element_at(t, i + $k), '')").mkString(" ")
     expr(s"""element_at(transform(array(split($textCol, '$TokenSplitSql')), t ->
@@ -34,7 +42,13 @@ object Dedup {
         i -> try_element_at(t, i) $parts))), 1)""")
   }
 
-  /** MinHash signatures: sig_j = min md5(j || ':' || shingle); k salts. */
+  /** MinHash signatures: sig_j = min md5(j || ':' || shingle); k salts.
+    * md5-string recipe — cross-engine reproducible (the DuckDB-parity
+    * form the query battery uses). For the pure-Spark scale path prefer
+    * [[minhashSignaturesFast]]: xxhash64 longs are ~4.5x faster to
+    * compute and 4x smaller to shuffle, with the same MinHash
+    * collision statistics.
+    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, shingleN: Int = 3): DataFrame = {
     // explode + groupBy-agg: the shingle array is computed once per row
@@ -43,6 +57,33 @@ object Dedup {
     val aggs = (0 until k).map(j =>
       min(md5(concat(lit(s"$j:"), col("sh")))).as(s"sig$j"))
     sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash signatures over xxhash64 (long) instead of md5 (hex
+    * string): deterministic, same banding statistics, measured ~4.5x
+    * faster end-to-end at equal shingle cost (BENCH.md).
+    */
+  def minhashSignaturesFast(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8, shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), explode(shingles(textCol, shingleN)).as("sh"))
+    val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"sig$j"))
+    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[lshCandidatePairs]] on the fast long signatures: band keys are
+    * xxhash64 over the band's signature slice; identical grouped,
+    * capped in-bucket pair expansion.
+    */
+  def lshCandidatePairsFast(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8, bands: Int = 2, shingleN: Int = 3,
+                            maxBucket: Int = 1024): DataFrame = {
+    val rows = k / bands
+    val sig = minhashSignaturesFast(df, idCol, textCol, k, shingleN)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((lit(b) +: (b * rows until (b + 1) * rows).map(j => col(s"sig$j"))): _*)
+    }
+    val buckets = sig.select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bucket"))
+    pairsWithinBuckets(buckets, maxBucket)
   }
 
   /** LSH banding: hash bands of the signature into bucket keys, then
@@ -69,6 +110,11 @@ object Dedup {
       md5(concat_ws("|", (b * rows until (b + 1) * rows).map(j => col(s"sig$j")): _*))
     }
     val buckets = sig.select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bucket"))
+    pairsWithinBuckets(buckets, maxBucket)
+  }
+
+  /** Shared grouped, capped pair expansion over (id, bucket) rows. */
+  private def pairsWithinBuckets(buckets: DataFrame, maxBucket: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy("id")
     buckets

@@ -385,20 +385,13 @@ object Queries {
     "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS min_id FROM documents GROUP BY 1"
 
   // shared shingle SQL helpers
-  /** Distinct n-token shingles, exactly mirroring the SQL construction:
-    * i in 1..greatest(len-n+1, 1); out-of-range tokens pad as ''. */
-  private def sparkShingles(n: Int): Column = {
-    // bind the token array once via a single-element-array lambda (else
-    // Catalyst inlines the split() into the HOF lambda and re-executes
-    // the regex split per shingle element)
-    val parts = (1 until n)
-      .map(k => s"coalesce(try_element_at(t, i + $k), '')")
-      .map(e => s"|| ' ' || $e").mkString(" ")
-    expr(s"""element_at(transform(array(split(text, '$TokenSplitSql')), t ->
-      array_distinct(transform(
-        sequence(1, greatest(size(t) - ${n - 1}, 1)),
-        i -> try_element_at(t, i) $parts))), 1)""")
-  }
+  /** Distinct n-token shingles: the native [[graft.expr.ShinglesOf]]
+    * codegen Expression — bit-identical to the HOF/SQL construction
+    * `array_distinct(transform(sequence(1, greatest(len-n+1, 1)),
+    * i -> t[i] || ' ' || coalesce(t[i+k], '')))` that the DuckDB
+    * oracles mirror (equality pinned by OpsSpec). */
+  private def sparkShingles(n: Int): Column =
+    graft.expr.ShinglesOf(col("text"), n)
 
   /** Q15 — MinHash + LSH banding for near-duplicate detection. Signature
     * j = lexicographic min of md5(j || ':' || shingle) over distinct token

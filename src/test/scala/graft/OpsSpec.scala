@@ -78,6 +78,38 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(math.abs(exact(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("graft_shingles Expression == HOF shingles (fixtures + synth + edges)") {
+    import spark.implicits._
+    val sources = Seq(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("text"),
+      spark.range(300).map(i => graft.ingest.SynthCorpus.docText(i)).toDF("text"),
+      Seq("", " ", "a", "a b", "  leading", "trailing  ", "a  b\tc\nd",
+        "x x x x x", "ü ö ä").toDF("text"))
+    for (src <- sources; n <- Seq(3, 5)) {
+      val diff = src.select(
+          Dedup.shingles("text", n).as("native"),
+          Dedup.shinglesHof("text", n).as("hof"))
+        .filter(not(col("native") <=> col("hof")))
+      assert(diff.count() == 0, s"n=$n: " + diff.take(2).mkString("; "))
+    }
+  }
+
+  test("fast (xxhash64) minhash/LSH: deterministic, same dup detection, capped") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s1 = Dedup.minhashSignaturesFast(d, "doc_id", "text").collect().map(_.toString).sorted
+    val s2 = Dedup.minhashSignaturesFast(d, "doc_id", "text").collect().map(_.toString).sorted
+    assert(s1.sameElements(s2) && s1.nonEmpty)
+    // identical texts -> identical signatures -> paired
+    val dup = Seq(("a", "x y z w v"), ("b", "x y z w v"), ("c", "totally different words here")).toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairsFast(dup, "doc_id", "text").collect()
+    assert(pairs.map(r => (r.getString(0), r.getString(1))).toSet == Set(("a", "b")))
+    // cap bounds the degenerate corpus exactly like the md5 form
+    val deg = (0 until 500).map(i => (f"d$i%03d", "p q r s t u v w")).toDF("doc_id", "text")
+    assert(Dedup.lshCandidatePairsFast(deg, "doc_id", "text", maxBucket = 8)
+      .count() == 8L * 7 / 2)
+  }
+
   test("graft_dot Expression is bit-identical to the HOF dot product") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))

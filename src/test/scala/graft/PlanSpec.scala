@@ -82,8 +82,8 @@ class PlanSpec extends AnyFunSuite {
   test("q16: no self-join; signature subtree appears once") {
     val p = optimized("q16_minhash_pairs")
     assert(!p.contains("Join"), p.take(1500))
-    // the 3-shingle construction (one split) exists exactly once
-    assert("split\\(".r.findAllIn(p).size == 1)
+    // the 3-shingle construction (native graft_shingles) exists exactly once
+    assert("graft_shingles".r.findAllIn(p).size == 1)
   }
 
   test("q17: single aggregation, no bit-explode") {
