@@ -55,11 +55,12 @@ object Multimodal {
     val rows: Dataset[Row] = media.select("media_id", "kind", "payload")
     implicit val enc = org.apache.spark.sql.Encoders.row(FeatureSchema)
     rows.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+        md.reset()
         Row(r.getString(0), r.getString(1), payload.length.toLong,
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(payload).map(b => f"$b%02x").mkString,
+          md.digest(payload).map(b => f"$b%02x").mkString,
           stubDecode(payload))
       }
     }
