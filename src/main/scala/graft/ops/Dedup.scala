@@ -60,11 +60,25 @@ object Dedup {
   }
 
   /** MinHash signatures over xxhash64 (long) instead of md5 (hex
-    * string): deterministic, same banding statistics, measured ~4.5x
-    * faster end-to-end at equal shingle cost (BENCH.md).
+    * string) — AND fully narrow: [[graft.expr.MinHashOf]] computes all k
+    * running minimums in one pass per document, so there is no shingle
+    * explode and NO aggregation shuffle at all (signatures at scan
+    * speed; pinned bit-equal to the exploded `min(xxhash64(j, sh))`
+    * form by OpsSpec). The md5 form stays for cross-engine parity.
     */
   def minhashSignaturesFast(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 8, shingleN: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol),
+      graft.expr.MinHashOf(col(textCol), shingleN, k).as("sigs"))
+    sigs.select(col(idCol) +:
+      (0 until k).map(j => col("sigs").getItem(j).as(s"sig$j")): _*)
+  }
+
+  /** The exploded-aggregation formulation, kept as the equality
+    * reference for [[minhashSignaturesFast]].
+    */
+  def minhashSignaturesFastAgg(df: DataFrame, idCol: String, textCol: String,
+                               k: Int = 8, shingleN: Int = 3): DataFrame = {
     val sh = df.select(col(idCol), explode(shingles(textCol, shingleN)).as("sh"))
     val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"sig$j"))
     sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)

@@ -100,6 +100,13 @@ class OpsSpec extends AnyFunSuite {
     val s1 = Dedup.minhashSignaturesFast(d, "doc_id", "text").collect().map(_.toString).sorted
     val s2 = Dedup.minhashSignaturesFast(d, "doc_id", "text").collect().map(_.toString).sorted
     assert(s1.sameElements(s2) && s1.nonEmpty)
+    // the narrow one-pass kernel == the exploded min(xxhash64(j, sh)) agg
+    val s3 = Dedup.minhashSignaturesFastAgg(d, "doc_id", "text").collect().map(_.toString).sorted
+    assert(s1.sameElements(s3))
+    // and its plan is shuffle-free (signatures at scan speed)
+    val p = Dedup.minhashSignaturesFast(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Generate"), p.take(1200))
     // identical texts -> identical signatures -> paired
     val dup = Seq(("a", "x y z w v"), ("b", "x y z w v"), ("c", "totally different words here")).toDF("doc_id", "text")
     val pairs = Dedup.lshCandidatePairsFast(dup, "doc_id", "text").collect()
