@@ -164,6 +164,24 @@ object Dedup {
         (0 until width).map(b => when(col(s"sv$b") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
+  /** SimHash scale path: [[graft.expr.SimHash64Of]] — the whole
+    * fingerprint in one narrow pass per document (no token explode, no
+    * shuffle), xxhash64 votes, long output. The md5 form above stays
+    * for cross-engine oracle parity.
+    */
+  def simhashFast(df: DataFrame, idCol: String, textCol: String,
+                  width: Int = 64): DataFrame =
+    df.select(col(idCol),
+      graft.expr.SimHash64Of(col(textCol), width).as("simhash64"))
+
+  /** Content fingerprint scale path: min xxhash64 over distinct
+    * 5-shingles = a 1-salt [[graft.expr.MinHashOf]] — narrow, one pass.
+    */
+  def fingerprintFast(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 5): DataFrame =
+    df.select(col(idCol),
+      graft.expr.MinHashOf(col(textCol), shingleN, 1).getItem(0).as("fp64"))
+
   /** n-gram Jaccard over a banded candidate set (same group, bounded id
     * distance) — the verification stage after LSH candidate generation.
     */

@@ -117,6 +117,29 @@ class OpsSpec extends AnyFunSuite {
       .count() == 8L * 7 / 2)
   }
 
+  test("graft_simhash narrow kernel == exploded xxhash64 vote formulation") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = Dedup.simhashFast(d, "doc_id", "text", width = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: explode distinct tokens, vote per bit, reassemble
+    val toks = d.select(col("doc_id"), explode(expr(
+        s"array_distinct(split(text, '${Dedup.TokenSplitSql}'))")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 16).map(b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"v$b"))
+    val slow = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .collect().map { r =>
+        var fp = 0L
+        for (b <- 0 until 16) if (r.getLong(b + 1) > 0) fp |= (1L << b)
+        r.getLong(0) -> fp
+      }.toMap
+    assert(fast == slow && fast.nonEmpty)
+    // identical docs -> identical fingerprints; fingerprintFast sane
+    val fp = Dedup.fingerprintFast(d, "doc_id", "text").collect()
+    assert(fp.length == d.count())
+  }
+
   test("graft_dot Expression is bit-identical to the HOF dot product") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
