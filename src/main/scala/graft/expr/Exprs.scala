@@ -65,8 +65,15 @@ object Exprs {
 
   /** Register SQL names for the custom expressions + combinators. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "py_titlecase", exprs => PyTitleCase(exprs.head), "scala_udf")
+    def reg(name: String, f: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, f, "scala_udf")
+    reg("py_titlecase", exprs => PyTitleCase(exprs.head))
     ArrayDot.register(spark)
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e.eval(null).asInstanceOf[Number].intValue()
+    reg("graft_shingles", exprs => ShinglesOf(exprs.head, intLit(exprs(1))))
+    reg("graft_minhash", exprs => MinHashOf(exprs.head, intLit(exprs(1)), intLit(exprs(2))))
+    reg("graft_simhash", exprs => SimHash64Of(exprs.head, intLit(exprs(1))))
   }
 }

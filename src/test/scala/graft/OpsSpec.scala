@@ -140,6 +140,19 @@ class OpsSpec extends AnyFunSuite {
     assert(fp.length == d.count())
   }
 
+  test("custom expressions resolve by SQL name after register()") {
+    graft.expr.Exprs.register(spark)
+    val r = spark.sql(
+      """SELECT py_titlecase('aktuelle probe') AS t,
+        |  graft_shingles('a b c d', 3) AS sh,
+        |  graft_minhash('a b c d', 3, 4) AS mh,
+        |  graft_simhash('a b c d', 16) AS sm""".stripMargin).head()
+    assert(r.getString(0) == "Aktuelle Probe")
+    assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(r.getSeq[Long](2).length == 4)
+    assert(r.getLong(3) >= 0L && r.getLong(3) < (1L << 16))
+  }
+
   test("graft_dot Expression is bit-identical to the HOF dot product") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
