@@ -786,6 +786,24 @@ object Queries {
        |LIMIT 10""".stripMargin
   }
 
+  /** Q28 — CUBE over (returnflag, linestatus) with grouping_id: the
+    * multi-dimensional rollup shape of a metrics/reporting layer (A8
+    * extension; Spark's grouping_id bitmask == DuckDB's GROUPING()).
+    */
+  def q28CubeMetrics(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "lineitem"))
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        expr("cast(round(sum(l_quantity) * 100) as bigint)").as("sum_qty_c"),
+        count(lit(1)).as("n"))
+
+  val q28Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_c,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -817,7 +835,8 @@ object Queries {
     ("q24_fingerprint", q24Fingerprint _, Some(q24Sql)),
     ("q25_multimodal_stub", q25MultimodalStub _, Some(q25Sql)),
     ("q26_make_id", q26MakeId _, None),
-    ("q27_ivf_kmeans", q27IvfKmeans _, None))
+    ("q27_ivf_kmeans", q27IvfKmeans _, None),
+    ("q28_cube_metrics", q28CubeMetrics _, Some(q28Sql)))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live
