@@ -804,6 +804,45 @@ object Queries {
       |  count(*) AS n
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Q29 — event-time tumbling-window aggregation (the batch form of
+    * the streaming watermarked windows, graft.streaming
+    * .StreamingWindows): Spark `window()` == DuckDB `time_bucket`.
+    * Window bounds emitted as epoch seconds (BIGINT) for the
+    * type-stable hash.
+    */
+  def q29EventWindows(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "events"))
+      .withColumn("tts", col("ts").cast("timestamp"))
+      .groupBy(window(col("tts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("w_start_s"),
+        unix_timestamp(col("window.end")).as("w_end_s"),
+        col("event_type"), col("n"))
+
+  val q29Sql: String =
+    """SELECT CAST(epoch(time_bucket(INTERVAL '1 minute', ts)) AS BIGINT) AS w_start_s,
+      |  CAST(epoch(time_bucket(INTERVAL '1 minute', ts)) + 60 AS BIGINT) AS w_end_s,
+      |  event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  /** Q30 — exact interpolated percentiles per group (Spark `percentile`
+    * == DuckDB `quantile_cont`), micro-scaled to BIGINT.
+    */
+  def q30Percentiles(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "lineitem"))
+      .groupBy("l_returnflag")
+      .agg(
+        expr("cast(round(1000000.0 * percentile(l_quantity, 0.5)) as bigint)").as("p50_u"),
+        expr("cast(round(1000000.0 * percentile(l_quantity, 0.9)) as bigint)").as("p90_u"),
+        expr("cast(round(1000000.0 * percentile(l_extendedprice, 0.99)) as bigint)").as("price_p99_u"))
+
+  val q30Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(round(1000000.0 * quantile_cont(l_quantity, 0.5)) AS BIGINT) AS p50_u,
+      |  CAST(round(1000000.0 * quantile_cont(l_quantity, 0.9)) AS BIGINT) AS p90_u,
+      |  CAST(round(1000000.0 * quantile_cont(l_extendedprice, 0.99)) AS BIGINT) AS price_p99_u
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -836,7 +875,9 @@ object Queries {
     ("q25_multimodal_stub", q25MultimodalStub _, Some(q25Sql)),
     ("q26_make_id", q26MakeId _, None),
     ("q27_ivf_kmeans", q27IvfKmeans _, None),
-    ("q28_cube_metrics", q28CubeMetrics _, Some(q28Sql)))
+    ("q28_cube_metrics", q28CubeMetrics _, Some(q28Sql)),
+    ("q29_event_windows", q29EventWindows _, Some(q29Sql)),
+    ("q30_percentiles", q30Percentiles _, Some(q30Sql)))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live
