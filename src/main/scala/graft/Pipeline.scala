@@ -305,4 +305,31 @@ object StreamingPipeline {
       .option("path", outDir)
       .start()
   }
+
+  /** Streaming into the SAME salted, pred-bucketed triples table layout
+    * as the batch [[Pipeline.writeTriples]], via foreachBatch, with the
+    * doc-commit sidecar appended per micro-batch — so a streaming
+    * ingest, a batch backfill, and `--resume` all interoperate on one
+    * table. The checkpoint makes re-delivered micro-batches idempotent
+    * in effect: the pipeline is deterministic, so a replayed batch
+    * appends byte-identical rows for doc_ids already in the sidecar and
+    * the resume anti-join still sees each doc once.
+    */
+  def startBucketed(spark: SparkSession, docsDir: String, outDir: String,
+                    checkpointDir: String,
+                    dict: org.apache.spark.broadcast.Broadcast[graft.link.UnitDict]): StreamingQuery = {
+    implicit val docEnc = Encoders.product[graft.ingest.Doc]
+    val docSchema = Encoders.product[graft.ingest.Doc].schema
+    val docs: Dataset[graft.ingest.Doc] = spark.readStream
+      .schema(docSchema).parquet(docsDir).as[graft.ingest.Doc]
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[graft.ingest.Doc], _: Long) =>
+        val ts = Pipeline.triples(batch, dict)
+        Pipeline.writeTriples(ts, outDir, org.apache.spark.sql.SaveMode.Append)
+        Pipeline.commitDocIds(batch, outDir)
+      }
+      .start()
+  }
 }

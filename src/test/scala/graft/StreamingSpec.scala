@@ -29,6 +29,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming foreachBatch into the bucketed table == batch layout; resume sees it") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sbucket").toString
+    val docs = SynthCorpus.corpus(spark, 24)
+    docs.write.parquet(s"$base/docs")
+    val dict = Pipeline.broadcastDict(spark)
+    val q = StreamingPipeline.startBucketed(spark, s"$base/docs", s"$base/t", s"$base/ckpt", dict)
+    q.awaitTermination()
+    // identical rows AND identical physical layout keys as the batch writer
+    val streamed = spark.read.parquet(s"$base/t")
+    assert(streamed.columns.contains("pred_bucket"))
+    val batchRows = Pipeline.triples(docs, dict).collect()
+      .map(t => (t.doc_id, t.subj, t.pred, t.obj)).sorted
+    val streamRows = streamed.select("doc_id", "subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).sorted
+    assert(streamRows.toVector == batchRows.toVector)
+    // the per-batch doc commits make resume a no-op over the same corpus
+    assert(Pipeline.resumeFilter(docs, spark, s"$base/t").count() == 0)
+  }
+
   test("watermarked windowed aggregation == batch over emitted windows") {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("swin").toString
