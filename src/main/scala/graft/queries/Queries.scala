@@ -843,6 +843,55 @@ object Queries {
       |  CAST(round(1000000.0 * quantile_cont(l_extendedprice, 0.99)) AS BIGINT) AS price_p99_u
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Q31 — pivot: per-user event counts spread across event-type
+    * columns (reporting shape). Pivot values pinned (deterministic
+    * schema; the oracle mirrors with conditional aggregation).
+    */
+  def q31Pivot(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "events"))
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "error"))
+      .agg(count(lit(1)))
+      .select(col("user_id"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("view"), lit(0L)).as("n_view"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("error"), lit(0L)).as("n_error"))
+
+  val q31Sql: String =
+    """SELECT user_id,
+      |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+      |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+      |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+      |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Q32 — set operations: INTERSECT / EXCEPT (distinct semantics) over
+    * customer keys from two derivations (SURVEY §2.7).
+    */
+  def q32SetOps(s: SparkSession, dir: String): DataFrame = {
+    val withOrders = s.read.parquet(p(dir, "orders"))
+      .select(col("o_custkey").as("custkey"))
+    val bigSpenders = s.read.parquet(p(dir, "orders"))
+      .filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey").as("custkey"))
+    val both = withOrders.intersect(bigSpenders)
+      .withColumn("tag", lit("both"))
+    val smallOnly = withOrders.except(bigSpenders)
+      .withColumn("tag", lit("small_only"))
+    both.unionByName(smallOnly)
+      .groupBy("tag").agg(count(lit(1)).as("n"), min("custkey").as("min_key"))
+  }
+
+  val q32Sql: String =
+    """WITH w AS (SELECT o_custkey AS custkey FROM orders),
+      |b AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000),
+      |u AS (
+      |  SELECT custkey, 'both' AS tag FROM (SELECT custkey FROM w INTERSECT SELECT custkey FROM b)
+      |  UNION ALL
+      |  SELECT custkey, 'small_only' AS tag FROM (SELECT custkey FROM w EXCEPT SELECT custkey FROM b))
+      |SELECT tag, count(*) AS n, min(custkey) AS min_key FROM u GROUP BY 1""".stripMargin
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -877,7 +926,9 @@ object Queries {
     ("q27_ivf_kmeans", q27IvfKmeans _, None),
     ("q28_cube_metrics", q28CubeMetrics _, Some(q28Sql)),
     ("q29_event_windows", q29EventWindows _, Some(q29Sql)),
-    ("q30_percentiles", q30Percentiles _, Some(q30Sql)))
+    ("q30_percentiles", q30Percentiles _, Some(q30Sql)),
+    ("q31_pivot", q31Pivot _, Some(q31Sql)),
+    ("q32_setops", q32SetOps _, Some(q32Sql)))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live
