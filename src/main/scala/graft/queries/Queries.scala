@@ -892,6 +892,45 @@ object Queries {
       |  SELECT custkey, 'small_only' AS tag FROM (SELECT custkey FROM w EXCEPT SELECT custkey FROM b))
       |SELECT tag, count(*) AS n, min(custkey) AS min_key FROM u GROUP BY 1""".stripMargin
 
+  /** Q33 — as-of join ([[graft.ops.AsOfJoin]]): for every purchase, the
+    * latest click at-or-before it by the same user. The oracle mirrors
+    * the union + carry-forward window exactly (DuckDB's ASOF JOIN is
+    * nondeterministic on timestamp ties; the window form is total).
+    */
+  def q33AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(p(dir, "events"))
+      .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp_ltz))"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    graft.ops.AsOfJoin.asOf(purchases, clicks, "user_id", "ts_us", "event_id")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        // no-prior-click -> -1 sentinel (null-free output keeps the
+        // driver's hash compare rendering-independent)
+        coalesce(col("asof_ts"), lit(-1L)).as("click_ts_us"),
+        coalesce(col("asof_tie"), lit(-1L)).as("click_event_id"))
+  }
+
+  val q33Sql: String =
+    """WITH tagged AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+      |  FROM events WHERE event_type IN ('purchase', 'click')
+      |), carried AS (
+      |  SELECT user_id, ts_us, event_id, side,
+      |    last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS)
+      |      OVER w AS click_ts_us,
+      |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+      |      OVER w AS click_event_id
+      |  FROM tagged
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+      |               ROWS UNBOUNDED PRECEDING))
+      |SELECT user_id, ts_us, event_id,
+      |  coalesce(click_ts_us, -1) AS click_ts_us,
+      |  coalesce(click_event_id, -1) AS click_event_id
+      |FROM carried WHERE side = 1""".stripMargin
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -928,7 +967,8 @@ object Queries {
     ("q29_event_windows", q29EventWindows _, Some(q29Sql)),
     ("q30_percentiles", q30Percentiles _, Some(q30Sql)),
     ("q31_pivot", q31Pivot _, Some(q31Sql)),
-    ("q32_setops", q32SetOps _, Some(q32Sql)))
+    ("q32_setops", q32SetOps _, Some(q32Sql)),
+    ("q33_asof_join", q33AsofJoin _, Some(q33Sql)))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live

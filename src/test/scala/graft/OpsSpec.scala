@@ -117,6 +117,33 @@ class OpsSpec extends AnyFunSuite {
       .count() == 8L * 7 / 2)
   }
 
+  test("as-of join: >= match, deterministic tie, null when no prior, one shuffle") {
+    import spark.implicits._
+    val right = Seq( // clicks: (user, ts, id)
+      ("u1", 10L, 100L), ("u1", 20L, 101L), ("u1", 20L, 102L), ("u2", 5L, 200L)
+    ).toDF("user_id", "ts_us", "event_id")
+    val left = Seq( // purchases
+      ("u1", 15L, 900L), // matches ts=10
+      ("u1", 20L, 901L), // equal ts: matches, tie -> larger event_id 102
+      ("u1", 25L, 902L), // matches ts=20 id 102
+      ("u2", 1L, 903L),  // nothing prior -> null
+      ("u3", 9L, 904L)   // key with no right rows -> null
+    ).toDF("user_id", "ts_us", "event_id")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts_us", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3),
+         if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out(("u1", 900L)) == ((10L, 100L)))
+    assert(out(("u1", 901L)) == ((20L, 102L)))
+    assert(out(("u1", 902L)) == ((20L, 102L)))
+    assert(out(("u2", 903L)) == ((-1L, -1L)))
+    assert(out(("u3", 904L)) == ((-1L, -1L)))
+    val p = AsOfJoin.asOf(left, right, "user_id", "ts_us", "event_id")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+    assert(!p.contains("Join"), "must not be a range/self join")
+  }
+
   test("connected components + survivor selection over near-dup pairs") {
     import spark.implicits._
     // chain a-b-c, triangle x-y-z (plus redundant edge), pair p-q

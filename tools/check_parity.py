@@ -33,7 +33,9 @@ for name in sorted(os.listdir(out)):
             if isinstance(v, float):
                 return round(v, 9)
             return v
-        return sorted(tuple(nv(r[i]) for i in order) for r in rows)
+        def key(t):
+            return tuple((v is None, v) for v in t)
+        return sorted((tuple(nv(r[i]) for i in order) for r in rows), key=key)
     ok_cols = sorted(cols) == sorted(wcols)
     # The driver hash is TYPE-sensitive (r01: DuckDB HUGEINT sum() vs
     # Spark BIGINT hashed differently despite equal values) — compare
