@@ -21,7 +21,7 @@ class EntrySpec extends AnyFunSuite {
 
   test("every registered query runs and every oracle has a query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size >= 27)
+    assert(SparkEntry.queries.size >= 33)
   }
 
   test("dynamic oracles build once the sf dir is set (the Verify path)") {
