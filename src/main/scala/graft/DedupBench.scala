@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end near-duplicate dedup benchmark on the scale path:
+  * narrow one-pass MinHash (graft_minhash) -> capped LSH candidate
+  * pairs -> connected components -> survivor selection. Deterministic
+  * synthetic corpus with an injected 1-in-`dupGroup` duplication rate,
+  * so correctness is checkable (survivors == distinct texts) while
+  * throughput is measured.
+  *
+  *   runMain graft.DedupBench [nDocs] [lowCpus] [highCpus] [dupGroup]
+  */
+object DedupBench {
+
+  def corpus(spark: SparkSession, n: Long, dupGroup: Int): DataFrame = {
+    import spark.implicits._
+    // docs i in the same group of `dupGroup` share one text
+    spark.range(n).map { i =>
+      (f"doc-$i%012d", graft.ingest.SynthCorpus.docText(i - i % dupGroup))
+    }.toDF("doc_id", "text")
+  }
+
+  def run(cpus: Int, nDocs: Long, dupGroup: Int): (Double, Long) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-dedup-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val docs = corpus(spark, nDocs, dupGroup)
+      val t0 = System.nanoTime()
+      val pairs = graft.ops.Dedup.lshCandidatePairsFast(docs, "doc_id", "text")
+      val survivors = graft.ops.Dedup.dedupByComponents(docs, "doc_id", pairs)
+      val kept = survivors.count()
+      ((System.nanoTime() - t0) / 1e9, kept)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toLong else 200000L
+    val lo = if (args.length > 1) args(1).toInt else 8
+    val hi = if (args.length > 2) args(2).toInt else 32
+    val dupGroup = if (args.length > 3) args(3).toInt else 5
+    run(lo, 5000, dupGroup) // warmup
+    val (tLo, keptLo) = run(lo, nDocs, dupGroup)
+    val (tHi, keptHi) = run(hi, nDocs, dupGroup)
+    val expected = (0L until nDocs).map(i => i - i % dupGroup).distinct.size
+    val eff = (tLo / tHi) / (hi.toDouble / lo)
+    println(f"""{"metric":"dedup_docs_per_sec","value":${nDocs / tHi}%.1f,"unit":"docs/sec","docs":$nDocs,"dup_group":$dupGroup,"survivors":$keptHi,"expected_survivors":$expected,"t_low_sec":$tLo%.1f,"t_high_sec":$tHi%.1f,"low_cpus":$lo,"high_cpus":$hi,"scaling_efficiency":$eff%.3f,"identical_survivors":${keptLo == keptHi}}""")
+  }
+}
