@@ -203,17 +203,44 @@ object Dedup {
     * propagation: every vertex's label converges to the minimum id
     * reachable from it; each iteration is one union + one min-groupBy
     * (converges in O(diameter) iterations; near-dup clusters are
-    * shallow, so `maxIter` 10 covers any realistic corpus — a `log()`
-    * is emitted via the return flag if it did not converge).
+    * shallow, so `maxIter` 10 covers any realistic corpus). Logs a
+    * warning on non-convergence; use [[connectedComponentsFlagged]]
+    * when the caller needs the flag programmatically.
     *
     * Input: (id1, id2) pairs. Output: (id, component) where component =
     * min id of the cluster. Deterministic.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id1"), col("id2"))
-      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame =
+    connectedComponentsFlagged(pairs, maxIter)._1
+
+  /** [[connectedComponents]] + a convergence flag (false = maxIter hit
+    * with labels still changing: clusters of diameter > maxIter come
+    * back split, and survivor selection keeps extra docs).
+    *
+    * Scale guards:
+    *  - the (possibly expensive) upstream pair pipeline is evaluated
+    *    exactly ONCE: edges materialize via a single explode pass over
+    *    `pairs` (not a self-union that evaluates the subtree twice) and
+    *    are persisted for the loop (OpsSpec pins one evaluation with an
+    *    accumulator);
+    *  - every iteration's label table is `localCheckpoint`ed (eager),
+    *    truncating the lineage so round k does not replay rounds 1..k-1
+    *    on recomputation and the plan does not grow with the iteration
+    *    count.
+    */
+  def connectedComponentsFlagged(pairs: DataFrame,
+                                 maxIter: Int = 10): (DataFrame, Boolean) = {
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id1"), col("id2")),
+        struct(col("id2").as("id1"), col("id1").as("id2")))).as("e"))
+      .select(col("e.id1").as("id1"), col("e.id2").as("id2"))
+      .persist()
+    // eager localCheckpoint: materializes `edges` into the cache once and
+    // cuts the pair pipeline out of every later plan
     var labels = edges.select(col("id1").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -224,7 +251,7 @@ object Dedup {
       val next = labels.select(col("id"), col("component"))
         .union(viaNeighbors)
         .groupBy("id").agg(min("component").as("component"))
-        .persist()
+        .localCheckpoint() // eager: lineage truncated, result cached
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") < col("old")).count()
       labels.unpersist()
@@ -232,7 +259,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    labels
+    edges.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents: not converged after $maxIter iterations; " +
+          "clusters deeper than maxIter are split — raise maxIter")
+    (labels, converged)
   }
 
   /** Survivor selection: one canonical doc per near-dup cluster (the
@@ -255,6 +287,16 @@ object Dedup {
     * bucket (deterministic first-by-id via a streaming row_number
     * window) so one degenerate bucket cannot go quadratic — the same
     * guards as [[lshCandidatePairs]].
+    *
+    * Memory shape: the pair expansion computes the cosine INSIDE the
+    * pair lambda and emits only (id1, id2, cos) structs — the vectors
+    * never enter the expanded array, so the single pre-explode value is
+    * O(maxBucket^2) ids+doubles (~20 MB at the 1024 cap), not
+    * O(maxBucket^2 * dim) floats (~1 GB at dim 256 — a task OOM on
+    * exactly the degenerate buckets the cap exists for). Norms are
+    * computed once per item (codegen graft_dot) before the group-agg;
+    * the in-lambda dot is the HOF form, bit-identical to graft_dot
+    * (pinned by OpsSpec), so results match the previous recipe exactly.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         nPlanes: Int, threshold: Double,
@@ -265,17 +307,21 @@ object Dedup {
       .partitionBy("bucket").orderBy(idCol)
     bucketed
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= maxBucket)
+      .withColumn("nrm", sqrt(Similarity.dot(col(vecCol), col(vecCol))))
       .groupBy("bucket")
       .agg(array_sort(collect_list(
-        struct(col(idCol).as("id"), col(vecCol).as("v")))).as("items"))
+        struct(col(idCol).as("id"), col(vecCol).as("v"), col("nrm")))).as("items"))
       .filter(size(col("items")) > 1)
       .select(explode(expr(
         """flatten(transform(items, (a, i) ->
           |  transform(slice(items, i + 2, size(items)),
           |            b -> named_struct('id1', a.id, 'id2', b.id,
-          |                              'v1', a.v, 'v2', b.v))))""".stripMargin)).as("pr"))
-      .withColumn("cos", Similarity.cosine(col("pr.v1"), col("pr.v2")))
-      .filter(col("cos") >= threshold)
-      .select(col("pr.id1").as("id1"), col("pr.id2").as("id2"), col("cos"))
+          |      'cos', aggregate(zip_with(a.v, b.v,
+          |               (x, y) -> cast(x as double) * cast(y as double)),
+          |               cast(0 as double), (acc, p) -> acc + p)
+          |             / (a.nrm * b.nrm)))))""".stripMargin)).as("pr"))
+      .filter(col("pr.cos") >= threshold)
+      .select(col("pr.id1").as("id1"), col("pr.id2").as("id2"),
+        col("pr.cos").as("cos"))
   }
 }

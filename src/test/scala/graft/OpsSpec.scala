@@ -166,6 +166,40 @@ class OpsSpec extends AnyFunSuite {
     assert(cc.sameElements(Array("c0")))
   }
 
+  test("connectedComponents evaluates the upstream pair pipeline exactly once") {
+    import spark.implicits._
+    // the pair pipeline (in production: the whole LSH signature ->
+    // bucket -> expansion subtree) is instrumented with an accumulator;
+    // label propagation must not re-execute it per round
+    val acc = spark.sparkContext.longAccumulator("pairEvals")
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDS()
+      .map { t => acc.add(1); t }.toDF("id1", "id2")
+    val (labels, converged) = Dedup.connectedComponentsFlagged(pairs, maxIter = 10)
+    val comps = labels.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(converged)
+    assert(comps == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    assert(acc.value == 3, s"pair subtree evaluated ${acc.value / 3.0}x")
+    // a chain deeper than maxIter must report non-convergence
+    val chain = (0 until 7).map(i => (s"c$i", s"c${i + 1}")).toDF("id1", "id2")
+    assert(!Dedup.connectedComponentsFlagged(chain, maxIter = 2)._2)
+    assert(Dedup.connectedComponentsFlagged(chain, maxIter = 10)._2)
+  }
+
+  test("embeddingNearDups: degenerate bucket at dim 256 / maxBucket 1024 fits task memory") {
+    import spark.implicits._
+    // 1,100 near-identical dim-256 vectors all land in ONE sign bucket:
+    // carrying both vectors through the pair array would be ~1 GB in a
+    // single value; the (id1, id2, cos)-only expansion stays ~20 MB.
+    val dim = 256
+    val rows = (0L until 1100L).map { i =>
+      (i, Array.tabulate(dim)(j => 1.0f + 0.001f * ((i * 31 + j) % 7)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val nd = Dedup.embeddingNearDups(df, "vec_id", "embedding",
+      nPlanes = 4, threshold = 0.9, maxBucket = 1024)
+    assert(nd.count() == 1024L * 1023 / 2)
+  }
+
   test("graft_simhash narrow kernel == exploded xxhash64 vote formulation") {
     import spark.implicits._
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
