@@ -240,9 +240,14 @@ object Pipeline {
     * snapshot-commit half of resume. One tiny parquet append per run
     * (one row per DOC, not per triple): at 10^12 docs the resume
     * anti-join reads this sidecar, never the 500x-larger triple table.
-    * Write-then-commit ordering gives crash safety: dying between the
-    * two leaves docs unrecorded and they are re-done idempotently
-    * (output is deterministic, so the re-write is byte-identical).
+    *
+    * Write-then-commit is NOT atomic across the two directories: a
+    * crash between them (or an at-least-once foreachBatch replay)
+    * leaves committed triples with no sidecar row, and a parquet
+    * re-append would DUPLICATE those rows. [[resumeFilter]]'s default
+    * reconcile pass closes exactly that window (and self-heals the
+    * sidecar); periodic [[compactCommits]] keeps the sidecar a handful
+    * of files instead of one-per-micro-batch.
     */
   def commitDocIds(docs: Dataset[Doc], triplesDir: String,
                    mode: SaveMode = SaveMode.Append): Unit = {
@@ -252,23 +257,90 @@ object Pipeline {
   }
 
   /** Checkpoint resume: drop docs whose triples are already
-    * materialized. Prefers the compact commit sidecar (see
-    * [[commitDocIds]]); falls back to a distinct over the triple table
-    * for directories written before the sidecar existed.
+    * materialized.
+    *
+    * `reconcile = true` (default — crash-consistent): docs are dropped
+    * if they appear in the commit sidecar OR already have triples in
+    * the table, so a crash between [[writeTriples]] and
+    * [[commitDocIds]] can never re-append a doc's triples. The
+    * table-side doc_ids found missing from the sidecar are appended to
+    * it (self-heal), so the reconcile scan re-reads only the
+    * column-pruned doc_id column once per recovery, not the payload.
+    *
+    * `reconcile = false` (fast path): sidecar only — one tiny scan at
+    * any corpus size. Safe when the previous run is known to have
+    * completed its commit step (clean shutdown, or a catalog with
+    * atomic multi-table commits such as Iceberg).
     */
   def resumeFilter(docs: Dataset[Doc], spark: SparkSession,
-                   triplesDir: String): Dataset[Doc] = {
+                   triplesDir: String, reconcile: Boolean = true): Dataset[Doc] = {
     import spark.implicits._
-    val done =
-      try spark.read.parquet(commitsDir(triplesDir)).select("doc_id")
-      catch {
-        case _: Exception =>
-          try spark.read.parquet(triplesDir).select("doc_id").distinct()
-          catch { case _: Exception => return docs }
-      }
+    val sidecar =
+      try Some(spark.read.parquet(commitsDir(triplesDir)).select("doc_id"))
+      catch { case _: Exception => None }
+    val table =
+      if (reconcile || sidecar.isEmpty)
+        try Some(spark.read.parquet(triplesDir).select("doc_id").distinct())
+        catch { case _: Exception => None }
+      else None
+    // self-heal the sidecar: ids whose triples are committed but were
+    // never recorded (crash window / replayed micro-batch)
+    (sidecar, table) match {
+      case (Some(s), Some(t)) =>
+        val missing = t.join(s.withColumnRenamed("doc_id", "done_id"),
+          t("doc_id") === col("done_id"), "left_anti")
+        if (!missing.isEmpty)
+          missing.write.mode(SaveMode.Append).parquet(commitsDir(triplesDir))
+      case _ => ()
+    }
+    val done = (sidecar, table) match {
+      case (Some(s), Some(t)) => s.union(t).distinct()
+      case (Some(s), None)    => s
+      case (None, Some(t))    => t
+      case (None, None)       => return docs
+    }
     docs.join(done.withColumnRenamed("doc_id", "done_id"),
         docs("doc_id") === col("done_id"), "left_anti")
       .as[Doc]
+  }
+
+  /** Compact the doc-commit sidecar: the streaming writer appends one
+    * tiny parquet file per micro-batch ([[StreamingPipeline
+    * .startBucketed]]), so at 10^12 docs the resume anti-join's
+    * file-listing would dominate. Rewrites the sidecar as sorted,
+    * range-partitioned files of ~`targetRowsPerFile` ids.
+    *
+    * Crash-safe without a rename-atomic filesystem: (1) snapshot the
+    * current file list, (2) write the compacted copy to a temp dir,
+    * (3) move the compacted files IN, (4) delete the snapshotted
+    * originals. After any prefix of these steps the directory holds a
+    * SUPERSET of the ids committed before the snapshot (duplicate ids
+    * are harmless to the anti-join), and files appended concurrently
+    * after the snapshot are never touched.
+    */
+  def compactCommits(spark: SparkSession, triplesDir: String,
+                     targetRowsPerFile: Long = 32L * 1024 * 1024): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(commitsDir(triplesDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    def isData(p: Path) = !p.getName.startsWith("_") && !p.getName.startsWith(".")
+    val before = fs.listStatus(dir).filter(f => f.isFile && isData(f.getPath)).map(_.getPath)
+    if (before.length <= 1) return
+    val ids = spark.read.parquet(before.map(_.toString): _*)
+      .select("doc_id").distinct()
+    val parts = math.max(1L, ids.count() / targetRowsPerFile).toInt
+    val tmp = new Path(commitsDir(triplesDir) + "_compact_tmp")
+    fs.delete(tmp, true)
+    ids.repartitionByRange(parts, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    fs.listStatus(tmp).filter(f => f.isFile && isData(f.getPath))
+      .zipWithIndex.foreach { case (f, i) =>
+        fs.rename(f.getPath, new Path(dir, s"compact-$stamp-$i.parquet"))
+      }
+    before.foreach(p => fs.delete(p, false))
+    fs.delete(tmp, true)
   }
 }
 

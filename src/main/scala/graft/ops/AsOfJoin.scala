@@ -19,13 +19,17 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** leftDf/rightDf must share keyCol, tsCol and tieCol names. Returns
-    * the left rows + `asof_ts` / `asof_tie` columns from the matched
-    * right row (null when no right row precedes).
+    * ALL of the left side's columns + `asof_ts` / `asof_tie` from the
+    * matched right row (null when no right row precedes). Left payload
+    * columns ride through the union null-filled on the right side —
+    * no post-hoc re-join on a possibly non-unique (key, ts, tie)
+    * triple is needed. The right side's payload columns do not
+    * propagate (project them into `tieCol` or pre-join them on
+    * (key, asof_ts, asof_tie) if needed).
     */
   def asOf(leftDf: DataFrame, rightDf: DataFrame,
            keyCol: String, tsCol: String, tieCol: String): DataFrame = {
-    val left = leftDf.select(col(keyCol), col(tsCol), col(tieCol))
-      .withColumn("side", lit(1))
+    val left = leftDf.withColumn("side", lit(1))
     val right = rightDf.select(col(keyCol), col(tsCol), col(tieCol))
       .withColumn("side", lit(0))
     // right (side 0) sorts before left (side 1) at equal ts => >= match
@@ -34,10 +38,13 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rightTs: Column = when(col("side") === 0, col(tsCol))
     val rightTie: Column = when(col("side") === 0, col(tieCol))
-    right.unionByName(left)
+    // allowMissingColumns: left-only payload columns become null on the
+    // right-side rows (dropped again by the side filter)
+    right.unionByName(left, allowMissingColumns = true)
       .withColumn("asof_ts", last(rightTs, ignoreNulls = true).over(w))
       .withColumn("asof_tie", last(rightTie, ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .drop("side")
+      .select((leftDf.columns.map(col) :+ col("asof_ts") :+ col("asof_tie")): _*)
   }
 }

@@ -142,6 +142,14 @@ class OpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
     assert(!p.contains("Join"), "must not be a range/self join")
+    // left payload columns ride through (null-filled right side dropped)
+    val leftPay = left.withColumn("amount", col("event_id") * 2)
+    val withPay = AsOfJoin.asOf(leftPay, right, "user_id", "ts_us", "event_id")
+    assert(withPay.columns.toSeq ==
+      Seq("user_id", "ts_us", "event_id", "amount", "asof_ts", "asof_tie"))
+    val pay = withPay.collect()
+      .map(r => r.getLong(2) -> (r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(pay(900L) == ((1800L, 10L)) && pay(903L) == ((1806L, -1L)))
   }
 
   test("connected components + survivor selection over near-dup pairs") {

@@ -70,7 +70,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(remaining.toVector == (5L until 10L).map(SynthCorpus.docId).toVector)
   }
 
-  test("resume prefers the doc-commit sidecar over scanning the triple table") {
+  test("resume fast path (reconcile=false) scans only the doc-commit sidecar") {
     import spark.implicits._
     val dict = Pipeline.broadcastDict(spark)
     val dir = java.nio.file.Files.createTempDirectory("resume2").toString + "/t"
@@ -78,7 +78,7 @@ class PipelineSpec extends AnyFunSuite {
     val first = docs.filter($"doc_id" < "doc-000000000005")
     Pipeline.writeTriples(Pipeline.triples(first, dict), dir)
     Pipeline.commitDocIds(first, dir)
-    val remaining = Pipeline.resumeFilter(docs, spark, dir)
+    val remaining = Pipeline.resumeFilter(docs, spark, dir, reconcile = false)
     // sidecar path: the plan must scan <dir>_doc_commits, not the table
     val p = remaining.queryExecution.executedPlan.toString
     assert(p.contains("_doc_commits"), p.take(1500))
@@ -86,10 +86,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(remaining.collect().map(_.doc_id).sorted.toVector ==
       (5L until 10L).map(SynthCorpus.docId).toVector)
     // second increment: append commit, everything done
+    val rest = Pipeline.resumeFilter(docs, spark, dir, reconcile = false)
+    Pipeline.writeTriples(Pipeline.triples(rest, dict), dir,
+      org.apache.spark.sql.SaveMode.Append)
+    Pipeline.commitDocIds(rest, dir)
+    assert(Pipeline.resumeFilter(docs, spark, dir, reconcile = false).count() == 0)
+  }
+
+  test("resume reconcile closes the write/commit crash window and self-heals") {
+    import spark.implicits._
+    val dict = Pipeline.broadcastDict(spark)
+    val dir = java.nio.file.Files.createTempDirectory("resume3").toString + "/t"
+    val docs = SynthCorpus.corpus(spark, 10)
+    // triples written for docs 0-4 but the commit 'crashed' after 0-2:
+    // docs 3-4 have committed triples and no sidecar row
+    val first5 = docs.filter($"doc_id" < "doc-000000000005")
+    Pipeline.writeTriples(Pipeline.triples(first5, dict), dir)
+    Pipeline.commitDocIds(docs.filter($"doc_id" < "doc-000000000003"), dir)
+    // default (reconciling) resume must NOT reprocess 3-4 — a re-append
+    // would duplicate their triples
+    val remaining = Pipeline.resumeFilter(docs, spark, dir)
+    assert(remaining.collect().map(_.doc_id).sorted.toVector ==
+      (5L until 10L).map(SynthCorpus.docId).toVector)
+    // ...and it healed the sidecar: the fast path now agrees
+    assert(Pipeline.resumeFilter(docs, spark, dir, reconcile = false)
+      .collect().map(_.doc_id).sorted.toVector ==
+      (5L until 10L).map(SynthCorpus.docId).toVector)
+    // finish the corpus; the table must hold each doc's triples exactly once
     val rest = Pipeline.resumeFilter(docs, spark, dir)
     Pipeline.writeTriples(Pipeline.triples(rest, dict), dir,
       org.apache.spark.sql.SaveMode.Append)
     Pipeline.commitDocIds(rest, dir)
-    assert(Pipeline.resumeFilter(docs, spark, dir).count() == 0)
+    val table = spark.read.parquet(dir)
+    assert(table.count() == Pipeline.triples(docs, dict).count())
+    assert(table.select("doc_id", "subj", "pred", "obj").distinct().count() == table.count())
+  }
+
+  test("sidecar compaction: fewer files, same resume answer, crash-shaped leftovers tolerated") {
+    import spark.implicits._
+    val dict = Pipeline.broadcastDict(spark)
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val docs = SynthCorpus.corpus(spark, 12)
+    for (k <- 0 until 4) { // 4 separate commits -> >= 4 sidecar files
+      val slice = docs.filter($"doc_id" >= SynthCorpus.docId(3L * k) &&
+        $"doc_id" < SynthCorpus.docId(3L * k + 3))
+      Pipeline.writeTriples(Pipeline.triples(slice, dict), dir,
+        if (k == 0) org.apache.spark.sql.SaveMode.Overwrite
+        else org.apache.spark.sql.SaveMode.Append)
+      Pipeline.commitDocIds(slice, dir)
+    }
+    def dataFiles = new java.io.File(dir + "_doc_commits").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val nBefore = dataFiles.length
+    assert(nBefore >= 4)
+    Pipeline.compactCommits(spark, dir)
+    assert(dataFiles.length < nBefore)
+    assert(Pipeline.resumeFilter(docs, spark, dir, reconcile = false).count() == 0)
+    // a half-done compaction (compact copy moved in, originals not yet
+    // deleted = duplicate ids) must still resume correctly
+    Pipeline.commitDocIds(docs.filter($"doc_id" < SynthCorpus.docId(6)), dir)
+    assert(Pipeline.resumeFilter(docs, spark, dir, reconcile = false).count() == 0)
   }
 }

@@ -47,6 +47,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamRows.toVector == batchRows.toVector)
     // the per-batch doc commits make resume a no-op over the same corpus
     assert(Pipeline.resumeFilter(docs, spark, s"$base/t").count() == 0)
+    // compaction mid-stream: compact the sidecar, stream MORE docs into
+    // the same table+checkpoint, and resume still sees every doc
+    Pipeline.compactCommits(spark, s"$base/t")
+    val more = SynthCorpus.corpus(spark, 30).filter($"doc_id" >= SynthCorpus.docId(24))
+    more.write.mode("append").parquet(s"$base/docs")
+    val q2 = StreamingPipeline.startBucketed(spark, s"$base/docs", s"$base/t", s"$base/ckpt", dict)
+    q2.awaitTermination()
+    val all = SynthCorpus.corpus(spark, 30)
+    assert(Pipeline.resumeFilter(all, spark, s"$base/t", reconcile = false).count() == 0)
+    assert(spark.read.parquet(s"$base/t").select("doc_id", "subj", "pred", "obj")
+      .distinct().count() == spark.read.parquet(s"$base/t").count())
   }
 
   test("watermarked windowed aggregation == batch over emitted windows") {
