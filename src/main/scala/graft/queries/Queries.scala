@@ -931,6 +931,40 @@ object Queries {
       |  coalesce(click_event_id, -1) AS click_event_id
       |FROM carried WHERE side = 1""".stripMargin
 
+  /** Q34 — near-dup clustering end-to-end: LSH candidate pairs (the q16
+    * md5 recipe), connected-components label propagation
+    * ([[graft.ops.Dedup.connectedComponents]]), survivor selection
+    * (min-id per cluster; isolated docs survive as their own
+    * component). The oracle recomputes the components INDEPENDENTLY in
+    * DuckDB via a recursive transitive-closure CTE over the same pair
+    * set — it shares the pair recipe (already q16-verified), not the
+    * iteration scheme.
+    */
+  def q34DedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(p(dir, "documents"))
+    val comps = graft.ops.Dedup.connectedComponents(q16MinhashPairs(s, dir))
+      .withColumnRenamed("id", "doc_id")
+    d.select(col("doc_id")).join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        when(coalesce(col("component"), col("doc_id")) === col("doc_id"), 1L)
+          .otherwise(0L).as("survivor"))
+  }
+
+  val q34Sql: String =
+    s"""WITH RECURSIVE pairs AS ($q16Sql),
+       |edges AS (SELECT id1, id2 FROM pairs
+       |          UNION SELECT id2 AS id1, id1 AS id2 FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT id1, id1 FROM edges
+       |  UNION
+       |  SELECT e.id1, reach.r FROM edges e JOIN reach ON e.id2 = reach.id),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+       |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+       |  CAST(CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+       |       THEN 1 ELSE 0 END AS BIGINT) AS survivor
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -968,7 +1002,8 @@ object Queries {
     ("q30_percentiles", q30Percentiles _, Some(q30Sql)),
     ("q31_pivot", q31Pivot _, Some(q31Sql)),
     ("q32_setops", q32SetOps _, Some(q32Sql)),
-    ("q33_asof_join", q33AsofJoin _, Some(q33Sql)))
+    ("q33_asof_join", q33AsofJoin _, Some(q33Sql)),
+    ("q34_dedup_cluster", q34DedupCluster _, Some(q34Sql)))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live
