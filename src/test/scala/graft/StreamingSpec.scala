@@ -116,4 +116,51 @@ class StreamingSpec extends AnyFunSuite {
       .as[String].collect().sorted.toVector
     assert(kept == Vector("d1", "d2", "d5"), kept)
   }
+
+  test("TTL'd streaming dedup: state expires and the hash is re-admitted across restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("sdedupttl").toString
+    val docSchema = org.apache.spark.sql.Encoders.product[graft.ingest.Doc].schema
+    val ttlMs = 20000L
+    // Timeout-carrying state keeps scheduling micro-batches (that is how
+    // sweeps fire), so neither AvailableNow nor processAllAvailable()
+    // terminates on its own: run each leg for a fixed window and stop.
+    def runFor(sleepMs: Long): Unit = {
+      val docs = spark.readStream.schema(docSchema)
+        .parquet(s"$base/docs").as[graft.ingest.Doc]
+      val q = graft.streaming.StreamingDedup.dedupStreamTtl(docs, ttlMs)
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime(100))
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      Thread.sleep(sleepMs)
+      q.stop()
+      q.awaitTermination()
+    }
+    def doc(id: String, text: String) = graft.ingest.SpanCodec.encode(id, text)
+    // leg 1: admit hash(alpha beta); in-batch duplicate suppressed
+    spark.createDataset(Seq(
+      doc("t1", "alpha beta\n"), doc("t2", "alpha beta\n"))).write.parquet(s"$base/docs")
+    runFor(5000)
+    // leg 2 (restart, still within the 20 s TTL): duplicate suppressed
+    spark.createDataset(Seq(doc("t3", "alpha beta\n")))
+      .write.mode("append").parquet(s"$base/docs")
+    runFor(5000)
+    // let the admission expire, then leg 3's batches (UNRELATED data)
+    // fire the timeout sweep that removes the expired hash
+    Thread.sleep(ttlMs)
+    spark.createDataset(Seq(doc("t4", "unrelated text\n")))
+      .write.mode("append").parquet(s"$base/docs")
+    runFor(5000)
+    // leg 4: the same content is now RE-ADMITTED (expired + swept)
+    spark.createDataset(Seq(doc("t5", "alpha beta\n")))
+      .write.mode("append").parquet(s"$base/docs")
+    runFor(5000)
+    val kept = spark.read.parquet(s"$base/out").select("doc_id")
+      .as[String].collect().sorted.toVector
+    assert(kept == Vector("t1", "t4", "t5"), kept)
+  }
 }
