@@ -31,21 +31,120 @@ object EncodingSniff {
     if (bytes.length >= 2 &&
         ((bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte) ||
          (bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte))) return "utf-16"
+    // no-BOM UTF-16: alternating-NUL heuristic (ASCII-dominated payloads;
+    // chardet itself calls these 'ascii' — documented engine improvement,
+    // DIVERGENCES.md). Must run before the UTF-8 branch: NUL bytes are
+    // valid UTF-8.
+    utf16NoBomOf(bytes) match { case Some(e) => return e; case None => }
     val mb = multibyteUtf8Chars(bytes)
-    if (mb < 0) "latin-1" // invalid utf-8
-    else if (mb == 1) "latin-1" // UTF8Prober conf 0.505 < Latin1Prober
-    else "utf-8"
+    if (mb >= 2) return "utf-8"
+    if (mb == 1) return "latin-1" // UTF8Prober conf 0.505 < Latin1Prober
+    if (mb == 0) return "utf-8" // pure ASCII
+    // invalid UTF-8: chardet's multi-byte prober group (validity state
+    // machine + character-distribution analysis) beats Latin1Prober for
+    // real CJK text; otherwise Western single-byte -> latin-1
+    if (looksShiftJis(bytes)) "shift_jis"
+    else if (looksEucJp(bytes)) "euc-jp"
+    else "latin-1"
   }
 
   /** Decode with a label [[detect]] produced (or any charset name the
-    * reference accepts — latin-1/utf-8-sig aliases included).
+    * reference accepts — latin-1/utf-8-sig/python-style utf-16 aliases
+    * included).
     */
   def decode(bytes: Array[Byte], encoding: String): String = encoding match {
     case "utf-8-sig" =>
       new String(bytes, 3, bytes.length - 3, java.nio.charset.StandardCharsets.UTF_8)
     case "latin-1" =>
       new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    case "utf-16-le" =>
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_16LE)
+    case "utf-16-be" =>
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
     case other => new String(bytes, java.nio.charset.Charset.forName(other))
+  }
+
+  /** No-BOM UTF-16 heuristic: ASCII-heavy UTF-16 shows NULs on one byte
+    * parity and almost none on the other. Requires >= 10 even-length
+    * bytes, >= 30% NULs on the majority parity, and zero NULs on the
+    * minority parity (real UTF-8/single-byte text has no NULs at all,
+    * so false positives require adversarial input). CJK-only UTF-16
+    * payloads (few NUL high bytes) are not claimed — they fall through
+    * to the other probers.
+    */
+  def utf16NoBomOf(bytes: Array[Byte]): Option[String] = {
+    val n = bytes.length
+    if (n < 10 || n % 2 != 0) return None
+    var zEven = 0; var zOdd = 0
+    var i = 0
+    while (i < n) {
+      if (bytes(i) == 0) { if (i % 2 == 0) zEven += 1 else zOdd += 1 }
+      i += 1
+    }
+    val half = n / 2
+    if (zOdd >= half * 3 / 10 && zEven == 0) Some("utf-16-le")
+    else if (zEven >= half * 3 / 10 && zOdd == 0) Some("utf-16-be")
+    else None
+  }
+
+  /** Shift-JIS prober: strict structural validity (single 0x00-0x7F or
+    * 0xA1-0xDF half-width katakana; leads 0x81-0x9F / 0xE0-0xFC with
+    * trails 0x40-0x7E / 0x80-0xFC) + chardet-style distribution
+    * analysis: >= 2 double-byte chars and >= half of them in the
+    * hiragana/katakana/JIS-level-1-kanji lead rows (0x82-0x83,
+    * 0x88-0x9F) — which is what keeps latin-1 letter pairs like
+    * 0xFC 'f' ("Prüfzeit") from being claimed.
+    */
+  def looksShiftJis(bytes: Array[Byte]): Boolean = {
+    var i = 0; var mb = 0; var common = 0
+    val n = bytes.length
+    while (i < n) {
+      val b0 = bytes(i) & 0xFF
+      if (b0 <= 0x7F) i += 1
+      else if (b0 >= 0xA1 && b0 <= 0xDF) i += 1 // half-width katakana
+      else if ((b0 >= 0x81 && b0 <= 0x9F) || (b0 >= 0xE0 && b0 <= 0xFC)) {
+        if (i + 1 >= n) return false
+        val b1 = bytes(i + 1) & 0xFF
+        if (!((b1 >= 0x40 && b1 <= 0x7E) || (b1 >= 0x80 && b1 <= 0xFC))) return false
+        mb += 1
+        if ((b0 >= 0x82 && b0 <= 0x83) || (b0 >= 0x88 && b0 <= 0x9F)) common += 1
+        i += 2
+      } else return false // 0x80, 0xA0, 0xFD-0xFF
+    }
+    mb >= 2 && common * 2 >= mb
+  }
+
+  /** EUC-JP prober: structural validity (single 0x00-0x7F; 0x8E +
+    * 0xA1-0xDF; 0x8F + two 0xA1-0xFE; 0xA1-0xFE pairs) + distribution:
+    * >= 2 multibyte chars, >= half with lead in the hiragana/katakana/
+    * common-kanji rows (0xA4-0xA5, 0xB0-0xEE).
+    */
+  def looksEucJp(bytes: Array[Byte]): Boolean = {
+    var i = 0; var mb = 0; var common = 0
+    val n = bytes.length
+    while (i < n) {
+      val b0 = bytes(i) & 0xFF
+      if (b0 <= 0x7F) i += 1
+      else if (b0 == 0x8E) { // half-width katakana
+        if (i + 1 >= n) return false
+        val b1 = bytes(i + 1) & 0xFF
+        if (b1 < 0xA1 || b1 > 0xDF) return false
+        mb += 1; i += 2
+      } else if (b0 == 0x8F) { // JIS X 0212 three-byte
+        if (i + 2 >= n) return false
+        val b1 = bytes(i + 1) & 0xFF; val b2 = bytes(i + 2) & 0xFF
+        if (b1 < 0xA1 || b1 > 0xFE || b2 < 0xA1 || b2 > 0xFE) return false
+        mb += 1; i += 3
+      } else if (b0 >= 0xA1 && b0 <= 0xFE) {
+        if (i + 1 >= n) return false
+        val b1 = bytes(i + 1) & 0xFF
+        if (b1 < 0xA1 || b1 > 0xFE) return false
+        mb += 1
+        if (b0 == 0xA4 || b0 == 0xA5 || (b0 >= 0xB0 && b0 <= 0xEE)) common += 1
+        i += 2
+      } else return false
+    }
+    mb >= 2 && common * 2 >= mb
   }
 
   def isValidUtf8(bytes: Array[Byte]): Boolean = multibyteUtf8Chars(bytes) >= 0

@@ -42,6 +42,33 @@ class IngestSpec extends AnyFunSuite {
     assert(EncodingSniff.decode(junk, "latin-1").length == 256)
   }
 
+  test("multi-byte battery: Shift-JIS / EUC-JP / no-BOM UTF-16 probers") {
+    import java.nio.charset.{Charset, StandardCharsets}
+    val ja = "これは日本語のテキストです。天気は晴れです。データ処理を行います。"
+    def enc(s: String, cs: String) = s.getBytes(Charset.forName(cs))
+    // Japanese text: the validity+distribution probers claim it (chardet:
+    // SJISProber / EUCJPProber beat Latin1Prober on real CJK)
+    assert(EncodingSniff.detect(enc(ja, "Shift_JIS")) == "shift_jis")
+    assert(EncodingSniff.detect(enc(ja, "EUC-JP")) == "euc-jp")
+    assert(EncodingSniff.decode(enc(ja, "Shift_JIS"), "shift_jis") == ja)
+    assert(EncodingSniff.decode(enc(ja, "EUC-JP"), "euc-jp") == ja)
+    // UTF-8 Japanese still wins the UTF-8 branch
+    assert(EncodingSniff.detect(ja.getBytes(StandardCharsets.UTF_8)) == "utf-8")
+    // Western single-byte text is NOT claimed by the CJK probers, even
+    // when letter pairs are structurally valid SJIS (0xFC 'f' etc.)
+    assert(EncodingSniff.detect(enc("café résumé naïve über señor", "ISO-8859-1")) == "latin-1")
+    assert(EncodingSniff.detect(enc("Prüfzeit;Messlänge;größer\n", "ISO-8859-1")) == "latin-1")
+    // no-BOM UTF-16, both endiannesses (chardet calls these 'ascii';
+    // engine improvement, DIVERGENCES.md)
+    val csv = "name,temperature,unit\n1,23.5,deg\n"
+    assert(EncodingSniff.detect(csv.getBytes(StandardCharsets.UTF_16LE)) == "utf-16-le")
+    assert(EncodingSniff.detect(csv.getBytes(StandardCharsets.UTF_16BE)) == "utf-16-be")
+    assert(EncodingSniff.decode(csv.getBytes(StandardCharsets.UTF_16LE), "utf-16-le") == csv)
+    assert(EncodingSniff.decode(csv.getBytes(StandardCharsets.UTF_16BE), "utf-16-be") == csv)
+    // BOM'd UTF-16 still takes the BOM branch
+    assert(EncodingSniff.detect(("\uFEFF" + csv).getBytes(StandardCharsets.UTF_16LE)) == "utf-16")
+  }
+
   test("binaryFile + auto-detection reproduces every fixture doc and label") {
     val got = Ingest.fromCsvFilesDetected(spark,
         "/root/reference/examples/example*.csv").collect()
