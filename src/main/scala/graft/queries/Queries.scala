@@ -588,48 +588,53 @@ object Queries {
       |SELECT bucket, count(*) AS n, min(vec_id) AS min_vec
       |FROM buckets GROUP BY 1""".stripMargin
 
-  /** Q21 — language identification by stopword vote (first-wins order
-    * en > de > fr > es; 'und' for unknown/no hits).
+  /** Q21 — language identification by character-trigram profiles
+    * ([[graft.ops.LangNgram]]: rank-weighted top trigrams per language,
+    * deterministic Cavnar–Trenkle shape; tie priority en > de > fr >
+    * es; 'und' when no profile trigram occurs). The Spark side runs
+    * the NARROW one-pass scorer (trigram array bound once, single
+    * aggregate, no shuffle — the 100 TB shape); the oracle receives
+    * the same profile as a VALUES table and re-derives the scores
+    * independently via explode + join + pivot.
     */
   def q21Langid(s: SparkSession, dir: String): DataFrame = {
     val d = s.read.parquet(p(dir, "documents"))
-    // Bind the token array once in its own projection: CollapseProject
-    // keeps a non-cheap alias referenced >1x un-inlined, so the regex
-    // split runs once per row instead of once per language (plan-audited
-    // by PlanSpec).
-    def hits(ws: Seq[String]) = expr(
-      s"size(filter(toks, w -> w IN ${sqlList(ws)}))")
-    d.withColumn("toks", split(lower(col("text")), TokenSplitRe))
-      .select(col("doc_id"), col("lang").as("true_lang"),
-        hits(StopEn).as("h_en"), hits(StopDe).as("h_de"),
-        hits(StopFr).as("h_fr"), hits(StopEs).as("h_es"))
-      .withColumn("pred_lang",
-        when(greatest(col("h_en"), col("h_de"), col("h_fr"), col("h_es")) === 0, "und")
-          .when(col("h_en") >= greatest(col("h_de"), col("h_fr"), col("h_es")), "en")
-          .when(col("h_de") >= greatest(col("h_fr"), col("h_es")), "de")
-          .when(col("h_fr") >= col("h_es"), "fr")
-          .otherwise("es"))
-      .select(col("doc_id"), col("true_lang"), col("pred_lang"),
-        col("h_en").cast("long").as("h_en"), col("h_de").cast("long").as("h_de"),
-        col("h_fr").cast("long").as("h_fr"), col("h_es").cast("long").as("h_es"))
+    graft.ops.LangNgram.langIdNgram(
+        d.select(col("doc_id"), col("lang").as("true_lang"), col("text")), "text")
+      .select("doc_id", "true_lang", "pred_lang", "s_en", "s_de", "s_fr", "s_es")
   }
 
-  val q21Sql: String =
-    s"""WITH h AS (
-       |  SELECT doc_id, lang AS true_lang,
-       |    len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ${sqlList(StopEn)})) AS h_en,
-       |    len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ${sqlList(StopDe)})) AS h_de,
-       |    len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ${sqlList(StopFr)})) AS h_fr,
-       |    len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ${sqlList(StopEs)})) AS h_es
-       |  FROM documents)
+  val q21Sql: String = {
+    val values = graft.ops.LangNgram.Langs
+      .flatMap(l => graft.ops.LangNgram.Profiles(l).map { case (g, w) =>
+        s"('$l', '${g.replace("'", "''")}', $w)"
+      }).mkString(",\n    ")
+    s"""WITH prof(lang, gram, w) AS (VALUES
+       |    $values),
+       |tri AS (
+       |  SELECT d.doc_id, substr(' ' || lower(d.text) || ' ', CAST(t.i AS INT), 3) AS gram
+       |  FROM documents d, LATERAL unnest(generate_series(1, greatest(length(d.text), 1)))
+       |    AS t(i)),
+       |sc AS (
+       |  SELECT t.doc_id,
+       |    CAST(coalesce(sum(p.w) FILTER (p.lang = 'en'), 0) AS BIGINT) AS s_en,
+       |    CAST(coalesce(sum(p.w) FILTER (p.lang = 'de'), 0) AS BIGINT) AS s_de,
+       |    CAST(coalesce(sum(p.w) FILTER (p.lang = 'fr'), 0) AS BIGINT) AS s_fr,
+       |    CAST(coalesce(sum(p.w) FILTER (p.lang = 'es'), 0) AS BIGINT) AS s_es
+       |  FROM tri t JOIN prof p ON t.gram = p.gram GROUP BY 1),
+       |h AS (
+       |  SELECT d.doc_id, d.lang AS true_lang,
+       |    coalesce(s.s_en, 0) AS s_en, coalesce(s.s_de, 0) AS s_de,
+       |    coalesce(s.s_fr, 0) AS s_fr, coalesce(s.s_es, 0) AS s_es
+       |  FROM documents d LEFT JOIN sc s USING (doc_id))
        |SELECT doc_id, true_lang,
-       |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
-       |       WHEN h_en >= greatest(h_de, h_fr, h_es) THEN 'en'
-       |       WHEN h_de >= greatest(h_fr, h_es) THEN 'de'
-       |       WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS pred_lang,
-       |  CAST(h_en AS BIGINT) AS h_en, CAST(h_de AS BIGINT) AS h_de,
-       |  CAST(h_fr AS BIGINT) AS h_fr, CAST(h_es AS BIGINT) AS h_es
+       |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       |       WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+       |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+       |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang,
+       |  s_en, s_de, s_fr, s_es
        |FROM h""".stripMargin
+  }
 
   /** Q22 — document quality scoring: token/punct/stopword/length stats
     * (integer-scaled ratios).

@@ -339,6 +339,57 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("n-gram lang-ID: narrow one-pass scorer == explode+join reference") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val narrow = LangNgram.langIdNgram(d, "text")
+      .select("doc_id", "s_en", "s_de", "s_fr", "s_es", "pred_lang")
+      .collect().map(_.toString).sorted
+    val joined = LangNgram.scoresByJoin(d, "doc_id", "text")
+      .select("doc_id", "s_en", "s_de", "s_fr", "s_es", "pred_lang")
+      .collect().map(_.toString).sorted
+    assert(narrow.nonEmpty && narrow.sameElements(joined))
+  }
+
+  test("n-gram lang-ID: held-out sentence accuracy >= 0.9 and empty -> und") {
+    import spark.implicits._
+    // natural sentences NOT drawn from the profile seed lists
+    val heldOut = Seq(
+      ("en", "she told us the results would arrive before the meeting started"),
+      ("en", "most people think the weather has been getting warmer every year"),
+      ("en", "the committee agreed to publish the report after the review"),
+      ("en", "he could not remember where he had left the keys yesterday"),
+      ("en", "students should bring their own notes to the final exam"),
+      ("de", "ich glaube dass wir morgen mit dem zug in die stadt fahren"),
+      ("de", "die ergebnisse wurden nach der besprechung an alle verteilt"),
+      ("de", "er konnte sich nicht erinnern wo er gestern die schlüssel gelassen hatte"),
+      ("de", "das wetter ist in diesem jahr deutlich wärmer geworden"),
+      ("de", "wir haben uns über das schöne geschenk sehr gefreut"),
+      ("fr", "je pense que nous allons voir ce film avec nos amis demain"),
+      ("fr", "les résultats seront publiés après la réunion du comité"),
+      ("fr", "il ne pouvait pas se souvenir où il avait laissé les clés"),
+      ("fr", "le temps est devenu beaucoup plus chaud cette année"),
+      ("fr", "nous sommes très contents du beau cadeau que vous avez offert"),
+      ("es", "creo que vamos a ver esta película con nuestros amigos mañana"),
+      ("es", "los resultados serán publicados después de la reunión del comité"),
+      ("es", "no podía recordar dónde había dejado las llaves ayer"),
+      ("es", "el tiempo se ha vuelto mucho más cálido este año"),
+      ("es", "estamos muy contentos con el hermoso regalo que nos dieron"))
+    val df = heldOut.zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("doc_id", "true_lang", "text")
+    val pred = LangNgram.langIdNgram(df, "text")
+      .select("true_lang", "pred_lang").collect()
+    val correct = pred.count(r => r.getString(0) == r.getString(1))
+    assert(correct >= 18, pred.filter(r => r.getString(0) != r.getString(1))
+      .map(_.toString).mkString("; "))
+    // degenerate inputs never throw and score und
+    val deg = Seq((1L, ""), (2L, " "), (3L, "12345 67890")).toDF("doc_id", "text")
+    val dp = LangNgram.langIdNgram(deg, "text").select("pred_lang")
+      .as[String].collect()
+    assert(dp.forall(_ == "und"), dp.mkString(","))
+  }
+
   test("text analysis: langid/quality/tokens/fingerprint") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val li = TextAnalysis.langId(d, "text")

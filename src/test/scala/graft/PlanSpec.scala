@@ -74,8 +74,17 @@ class PlanSpec extends AnyFunSuite {
     graft.queries.Queries.registry.find(_._1 == name).get
       ._2(spark, dir).queryExecution.optimizedPlan.toString
 
-  test("q21/q22: token split bound once (no per-language re-split)") {
-    assert("split\\(".r.findAllIn(optimized("q21_langid")).size == 1)
+  test("q21: narrow one-pass n-gram scorer (no shuffle, trigrams bound once)") {
+    val o = optimized("q21_langid")
+    // the trigram transform exists exactly once; all 4 language scores
+    // come out of ONE aggregate lambda over it
+    assert("transform\\(sequence\\(".r.findAllIn(o).size == 1, o.take(1500))
+    val exec = graft.queries.Queries.registry.find(_._1 == "q21_langid").get
+      ._2(spark, dir).queryExecution.executedPlan.toString
+    assert(!exec.contains("Exchange"), exec.take(1500))
+  }
+
+  test("q22: token split bound once (no per-feature re-split)") {
     assert("split\\(".r.findAllIn(optimized("q22_quality")).size == 1)
   }
 
