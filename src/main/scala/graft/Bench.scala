@@ -17,12 +17,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // q19 ranks a post-limit(10) 10-row result — the WindowExec
-    // "no partition defined" WARN is noise there; keep the tail clean
-    // for the driver's log scrape.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
