@@ -318,6 +318,69 @@ object Pipeline {
     * are harmless to the anti-join), and files appended concurrently
     * after the snapshot are never touched.
     */
+  /** Compact the triples table's data files: streaming/resumed appends
+    * leave one small file per micro-batch in EVERY pred_bucket
+    * partition; at 10^12 docs downstream scans pay the file-listing +
+    * per-file-footer overhead forever. Rewrites each partition
+    * directory to ~`targetRowsPerFile` rows per file, sorted by
+    * (subj, pred, obj) for better column compression and row-group
+    * pruning.
+    *
+    * Unlike the id-only commit sidecar, duplicate rows here are NOT
+    * harmless, so each partition is swapped atomically via rename:
+    * write tmp -> rename live to .trash -> rename tmp to live ->
+    * delete trash. A crash between the two renames leaves the
+    * partition parked in .trash; this method repairs that state on its
+    * next invocation (idempotent), and readers can be pointed at the
+    * trash dir manually in the interim. Rename-atomicity holds on
+    * HDFS/POSIX; on object stores use a real table format (Iceberg
+    * RewriteFiles) instead — this is the MERGE-free parquet mirror of
+    * that operation.
+    */
+  def compactTriples(spark: SparkSession, triplesDir: String,
+                     targetRowsPerFile: Long = 8L * 1024 * 1024,
+                     minFilesToCompact: Int = 4): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(triplesDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    // FIRST repair any crash leftovers from a previous invocation — a
+    // partition parked in .trash has NO live dir, so it would not appear
+    // in the partition listing below at all
+    for (s <- fs.listStatus(root) if s.isDirectory) {
+      val name = s.getPath.getName
+      if (name.startsWith(".pred_bucket=") && name.endsWith(".trash")) {
+        val live = new Path(root, name.stripPrefix(".").stripSuffix(".trash"))
+        if (!fs.exists(live)) fs.rename(s.getPath, live) // crash between renames
+        else fs.delete(s.getPath, true) // crash after swap, before cleanup
+      } else if (name.startsWith(".pred_bucket=") && name.endsWith(".compact_tmp")) {
+        fs.delete(s.getPath, true) // incomplete compacted copy
+      }
+    }
+    val parts = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("pred_bucket="))
+    for (part <- parts) {
+      val live = part.getPath
+      val trash = new Path(root, "." + live.getName + ".trash")
+      val files = fs.listStatus(live).filter(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      if (files.length >= minFilesToCompact) {
+        val df = spark.read.parquet(live.toString)
+        val n = df.count()
+        val nParts = math.max(1L, n / targetRowsPerFile).toInt
+        val tmp = new Path(root, "." + live.getName + ".compact_tmp")
+        fs.delete(tmp, true)
+        df.repartitionByRange(nParts, col("subj"), col("pred"), col("obj"))
+          .sortWithinPartitions("subj", "pred", "obj")
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        fs.delete(new Path(tmp, "_SUCCESS"), false)
+        require(fs.rename(live, trash), s"compactTriples: cannot park $live")
+        require(fs.rename(tmp, live), s"compactTriples: cannot swap in $tmp")
+        fs.delete(trash, true)
+      }
+    }
+  }
+
   def compactCommits(spark: SparkSession, triplesDir: String,
                      targetRowsPerFile: Long = 32L * 1024 * 1024): Unit = {
     import org.apache.hadoop.fs.Path

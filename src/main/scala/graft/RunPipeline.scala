@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** spark-submit entry: run the KG pipeline end-to-end.
   *
-  *   runMain graft.RunPipeline <fixtures|synth:N> <outDir> [--resume]
+  *   runMain graft.RunPipeline <fixtures|synth:N> <outDir> [--resume] [--compact]
   *
   * Writes: <outDir>/metadata (parquet), <outDir>/triples (parquet,
   * pred-bucket partitioned), <outDir>/ntriples (sorted text),
@@ -64,6 +64,11 @@ object RunPipeline {
       if (resume) org.apache.spark.sql.SaveMode.Append
       else org.apache.spark.sql.SaveMode.Overwrite)
     tl = lap("triples-table", tl)
+    if (args.contains("--compact")) { // fold small append/micro-batch files
+      Pipeline.compactTriples(spark, s"$outDir/triples")
+      Pipeline.compactCommits(spark, s"$outDir/triples")
+      tl = lap("compact", tl)
+    }
     val tsOut = spark.read.parquet(s"$outDir/triples")
     Pipeline.metrics(tsOut.select($"doc_id", $"subj", $"pred", $"obj").as[TripleRow],
         runId = what, stage = "materialize")

@@ -122,6 +122,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(table.select("doc_id", "subj", "pred", "obj").distinct().count() == table.count())
   }
 
+  test("triples-table compaction: identical rows, fewer files, crash-parked partition repaired") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64, expr, count, lit}
+    val dict = Pipeline.broadcastDict(spark)
+    val dir = java.nio.file.Files.createTempDirectory("tcompact").toString + "/t"
+    val docs = SynthCorpus.corpus(spark, 16)
+    for (k <- 0 until 4) { // 4 appends -> >= 4 files per touched partition
+      val slice = docs.filter($"doc_id" >= SynthCorpus.docId(4L * k) &&
+        $"doc_id" < SynthCorpus.docId(4L * k + 4))
+      Pipeline.writeTriples(Pipeline.triples(slice, dict), dir,
+        if (k == 0) org.apache.spark.sql.SaveMode.Overwrite
+        else org.apache.spark.sql.SaveMode.Append)
+    }
+    def sig() = spark.read.parquet(dir)
+      .select(xxhash64(col("doc_id"), col("subj"), col("pred"), col("obj"), col("pred_bucket")).as("h"))
+      .agg(expr("bit_xor(h)"), count(lit(1))).collect()(0)
+    def nFiles() = {
+      def walk(f: java.io.File): Int =
+        if (f.isFile) { if (f.getName.endsWith(".parquet")) 1 else 0 }
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      walk(new java.io.File(dir))
+    }
+    def buckets() = spark.read.parquet(dir).groupBy("pred_bucket").count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val b0 = buckets()
+    val (before, filesBefore) = (sig(), nFiles())
+    Pipeline.compactTriples(spark, dir, minFilesToCompact = 2)
+    val b1 = buckets()
+    val diff = (b0.keySet ++ b1.keySet).toSeq.sortBy(_.toInt)
+      .filter(k => b0.getOrElse(k, 0L) != b1.getOrElse(k, 0L))
+      .map(k => s"$k: ${b0.getOrElse(k, 0L)} -> ${b1.getOrElse(k, 0L)}")
+    assert(sig() == before, s"dir=$dir diff=${diff.mkString("; ")}")
+    assert(nFiles() < filesBefore, s"$filesBefore -> ${nFiles()}")
+    // crash shape: a partition parked in .trash with no live dir is repaired
+    val root = new java.io.File(dir)
+    val part = root.listFiles().filter(f => f.isDirectory &&
+      f.getName.startsWith("pred_bucket=")).head
+    val trash = new java.io.File(root, "." + part.getName + ".trash")
+    assert(part.renameTo(trash))
+    Pipeline.compactTriples(spark, dir, minFilesToCompact = 2)
+    assert(sig() == before)
+  }
+
   test("sidecar compaction: fewer files, same resume answer, crash-shaped leftovers tolerated") {
     import spark.implicits._
     val dict = Pipeline.broadcastDict(spark)
