@@ -75,5 +75,6 @@ object Exprs {
     reg("graft_shingles", exprs => ShinglesOf(exprs.head, intLit(exprs(1))))
     reg("graft_minhash", exprs => MinHashOf(exprs.head, intLit(exprs(1)), intLit(exprs(2))))
     reg("graft_simhash", exprs => SimHash64Of(exprs.head, intLit(exprs(1))))
+    reg("graft_lang_scores", exprs => LangScoresOf(exprs.head))
   }
 }

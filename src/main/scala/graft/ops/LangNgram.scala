@@ -84,9 +84,12 @@ object LangNgram {
     Profiles(l).map { case (g, w) => s"'${esc(g)}', $w" }
       .mkString("map(", ", ", ")")
 
-  /** Padded-lowercase trigram array, bound once per row. */
+  /** Padded-lowercase trigram array, bound once per row. The window
+    * count uses the LOWERED length (lowercasing can change codepoint
+    * count, e.g. U+0130), keeping this bit-equal to the codegen kernel.
+    */
   def trigramsExpr(textCol: String): Column = expr(
-    s"""transform(sequence(1, greatest(length($textCol), 1)),
+    s"""transform(sequence(1, greatest(length(lower($textCol)), 1)),
        |  i -> substring(concat(' ', lower($textCol), ' '), i, 3))""".stripMargin)
 
   /** All four language scores in ONE aggregate pass over the trigram
@@ -113,8 +116,24 @@ object LangNgram {
     }
   }
 
-  /** Narrow scorer: df + (s_en, s_de, s_fr, s_es, pred_lang). */
+  /** Narrow scorer: df + (s_en, s_de, s_fr, s_es, pred_lang). Uses the
+    * codegen kernel ([[graft.expr.LangScoresOf]]: one binary-search
+    * lookup per 3-char window, zero allocation); pinned bit-equal to
+    * [[langIdNgramHof]] and [[scoresByJoin]] by OpsSpec.
+    */
   def langIdNgram(df: DataFrame, textCol: String): DataFrame = {
+    val scored = df.withColumn("_sc", graft.expr.LangScoresOf(col(textCol)))
+    Langs.zipWithIndex.foldLeft(scored) { case (d, (l, i)) =>
+        d.withColumn(s"s_$l", col("_sc").getItem(i))
+      }
+      .withColumn("pred_lang", predFromScores)
+      .drop("_sc")
+  }
+
+  /** The pure-Catalyst HOF formulation (trigram array bound once, one
+    * aggregate lambda) — the equality reference for the codegen kernel.
+    */
+  def langIdNgramHof(df: DataFrame, textCol: String): DataFrame = {
     val scored = df
       .withColumn("_tris", trigramsExpr(textCol))
       .withColumn("_sc", scoresExpr("_tris"))

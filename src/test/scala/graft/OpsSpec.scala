@@ -339,17 +339,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("n-gram lang-ID: narrow one-pass scorer == explode+join reference") {
+  test("n-gram lang-ID: codegen kernel == HOF form == explode+join reference") {
     import spark.implicits._
-    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select("doc_id", "text")
-    val narrow = LangNgram.langIdNgram(d, "text")
-      .select("doc_id", "s_en", "s_de", "s_fr", "s_es", "pred_lang")
-      .collect().map(_.toString).sorted
-    val joined = LangNgram.scoresByJoin(d, "doc_id", "text")
-      .select("doc_id", "s_en", "s_de", "s_fr", "s_es", "pred_lang")
-      .collect().map(_.toString).sorted
-    assert(narrow.nonEmpty && narrow.sameElements(joined))
+    val cols = Seq("doc_id", "s_en", "s_de", "s_fr", "s_es", "pred_lang")
+    val sources = Seq(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id").cast("string").as("doc_id"), col("text")),
+      Seq(("e1", ""), ("e2", " "), ("e3", "a"), ("e4", "ü"), ("e5", "the"),
+        ("e6", "  double  spaces  und  das  "), ("e7", "emoji 😀 the and"))
+        .toDF("doc_id", "text"))
+    for (d <- sources) {
+      val fast = LangNgram.langIdNgram(d, "text")
+        .select(cols.head, cols.tail: _*).collect().map(_.toString).sorted
+      val hof = LangNgram.langIdNgramHof(d, "text")
+        .select(cols.head, cols.tail: _*).collect().map(_.toString).sorted
+      val joined = LangNgram.scoresByJoin(d, "doc_id", "text")
+        .select(cols.head, cols.tail: _*).collect().map(_.toString).sorted
+      assert(fast.nonEmpty && fast.sameElements(hof), "kernel != HOF")
+      assert(fast.sameElements(joined), "kernel != join form")
+    }
+    // SQL registration + whole-stage codegen compiles the kernel
+    graft.expr.Exprs.register(spark)
+    val r = spark.sql("SELECT graft_lang_scores('the and of') AS s").head()
+    assert(r.getSeq[Long](0).length == 4 && r.getSeq[Long](0).head > 0)
+    val dfp = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.expr.LangScoresOf(col("text")).as("s"))
+    dfp.collect()
+    val p = dfp.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[graft_lang_scores".r.findFirstIn(p).isDefined, p.take(800))
   }
 
   test("n-gram lang-ID: held-out sentence accuracy >= 0.9 and empty -> und") {

@@ -74,11 +74,10 @@ class PlanSpec extends AnyFunSuite {
     graft.queries.Queries.registry.find(_._1 == name).get
       ._2(spark, dir).queryExecution.optimizedPlan.toString
 
-  test("q21: narrow one-pass n-gram scorer (no shuffle, trigrams bound once)") {
+  test("q21: narrow codegen n-gram scorer (no shuffle, kernel bound once)") {
     val o = optimized("q21_langid")
-    // the trigram transform exists exactly once; all 4 language scores
-    // come out of ONE aggregate lambda over it
-    assert("transform\\(sequence\\(".r.findAllIn(o).size == 1, o.take(1500))
+    // ONE kernel invocation yields all 4 language scores
+    assert("graft_lang_scores".r.findAllIn(o).size == 1, o.take(1500))
     val exec = graft.queries.Queries.registry.find(_._1 == "q21_langid").get
       ._2(spark, dir).queryExecution.executedPlan.toString
     assert(!exec.contains("Exchange"), exec.take(1500))
