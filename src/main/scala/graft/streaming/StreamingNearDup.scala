@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.ingest.Doc
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One (doc, LSH band bucket) membership row. */
+final case class BucketMember(doc_id: String, bucket: Long)
+
+/** A near-duplicate candidate pair (id1 < id2). */
+final case class CandidatePair(id1: String, id2: String)
+
+/** Streaming near-duplicate detection: continuous MinHash/LSH across
+  * micro-batches. The batch recipe ([[graft.ops.Dedup
+  * .lshCandidatePairsFast]]) needs the whole corpus per run; this
+  * operator emits candidate pairs INCREMENTALLY as documents arrive —
+  * the shape a continuously-fed training-data pipeline needs.
+  *
+  * Dataflow: signatures compute narrowly per document at scan speed
+  * (the [[graft.expr.MinHashOf]] kernel — no explode, no shuffle); each
+  * document emits its band-bucket keys (same xxhash64 banding math as
+  * the batch recipe, so bucket membership is identical); ONE stateful
+  * shuffle keys by bucket, where per-bucket state holds the (capped)
+  * member ids seen so far and each arriving member emits pairs against
+  * them plus the earlier arrivals of its own batch.
+  *
+  * Semantics vs the batch recipe: the emitted pair SET over all
+  * micro-batches equals the batch pair set over the union of the
+  * batches (pinned by StreamingSpec), with two documented deltas —
+  * (1) a pair that shares BOTH bands is emitted once per shared bucket
+  * (the batch form ends in `distinct()`); dedup downstream or in the
+  * consumer, exactly like the batch verify stage would; (2) the
+  * per-bucket cap admits the first `maxBucket` members by ARRIVAL
+  * (batch: first by global id order) — deterministic given the batch
+  * contents because each batch's arrivals are processed in id order.
+  *
+  * Scale: state per bucket is at most `maxBucket` ids; buckets
+  * hash-partition across executors. Pair with the RocksDB configs
+  * ([[StreamingDedup.rocksDbStateStoreConfigs]]) for corpus-scale
+  * bucket counts, and a TTL variant of the state (same re-arm pattern
+  * as [[StreamingDedup.firstSeenTtl]]) for infinite streams where the
+  * dedup horizon is bounded.
+  */
+object StreamingNearDup {
+
+  /** Per-bucket stateful pair expansion (Append mode, no timeout —
+    * AvailableNow backfills self-terminate).
+    */
+  def pairsInBucket(maxBucket: Int)(bucket: Long, rows: Iterator[BucketMember],
+                                    state: GroupState[Seq[String]]): Iterator[CandidatePair] = {
+    val existing: Vector[String] =
+      if (state.exists) state.get.toVector else Vector.empty
+    val seen = existing.toSet
+    // id order within the batch -> deterministic output and cap
+    val newIds = rows.map(_.doc_id).toVector.distinct.sorted
+      .filterNot(seen)
+    val out = Vector.newBuilder[CandidatePair]
+    var members = existing
+    for (id <- newIds if members.size < maxBucket) {
+      for (m <- members)
+        out += (if (m < id) CandidatePair(m, id) else CandidatePair(id, m))
+      members = members :+ id
+    }
+    if (members.size != existing.size) state.update(members)
+    out.result().iterator
+  }
+
+  /** Core operator over (doc_id, text) columns — works for both batch
+    * and streaming DataFrames. Same k/bands/shingleN/banding math as
+    * [[graft.ops.Dedup.lshCandidatePairsFast]].
+    */
+  def candidatePairs(docs: DataFrame, k: Int = 8, bands: Int = 2,
+                     shingleN: Int = 3, maxBucket: Int = 1024): Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sig = docs.select(col("doc_id"),
+      graft.expr.MinHashOf(col("text"), shingleN, k).as("sigs"))
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((lit(b) +: (b * rows until (b + 1) * rows)
+        .map(j => col("sigs").getItem(j))): _*)
+    }
+    val members = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+      .as[BucketMember]
+    members.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(pairsInBucket(maxBucket))
+  }
+
+  /** [[candidatePairs]] over span-docs: text = reconstructed spans
+    * (narrow typed map; media spans never reach the hash).
+    */
+  def candidatePairsFromDocs(docs: Dataset[Doc], k: Int = 8, bands: Int = 2,
+                             shingleN: Int = 3, maxBucket: Int = 1024): Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    candidatePairs(
+      docs.map(d => (d.doc_id, graft.ingest.SpanCodec.reconstruct(d.spans)))
+        .toDF("doc_id", "text"),
+      k, bands, shingleN, maxBucket)
+  }
+}

@@ -117,6 +117,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Vector("d1", "d2", "d5"), kept)
   }
 
+  test("streaming near-dup LSH: incremental pairs == batch pair set, incl. cross-restart pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("sneardup").toString
+    // groups of 4 share one text; the 28..31 group SPANS the batch split
+    def df(ids: Range) = ids
+      .map(i => (f"d$i%04d", graft.ingest.SynthCorpus.docText(i - i % 4)))
+      .toDF("doc_id", "text")
+    val schema = df(0 until 1).schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$base/docs")
+      val q = graft.streaming.StreamingNearDup.candidatePairs(stream)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out").start()
+      q.awaitTermination()
+    }
+    def emitted() = spark.read.parquet(s"$base/out")
+      .as[(String, String)].collect().toSet
+    df(0 until 30).write.parquet(s"$base/docs")
+    runOnce()
+    val afterB1 = emitted()
+    df(30 until 60).write.mode("append").parquet(s"$base/docs")
+    runOnce() // restart on the same checkpoint: bucket state survives
+    val streamed = emitted()
+    val batch = graft.ops.Dedup
+      .lshCandidatePairsFast(df(0 until 60), "doc_id", "text")
+      .as[(String, String)].collect().toSet
+    assert(streamed == batch, s"missing=${(batch -- streamed).take(5)} " +
+      s"extra=${(streamed -- batch).take(5)}")
+    // a batch-2 doc paired against batch-1 state (the 28..31 group)
+    assert((streamed -- afterB1).exists { case (a, b) =>
+      a < "d0030" && b >= "d0030" })
+  }
+
   test("TTL'd streaming dedup: state expires and the hash is re-admitted across restarts") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
