@@ -975,6 +975,51 @@ object Queries {
        |       THEN 1 ELSE 0 END AS BIGINT) AS survivor
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin
 
+  /** Q35 — embedding-cosine near-duplicate pairs within sign-projection
+    * LSH buckets ([[graft.ops.Dedup.embeddingNearDups]]: bucketing
+    * subtree computed once, capped in-bucket expansion, cosine inside
+    * the pair lambda). The oracle re-derives buckets, the cap, the
+    * pairs, and the float->double cosine independently (the q19/q20
+    * dot-product parity recipe).
+    */
+  def q35EmbeddingNearDups(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(p(dir, "embeddings"))
+    graft.ops.Dedup.embeddingNearDups(e, "vec_id", "embedding",
+        nPlanes = 4, threshold = 0.1)
+      .select(col("id1"), col("id2"),
+        expr("cast(round(1000000.0 * cos) as bigint)").as("cos_u"))
+  }
+
+  val q35Sql: String =
+    """WITH planes AS (
+      |  SELECT vec_id AS plane_id, CAST(embedding AS DOUBLE[]) AS pv
+      |  FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |bits AS (
+      |  SELECT e.vec_id, p.plane_id,
+      |    CASE WHEN list_dot_product(v, pv) > 0 THEN '1' ELSE '0' END AS bit
+      |  FROM e, planes p),
+      |buckets AS (
+      |  SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket
+      |  FROM bits GROUP BY 1),
+      |capped AS (
+      |  SELECT vec_id, bucket,
+      |    row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+      |  FROM buckets),
+      |pairs AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2
+      |  FROM capped a JOIN capped b
+      |    ON a.bucket = b.bucket AND b.vec_id > a.vec_id
+      |  WHERE a.rn <= 1024 AND b.rn <= 1024),
+      |scored AS (
+      |  SELECT id1, id2,
+      |    list_dot_product(e1.v, e2.v) /
+      |      (sqrt(list_dot_product(e1.v, e1.v)) * sqrt(list_dot_product(e2.v, e2.v))) AS cos
+      |  FROM pairs JOIN e e1 ON e1.vec_id = pairs.id1
+      |             JOIN e e2 ON e2.vec_id = pairs.id2)
+      |SELECT id1, id2, CAST(round(1000000.0 * cos) AS BIGINT) AS cos_u
+      |FROM scored WHERE cos >= 0.1""".stripMargin
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -1013,7 +1058,8 @@ object Queries {
     ("q31_pivot", q31Pivot _, Some(q31Sql)),
     ("q32_setops", q32SetOps _, Some(q32Sql)),
     ("q33_asof_join", q33AsofJoin _, Some(q33Sql)),
-    ("q34_dedup_cluster", q34DedupCluster _, Some(q34Sql)))
+    ("q34_dedup_cluster", q34DedupCluster _, Some(q34Sql)),
+    ("q35_embedding_neardups", q35EmbeddingNearDups _, Some(q35Sql)))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live
