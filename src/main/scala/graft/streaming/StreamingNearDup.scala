@@ -90,6 +90,49 @@ object StreamingNearDup {
         GroupStateTimeout.NoTimeout)(pairsInBucket(maxBucket))
   }
 
+  /** TTL'd per-bucket state: a bucket's member list expires `ttlMs`
+    * after the bucket was last touched (re-armed on every data
+    * invocation — Spark cancels a key's timeout when the function runs
+    * with data) and is swept at a later micro-batch. Bounds state to
+    * the dedup horizon for infinite streams; pairs only form within
+    * the horizon.
+    */
+  def pairsInBucketTtl(maxBucket: Int, ttlMs: Long)(
+      bucket: Long, rows: Iterator[BucketMember],
+      state: GroupState[Seq[String]]): Iterator[CandidatePair] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val out = pairsInBucket(maxBucket)(bucket, rows, state)
+      if (state.exists) state.setTimeoutDuration(ttlMs)
+      out
+    }
+
+  /** [[candidatePairs]] with bounded per-bucket state (processing-time
+    * TTL). Timeout-carrying state keeps scheduling micro-batches, so
+    * drive bounded backfills with `processAllAvailable()` + `stop()`
+    * rather than AvailableNow (see [[StreamingDedup.dedupStreamTtl]]).
+    */
+  def candidatePairsTtl(docs: DataFrame, ttlMs: Long, k: Int = 8,
+                        bands: Int = 2, shingleN: Int = 3,
+                        maxBucket: Int = 1024): Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sig = docs.select(col("doc_id"),
+      graft.expr.MinHashOf(col("text"), shingleN, k).as("sigs"))
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((lit(b) +: (b * rows until (b + 1) * rows)
+        .map(j => col("sigs").getItem(j))): _*)
+    }
+    val members = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+      .as[BucketMember]
+    members.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(pairsInBucketTtl(maxBucket, ttlMs))
+  }
+
   /** [[candidatePairs]] over span-docs: text = reconstructed spans
     * (narrow typed map; media spans never reach the hash).
     */

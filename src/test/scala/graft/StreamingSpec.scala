@@ -152,6 +152,41 @@ class StreamingSpec extends AnyFunSuite {
       a < "d0030" && b >= "d0030" })
   }
 
+  test("TTL'd streaming near-dup: pairs form within the horizon, not across an expiry") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("sneardupttl").toString
+    val ttlMs = 20000L
+    val schema = Seq(("x", "y")).toDF("doc_id", "text").schema
+    def runFor(sleepMs: Long): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$base/docs")
+      val q = graft.streaming.StreamingNearDup.candidatePairsTtl(stream, ttlMs)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.ProcessingTime(100))
+        .format("parquet").option("path", s"$base/out").start()
+      Thread.sleep(sleepMs)
+      q.stop()
+      q.awaitTermination()
+    }
+    val t = graft.ingest.SynthCorpus.docText(7L)
+    Seq(("a1", t)).toDF("doc_id", "text").write.parquet(s"$base/docs")
+    runFor(5000)
+    // within the horizon: the near-dup pairs with the live state
+    Seq(("b2", t)).toDF("doc_id", "text").write.mode("append").parquet(s"$base/docs")
+    runFor(5000)
+    // expire, sweep via an unrelated batch, then the same text re-arrives:
+    // no pair across the expiry
+    Thread.sleep(ttlMs)
+    Seq(("u3", "totally unrelated content here")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$base/docs")
+    runFor(5000)
+    Seq(("c4", t)).toDF("doc_id", "text").write.mode("append").parquet(s"$base/docs")
+    runFor(5000)
+    val pairs = spark.read.parquet(s"$base/out")
+      .as[(String, String)].collect().toSet
+    assert(pairs == Set(("a1", "b2")), pairs.toString)
+  }
+
   test("TTL'd streaming dedup: state expires and the hash is re-admitted across restarts") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
