@@ -198,6 +198,28 @@ object Dedup {
             size(array_intersect(col("a.sh"), col("b.sh"))))).as("jaccard"))
   }
 
+  /** Exact n-gram Jaccard verification of CANDIDATE PAIRS — the stage
+    * between LSH candidate generation and clustering: each (id1, id2)
+    * pair gets its true shingle-set Jaccard so callers can drop
+    * hash-collision false positives before clustering.
+    *
+    * Scale shape: shingle sets are computed once per referenced doc
+    * (narrow `graft_shingles`), then attached to the pair rows by two
+    * id-keyed joins — the work is O(|pairs|), never corpus-quadratic,
+    * and the joins broadcast when the pair set is small.
+    */
+  def verifyPairs(pairs: DataFrame, df: DataFrame, idCol: String,
+                  textCol: String, n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("_vid"), shingles(textCol, n).as("_vsh"))
+    pairs.select(col("id1"), col("id2"))
+      .join(sh.select(col("_vid").as("id1"), col("_vsh").as("sh1")), "id1")
+      .join(sh.select(col("_vid").as("id2"), col("_vsh").as("sh2")), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") /
+          (size(col("sh1")) + size(col("sh2")) - col("inter"))).as("jaccard"))
+  }
+
   /** Connected components over near-duplicate pairs — the clustering
     * step between candidate pairs and survivor selection. Label
     * propagation: every vertex's label converges to the minimum id

@@ -1020,6 +1020,31 @@ object Queries {
       |SELECT id1, id2, CAST(round(1000000.0 * cos) AS BIGINT) AS cos_u
       |FROM scored WHERE cos >= 0.1""".stripMargin
 
+  /** Q36 — pair-driven exact verification ([[graft.ops.Dedup
+    * .verifyPairs]]): true shingle-set Jaccard for every LSH candidate
+    * pair (the stage between candidate generation and clustering; q18
+    * is the banded form, this is the pair-driven form). Oracle:
+    * DuckDB recomputes pairs (q16 recipe) and the Jaccard from scratch.
+    */
+  def q36VerifyPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(p(dir, "documents"))
+    graft.ops.Dedup.verifyPairs(q16MinhashPairs(s, dir), d, "doc_id", "text", 3)
+      .select(col("id1"), col("id2"),
+        expr("cast(round(1000000.0 * jaccard) as bigint)").as("jac_u"))
+  }
+
+  val q36Sql: String =
+    s"""WITH pairs AS ($q16Sql),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(t) - 2, 1)),
+       |    i -> t[i] || ' ' || coalesce(t[i+1], '') || ' ' || coalesce(t[i+2], ''))) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents))
+       |SELECT p.id1, p.id2,
+       |  CAST(round(1000000.0 * len(list_intersect(a.sh, b.sh)) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jac_u
+       |FROM pairs p JOIN sh a ON a.doc_id = p.id1 JOIN sh b ON b.doc_id = p.id2""".stripMargin
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -1059,7 +1084,8 @@ object Queries {
     ("q32_setops", q32SetOps _, Some(q32Sql)),
     ("q33_asof_join", q33AsofJoin _, Some(q33Sql)),
     ("q34_dedup_cluster", q34DedupCluster _, Some(q34Sql)),
-    ("q35_embedding_neardups", q35EmbeddingNearDups _, Some(q35Sql)))
+    ("q35_embedding_neardups", q35EmbeddingNearDups _, Some(q35Sql)),
+    ("q36_verify_pairs", q36VerifyPairs _, Some(q36Sql)))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live

@@ -292,6 +292,23 @@ class OpsSpec extends AnyFunSuite {
     topk.foreach(r => assert(math.abs(exact(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("verifyPairs: exact jaccard per candidate pair (identical=1, disjoint dropped low)") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x y z w v"), ("b", "x y z w v"),        // identical -> 1.0
+      ("c", "x y z w v u"),                           // near -> (0,1)
+      ("d", "totally different words entirely here")) // far -> small
+      .toDF("doc_id", "text")
+    val pairs = Seq(("a", "b"), ("a", "c"), ("a", "d")).toDF("id1", "id2")
+    val v = Dedup.verifyPairs(pairs, docs, "doc_id", "text")
+      .collect().map(r => (r.getString(1), r.getString(0)) -> r.getDouble(2)).toMap ++
+      Dedup.verifyPairs(pairs, docs, "doc_id", "text")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(v(("a", "b")) == 1.0)
+    assert(v(("a", "c")) > 0.3 && v(("a", "c")) < 1.0)
+    assert(v(("a", "d")) == 0.0)
+  }
+
   test("dedup: exact + lsh + simhash + jaccard run and are deterministic") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert(Dedup.exact(d, "doc_id", "text").count() == d.count()) // all unique
