@@ -293,8 +293,10 @@ object Pipeline {
           missing.write.mode(SaveMode.Append).parquet(commitsDir(triplesDir))
       case _ => ()
     }
+    // no distinct: the left_anti probe tolerates duplicate done-ids, and
+    // a corpus-wide distinct would add a full shuffle to every resume
     val done = (sidecar, table) match {
-      case (Some(s), Some(t)) => s.union(t).distinct()
+      case (Some(s), Some(t)) => s.union(t)
       case (Some(s), None)    => s
       case (None, Some(t))    => t
       case (None, None)       => return docs
@@ -322,7 +324,8 @@ object Pipeline {
     * leave one small file per micro-batch in EVERY pred_bucket
     * partition; at 10^12 docs downstream scans pay the file-listing +
     * per-file-footer overhead forever. Rewrites each partition
-    * directory to ~`targetRowsPerFile` rows per file, sorted by
+    * directory to ~`targetBytesPerFile` files (split count derived from
+    * the listed file sizes — no extra counting pass), sorted by
     * (subj, pred, obj) for better column compression and row-group
     * pruning.
     *
@@ -338,7 +341,7 @@ object Pipeline {
     * that operation.
     */
   def compactTriples(spark: SparkSession, triplesDir: String,
-                     targetRowsPerFile: Long = 8L * 1024 * 1024,
+                     targetBytesPerFile: Long = 128L * 1024 * 1024,
                      minFilesToCompact: Int = 4): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(triplesDir)
@@ -366,8 +369,10 @@ object Pipeline {
         !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
       if (files.length >= minFilesToCompact) {
         val df = spark.read.parquet(live.toString)
-        val n = df.count()
-        val nParts = math.max(1L, n / targetRowsPerFile).toInt
+        // split count from the (already listed) file bytes — no extra
+        // counting pass over the partition
+        val bytes = files.map(_.getLen).sum
+        val nParts = math.max(1L, bytes / targetBytesPerFile).toInt
         val tmp = new Path(root, "." + live.getName + ".compact_tmp")
         fs.delete(tmp, true)
         df.repartitionByRange(nParts, col("subj"), col("pred"), col("obj"))
