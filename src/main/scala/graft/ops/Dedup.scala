@@ -203,14 +203,20 @@ object Dedup {
     * pair gets its true shingle-set Jaccard so callers can drop
     * hash-collision false positives before clustering.
     *
-    * Scale shape: shingle sets are computed once per referenced doc
-    * (narrow `graft_shingles`), then attached to the pair rows by two
-    * id-keyed joins — the work is O(|pairs|), never corpus-quadratic,
-    * and the joins broadcast when the pair set is small.
+    * Scale shape: the corpus is first semi-joined down to the docs the
+    * pair set actually references (|referenced| <= 2|pairs| — at 10^12
+    * docs with 10^7 candidate pairs the shingle computation runs over
+    * 10^7 docs, not the corpus), shingle sets are computed narrowly
+    * (`graft_shingles`) over that slice, and attached to the pair rows
+    * by two id-keyed joins — all per-stage work is O(|pairs|), never
+    * corpus-sized, and the joins broadcast when the pair set is small.
     */
   def verifyPairs(pairs: DataFrame, df: DataFrame, idCol: String,
                   textCol: String, n: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("_vid"), shingles(textCol, n).as("_vsh"))
+    val ids = pairs.select(col("id1").as("_vid"))
+      .union(pairs.select(col("id2").as("_vid"))).distinct()
+    val refd = df.join(ids, df(idCol) === col("_vid"), "left_semi")
+    val sh = refd.select(col(idCol).as("_vid"), shingles(textCol, n).as("_vsh"))
     pairs.select(col("id1"), col("id2"))
       .join(sh.select(col("_vid").as("id1"), col("_vsh").as("sh1")), "id1")
       .join(sh.select(col("_vid").as("id2"), col("_vsh").as("sh2")), "id2")
