@@ -40,12 +40,18 @@ object EncodingSniff {
     if (mb >= 2) return "utf-8"
     if (mb == 1) return "latin-1" // UTF8Prober conf 0.505 < Latin1Prober
     if (mb == 0) return "utf-8" // pure ASCII
-    // invalid UTF-8: chardet's multi-byte prober group (validity state
-    // machine + character-distribution analysis) beats Latin1Prober for
-    // real CJK text; otherwise Western single-byte -> latin-1
-    if (looksShiftJis(bytes)) "shift_jis"
-    else if (looksEucJp(bytes)) "euc-jp"
-    else "latin-1"
+    // invalid UTF-8: chardet's prober group — every candidate charset
+    // scores (validity state machine x character-distribution analysis
+    // for the CJK pair; letter-frequency profile for the Cyrillic
+    // single-byte family) and the best score above threshold wins;
+    // otherwise Western single-byte -> latin-1. Scored (not
+    // first-match) because windows-1251 Russian with even-length words
+    // can be STRUCTURALLY valid EUC-JP — the distribution decides.
+    val candidates =
+      Seq("shift_jis" -> shiftJisScore(bytes), "euc-jp" -> eucJpScore(bytes)) ++
+        cyrillicScores(bytes)
+    val (label, score) = candidates.maxBy(_._2)
+    if (score >= 0.5) label else "latin-1"
   }
 
   /** Decode with a label [[detect]] produced (or any charset name the
@@ -95,7 +101,12 @@ object EncodingSniff {
     * 0x88-0x9F) — which is what keeps latin-1 letter pairs like
     * 0xFC 'f' ("Prüfzeit") from being claimed.
     */
-  def looksShiftJis(bytes: Array[Byte]): Boolean = {
+  def looksShiftJis(bytes: Array[Byte]): Boolean = shiftJisScore(bytes) >= 0.5
+
+  /** 0 when structurally invalid or < 2 double-byte chars; otherwise
+    * the fraction of double-byte chars in the common rows.
+    */
+  def shiftJisScore(bytes: Array[Byte]): Double = {
     var i = 0; var mb = 0; var common = 0
     val n = bytes.length
     while (i < n) {
@@ -103,15 +114,15 @@ object EncodingSniff {
       if (b0 <= 0x7F) i += 1
       else if (b0 >= 0xA1 && b0 <= 0xDF) i += 1 // half-width katakana
       else if ((b0 >= 0x81 && b0 <= 0x9F) || (b0 >= 0xE0 && b0 <= 0xFC)) {
-        if (i + 1 >= n) return false
+        if (i + 1 >= n) return 0
         val b1 = bytes(i + 1) & 0xFF
-        if (!((b1 >= 0x40 && b1 <= 0x7E) || (b1 >= 0x80 && b1 <= 0xFC))) return false
+        if (!((b1 >= 0x40 && b1 <= 0x7E) || (b1 >= 0x80 && b1 <= 0xFC))) return 0
         mb += 1
         if ((b0 >= 0x82 && b0 <= 0x83) || (b0 >= 0x88 && b0 <= 0x9F)) common += 1
         i += 2
-      } else return false // 0x80, 0xA0, 0xFD-0xFF
+      } else return 0 // 0x80, 0xA0, 0xFD-0xFF
     }
-    mb >= 2 && common * 2 >= mb
+    if (mb >= 2) common.toDouble / mb else 0
   }
 
   /** EUC-JP prober: structural validity (single 0x00-0x7F; 0x8E +
@@ -119,33 +130,82 @@ object EncodingSniff {
     * >= 2 multibyte chars, >= half with lead in the hiragana/katakana/
     * common-kanji rows (0xA4-0xA5, 0xB0-0xEE).
     */
-  def looksEucJp(bytes: Array[Byte]): Boolean = {
+  def looksEucJp(bytes: Array[Byte]): Boolean = eucJpScore(bytes) >= 0.5
+
+  /** 0 when structurally invalid or < 2 multibyte chars; otherwise the
+    * fraction of multibyte chars in the common rows.
+    */
+  def eucJpScore(bytes: Array[Byte]): Double = {
     var i = 0; var mb = 0; var common = 0
     val n = bytes.length
     while (i < n) {
       val b0 = bytes(i) & 0xFF
       if (b0 <= 0x7F) i += 1
       else if (b0 == 0x8E) { // half-width katakana
-        if (i + 1 >= n) return false
+        if (i + 1 >= n) return 0
         val b1 = bytes(i + 1) & 0xFF
-        if (b1 < 0xA1 || b1 > 0xDF) return false
+        if (b1 < 0xA1 || b1 > 0xDF) return 0
         mb += 1; i += 2
       } else if (b0 == 0x8F) { // JIS X 0212 three-byte
-        if (i + 2 >= n) return false
+        if (i + 2 >= n) return 0
         val b1 = bytes(i + 1) & 0xFF; val b2 = bytes(i + 2) & 0xFF
-        if (b1 < 0xA1 || b1 > 0xFE || b2 < 0xA1 || b2 > 0xFE) return false
+        if (b1 < 0xA1 || b1 > 0xFE || b2 < 0xA1 || b2 > 0xFE) return 0
         mb += 1; i += 3
       } else if (b0 >= 0xA1 && b0 <= 0xFE) {
-        if (i + 1 >= n) return false
+        if (i + 1 >= n) return 0
         val b1 = bytes(i + 1) & 0xFF
-        if (b1 < 0xA1 || b1 > 0xFE) return false
+        if (b1 < 0xA1 || b1 > 0xFE) return 0
         mb += 1
         if (b0 == 0xA4 || b0 == 0xA5 || (b0 >= 0xB0 && b0 <= 0xEE)) common += 1
         i += 2
-      } else return false
+      } else return 0
     }
-    mb >= 2 && common * 2 >= mb
+    if (mb >= 2) common.toDouble / mb else 0
   }
+
+  /** Cyrillic single-byte family (KOI8-R / windows-1251 / ISO-8859-5):
+    * chardet-style language-model scoring, simplified — decode the high
+    * bytes under each candidate charset and measure the fraction that
+    * land on the ~20 most frequent Russian letters (the three charsets
+    * place the alphabet at DIFFERENT byte positions, so only the right
+    * one lines the text up with the frequency profile). Scores are 0
+    * unless high bytes dominate the letter mass (>= 40% of non-space
+    * bytes) and >= 8 high bytes exist — Western latin-1 text (5-10%
+    * accented letters) never qualifies, so the latin-1 fallback is
+    * untouched for the reference's own domain.
+    */
+  def cyrillicScores(bytes: Array[Byte]): Seq[(String, Double)] = {
+    var high = 0; var nonSpace = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      if (b > 0x20 && b != 0x7F) nonSpace += 1
+      if (b >= 0x80) high += 1
+      i += 1
+    }
+    if (high < 8 || high * 10 < nonSpace * 4) return Seq.empty
+    CyrillicCharsets.map { cs =>
+      val decoded = new String(bytes, java.nio.charset.Charset.forName(cs))
+      var hits = 0; var letters = 0
+      decoded.foreach { c =>
+        if (c > 0x7F) {
+          letters += 1
+          if (CyrillicCommon(c)) hits += 1
+        }
+      }
+      cs -> (if (letters == 0) 0.0 else hits.toDouble / letters)
+    }
+  }
+
+  val CyrillicCharsets: Seq[String] = Seq("koi8-r", "windows-1251", "iso-8859-5")
+
+  /** The ~20 most frequent Russian LOWERCASE letters. Deliberately not
+    * case-folded: running text is ~97% lowercase, and the three
+    * charsets disagree precisely on where the cases sit (koi8-r
+    * lowercase bytes decode as windows-1251 UPPERCASE and vice versa),
+    * so lowercase-only hits are what separate them.
+    */
+  val CyrillicCommon: Set[Char] = "оеаинтсрвлкмдпуяыьгз".toSet
 
   def isValidUtf8(bytes: Array[Byte]): Boolean = multibyteUtf8Chars(bytes) >= 0
 

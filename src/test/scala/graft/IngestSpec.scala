@@ -67,6 +67,18 @@ class IngestSpec extends AnyFunSuite {
     assert(EncodingSniff.decode(csv.getBytes(StandardCharsets.UTF_16BE), "utf-16-be") == csv)
     // BOM'd UTF-16 still takes the BOM branch
     assert(EncodingSniff.detect(("\uFEFF" + csv).getBytes(StandardCharsets.UTF_16LE)) == "utf-16")
+    // Cyrillic single-byte family: the frequency profile picks the
+    // charset that lines the text up with lowercase common letters
+    val ru = "\u044D\u0442\u043E \u0440\u0443\u0441\u0441\u043A\u0438\u0439 \u0442\u0435\u043A\u0441\u0442 \u0434\u043B\u044F \u043F\u0440\u043E\u0432\u0435\u0440\u043A\u0438 \u043A\u043E\u0434\u0438\u0440\u043E\u0432\u043A\u0438 \u0438 \u0447\u0430\u0441\u0442\u043E\u0442 \u0431\u0443\u043A\u0432"
+    for (cs <- EncodingSniff.CyrillicCharsets) {
+      assert(EncodingSniff.detect(enc(ru, cs)) == cs, cs)
+      assert(EncodingSniff.decode(enc(ru, cs), cs) == ru, cs)
+    }
+    // mostly-uppercase or mixed Western text never reaches the Cyrillic
+    // probers (high-byte mass gate) \u2014 and Japanese stays Japanese
+    assert(EncodingSniff.detect(enc(ja, "EUC-JP")) == "euc-jp")
+    assert(EncodingSniff.detect(enc("caf\u00E9 \u00FCber na\u00EFve r\u00E9sum\u00E9 se\u00F1or",
+      "ISO-8859-1")) == "latin-1")
   }
 
   test("binaryFile + auto-detection reproduces every fixture doc and label") {
