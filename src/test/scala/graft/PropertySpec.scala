@@ -77,6 +77,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_lang_scores kernel == codepoint-window reference on arbitrary unicode") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val profiles = graft.ops.LangNgram.Langs.map(l =>
+      graft.ops.LangNgram.Profiles(l).toMap)
+    // reference: the HOF semantics — lower, pad, enumerate CODEPOINT
+    // trigram windows (count = max(codepoint-length, 1))
+    def ref(text: String): Seq[Long] = {
+      val lowered = UTF8String.fromString(text).toLowerCase.toString
+      val padded = " " + lowered + " "
+      val cps = padded.codePoints().toArray
+      val wins = math.max(cps.length - 2, 1)
+      val grams = (0 until wins).map { i =>
+        new String(cps.slice(i, math.min(i + 3, cps.length)), 0,
+          math.min(3, cps.length - i))
+      }
+      profiles.map(p => grams.map(g => p.getOrElse(g, 0).toLong).sum)
+    }
+    val gen = Gen.listOf(Gen.frequency(
+      4 -> Gen.oneOf("the ", "und ", "les ", "que ", "für", "où"),
+      3 -> Gen.alphaChar.map(_.toString),
+      2 -> Gen.const(" "),
+      1 -> Gen.oneOf("😀", "日本", "Ж", "İ", "\t", "", "ß"))).map(_.mkString)
+    forAll(gen) { (s: String) =>
+      val got = graft.expr.LangScoresOf.kernel(UTF8String.fromString(s))
+        .toLongArray().toSeq
+      assert(got == ref(s), s"[$s]")
+    }
+  }
+
+  test("encoding detection is total: never throws, decode always succeeds") {
+    val byteGen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    forAll(byteGen) { (bs: Array[Byte]) =>
+      val enc = graft.ingest.EncodingSniff.detect(bs)
+      assert(enc.nonEmpty)
+      // whatever was detected must be decodable without throwing
+      graft.ingest.EncodingSniff.decode(bs, enc)
+    }
+  }
+
   test("separator vote: comma quirks hold") {
     // a single comma votes (';', 0) — the German-decimal fallback
     assert(graft.annotate.Annotator.vote("a,b\n") == (";", 0))
