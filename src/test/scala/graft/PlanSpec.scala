@@ -87,6 +87,21 @@ class PlanSpec extends AnyFunSuite {
     assert("split\\(".r.findAllIn(optimized("q22_quality")).size == 1)
   }
 
+  test("verifyPairs: corpus semi-joined to referenced ids BEFORE shingling") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val o = graft.ops.Dedup.verifyPairs(pairs, d, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(o.contains("LeftSemi"), o.take(1500))
+    // shingles exist once per pair side, computed over the semi-joined
+    // slice — not over the whole corpus
+    assert("graft_shingles".r.findAllIn(o).size == 2, o.take(1500))
+    val semiIdx = o.indexOf("LeftSemi")
+    assert(o.indexOf("graft_shingles") < semiIdx,
+      "shingles must sit above (after) the semi-join in the tree")
+  }
+
   test("q16: no self-join; signature subtree appears once") {
     val p = optimized("q16_minhash_pairs")
     assert(!p.contains("Join"), p.take(1500))
