@@ -46,4 +46,25 @@ object Ingest {
       .as[(String, String)]
       .map { case (id, text) => SpanCodec.encode(idPrefix + id, text) }
   }
+
+  /** JSONL corpus files (one JSON object per line — the standard raw
+    * shape for LLM training corpora) -> Dataset[Doc]. A fixed two-field
+    * schema is supplied so the reader never runs its sampling
+    * inference pass over 100 TB, splits line-by-line, and transparently
+    * handles gzip/zstd-compressed parts. Rows with a missing/null id or
+    * text are dropped (corrupt lines land in neither field under the
+    * default PERMISSIVE mode).
+    */
+  def fromJsonl(spark: SparkSession, pathGlob: String,
+                idField: String = "id", textField: String = "text",
+                idPrefix: String = ""): Dataset[Doc] = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idField,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(textField,
+        org.apache.spark.sql.types.StringType)))
+    val raw = spark.read.schema(schema).json(pathGlob)
+      .filter(col(idField).isNotNull && col(textField).isNotNull)
+    fromTextTable(raw, idField, textField, idPrefix)
+  }
 }

@@ -95,6 +95,35 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("JSONL ingest: fixed schema, corrupt/null lines dropped, gzip parts transparent") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("jsonl").toString
+    val lines = Seq(
+      """{"id":"a","text":"col1;col2\n1;2\n"}""",
+      """{"id":"b","text":"x,y\n3,4\n","extra":"ignored"}""",
+      """{"text":"no id -> dropped"}""",
+      """{"id":"c"}""",
+      "not json at all",
+      """{"id":"d","text":"ünïcode ° text\n"}""")
+    Files.write(Paths.get(base, "part1.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    // a gzip part alongside the plain one
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$base/part2.jsonl.gz"))
+    gz.write("""{"id":"e","text":"gzipped\n"}""".getBytes("UTF-8")); gz.close()
+    val docs = Ingest.fromJsonl(spark, s"$base/*", idPrefix = "doc://")
+      .collect().map(d => d.doc_id ->
+        graft.ingest.SpanCodec.reconstruct(d.spans)).toMap
+    assert(docs.keySet == Set("doc://a", "doc://b", "doc://d", "doc://e"))
+    assert(docs("doc://a") == "col1;col2\n1;2\n")
+    assert(docs("doc://d") == "ünïcode ° text\n")
+    assert(docs("doc://e") == "gzipped\n")
+    // and the docs flow straight into the pipeline
+    val dict = Pipeline.broadcastDict(spark)
+    assert(Pipeline.triples(
+      Ingest.fromJsonl(spark, s"$base/*"), dict).count() > 0)
+  }
+
   test("triplesDetected over raw-bytes ingest == annotate path with pinned encodings") {
     val dict = Pipeline.broadcastDict(spark)
     val docs = Ingest.fromCsvFilesDetected(spark,
