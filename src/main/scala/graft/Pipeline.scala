@@ -256,6 +256,34 @@ object Pipeline {
       .write.mode(mode).parquet(commitsDir(triplesDir))
   }
 
+  /** One-time sidecar reconcile: append to the sidecar any doc_ids
+    * present in the triples table but missing from it — the
+    * writeTriples -> commitDocIds crash window. [[resumeFilter]] with
+    * `reconcile = true` performs the same heal inline; this standalone
+    * form is for callers that afterwards want the CHEAP per-batch
+    * sidecar-only filter ([[StreamingPipeline.startBucketed]] runs it
+    * once at stream start instead of paying a table-wide doc_id scan
+    * per micro-batch).
+    */
+  def healSidecar(spark: SparkSession, triplesDir: String): Unit = {
+    val sidecar =
+      try Some(spark.read.parquet(commitsDir(triplesDir)).select("doc_id"))
+      catch { case _: Exception => None }
+    val table =
+      try Some(spark.read.parquet(triplesDir).select("doc_id"))
+      catch { case _: Exception => None }
+    (sidecar, table) match {
+      case (Some(s), Some(t)) =>
+        val missing = t.join(s.withColumnRenamed("doc_id", "done_id"),
+          t("doc_id") === col("done_id"), "left_anti").distinct()
+        if (!missing.isEmpty)
+          missing.write.mode(SaveMode.Append).parquet(commitsDir(triplesDir))
+      case (None, Some(t)) => // no sidecar at all: seed it from the table
+        t.distinct().write.mode(SaveMode.Append).parquet(commitsDir(triplesDir))
+      case _ => ()
+    }
+  }
+
   /** Checkpoint resume: drop docs whose triples are already
     * materialized.
     *
@@ -278,9 +306,13 @@ object Pipeline {
     val sidecar =
       try Some(spark.read.parquet(commitsDir(triplesDir)).select("doc_id"))
       catch { case _: Exception => None }
+    // raw (duplicate-bearing) doc_id column: the left_anti probes below
+    // tolerate duplicate done-ids, so the reconcile scan never pays a
+    // corpus-wide distinct — only the (normally tiny) `missing` set is
+    // deduplicated before being appended to the sidecar
     val table =
       if (reconcile || sidecar.isEmpty)
-        try Some(spark.read.parquet(triplesDir).select("doc_id").distinct())
+        try Some(spark.read.parquet(triplesDir).select("doc_id"))
         catch { case _: Exception => None }
       else None
     // self-heal the sidecar: ids whose triples are committed but were
@@ -288,7 +320,7 @@ object Pipeline {
     (sidecar, table) match {
       case (Some(s), Some(t)) =>
         val missing = t.join(s.withColumnRenamed("doc_id", "done_id"),
-          t("doc_id") === col("done_id"), "left_anti")
+          t("doc_id") === col("done_id"), "left_anti").distinct()
         if (!missing.isEmpty)
           missing.write.mode(SaveMode.Append).parquet(commitsDir(triplesDir))
       case _ => ()
@@ -323,65 +355,120 @@ object Pipeline {
   /** Compact the triples table's data files: streaming/resumed appends
     * leave one small file per micro-batch in EVERY pred_bucket
     * partition; at 10^12 docs downstream scans pay the file-listing +
-    * per-file-footer overhead forever. Rewrites each partition
-    * directory to ~`targetBytesPerFile` files (split count derived from
-    * the listed file sizes — no extra counting pass), sorted by
-    * (subj, pred, obj) for better column compression and row-group
-    * pruning.
+    * per-file-footer overhead forever. Rewrites each partition's
+    * SNAPSHOTTED data files to ~`targetBytesPerFile` files (split count
+    * derived from the listed file sizes — no extra counting pass),
+    * sorted by (subj, pred, obj) for better column compression and
+    * row-group pruning.
     *
-    * Unlike the id-only commit sidecar, duplicate rows here are NOT
-    * harmless, so each partition is swapped atomically via rename:
-    * write tmp -> rename live to .trash -> rename tmp to live ->
-    * delete trash. A crash between the two renames leaves the
-    * partition parked in .trash; this method repairs that state on its
-    * next invocation (idempotent), and readers can be pointed at the
-    * trash dir manually in the interim. Rename-atomicity holds on
-    * HDFS/POSIX; on object stores use a real table format (Iceberg
-    * RewriteFiles) instead — this is the MERGE-free parquet mirror of
-    * that operation.
+    * Concurrent-writer safety: the compactor reads EXACTLY the files it
+    * listed (`spark.read.parquet(files*)`, never the live directory),
+    * moves the compacted replacements in under stamp-unique names, and
+    * deletes ONLY the snapshotted originals — a file appended to the
+    * partition by a concurrent streaming `foreachBatch` at ANY point is
+    * never read, never rewritten, and never deleted (pinned by
+    * StreamingSpec's mid-compaction-append case via `midCompactHook`).
+    *
+    * Crash safety: each partition's swap is journaled by a manifest
+    * (written atomically via create-temp + rename) that names the
+    * snapshotted originals and the expected compacted-file count. On
+    * the next invocation the repair pass completes or rolls back any
+    * interrupted swap: all compacted files present -> finish (delete
+    * remaining originals); some missing -> roll back (delete the moved
+    * compacted files; originals are untouched because deletion only
+    * ever starts after the move-in completes). Duplicate rows are
+    * therefore never left behind by a crash.
+    *
+    * Isolation caveat (document, not a bug): a concurrent READER that
+    * lists the partition between move-in and delete-originals sees both
+    * copies; run compaction off-peak or use a snapshot-isolated table
+    * format (Iceberg RewriteFiles — this is its MERGE-free parquet
+    * mirror). One compactor at a time (stamps keep two runs from
+    * deleting each other's files, but both may rewrite the same
+    * originals).
     */
   def compactTriples(spark: SparkSession, triplesDir: String,
                      targetBytesPerFile: Long = 128L * 1024 * 1024,
-                     minFilesToCompact: Int = 4): Unit = {
+                     minFilesToCompact: Int = 4,
+                     midCompactHook: String => Unit = _ => ()): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(triplesDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    // FIRST repair any crash leftovers from a previous invocation — a
-    // partition parked in .trash has NO live dir, so it would not appear
-    // in the partition listing below at all
-    for (s <- fs.listStatus(root) if s.isDirectory) {
+    def isData(name: String) = !name.startsWith("_") && !name.startsWith(".")
+    // ---- repair pass: finish or roll back any interrupted swap -------
+    for (s <- fs.listStatus(root)) {
       val name = s.getPath.getName
-      if (name.startsWith(".pred_bucket=") && name.endsWith(".trash")) {
+      if (name.startsWith(".compact_pending-") && name.endsWith(".txt")) {
+        val lines = {
+          val in = fs.open(s.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+          finally in.close()
+        }
+        val partName = lines(0); val stamp = lines(1); val n = lines(2).toInt
+        val originals = lines.drop(3)
+        val live = new Path(root, partName)
+        val moved =
+          if (fs.exists(live))
+            fs.listStatus(live).count(f => f.isFile &&
+              f.getPath.getName.startsWith(s"compact-$stamp-"))
+          else 0
+        if (moved == n) // move-in completed: finish the interrupted delete
+          originals.foreach(o => fs.delete(new Path(live, o), false))
+        else if (fs.exists(live)) // crash mid-move: roll back our files
+          fs.listStatus(live).filter(f => f.isFile &&
+              f.getPath.getName.startsWith(s"compact-$stamp-"))
+            .foreach(f => fs.delete(f.getPath, false))
+        fs.delete(s.getPath, false)
+      } else if (s.isDirectory && name.startsWith(".") && name.contains(".compact_tmp")) {
+        fs.delete(s.getPath, true) // incomplete compacted copy (pre-manifest crash)
+      } else if (s.isDirectory && name.startsWith(".pred_bucket=") && name.endsWith(".trash")) {
+        // legacy (pre-manifest) swap leftovers from older versions
         val live = new Path(root, name.stripPrefix(".").stripSuffix(".trash"))
-        if (!fs.exists(live)) fs.rename(s.getPath, live) // crash between renames
-        else fs.delete(s.getPath, true) // crash after swap, before cleanup
-      } else if (name.startsWith(".pred_bucket=") && name.endsWith(".compact_tmp")) {
-        fs.delete(s.getPath, true) // incomplete compacted copy
+        if (!fs.exists(live)) fs.rename(s.getPath, live)
+        else fs.delete(s.getPath, true)
       }
     }
+    // ---- compaction pass ---------------------------------------------
     val parts = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("pred_bucket="))
     for (part <- parts) {
       val live = part.getPath
-      val trash = new Path(root, "." + live.getName + ".trash")
-      val files = fs.listStatus(live).filter(f => f.isFile &&
-        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      // the snapshot: exactly these files are read, replaced, deleted
+      val files = fs.listStatus(live)
+        .filter(f => f.isFile && isData(f.getPath.getName))
       if (files.length >= minFilesToCompact) {
-        val df = spark.read.parquet(live.toString)
+        val df = spark.read.parquet(files.map(_.getPath.toString): _*)
         // split count from the (already listed) file bytes — no extra
         // counting pass over the partition
         val bytes = files.map(_.getLen).sum
         val nParts = math.max(1L, bytes / targetBytesPerFile).toInt
-        val tmp = new Path(root, "." + live.getName + ".compact_tmp")
+        val stamp = java.util.UUID.randomUUID().toString.take(8)
+        val tmp = new Path(root, "." + live.getName + s".compact_tmp-$stamp")
         fs.delete(tmp, true)
         df.repartitionByRange(nParts, col("subj"), col("pred"), col("obj"))
           .sortWithinPartitions("subj", "pred", "obj")
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        fs.delete(new Path(tmp, "_SUCCESS"), false)
-        require(fs.rename(live, trash), s"compactTriples: cannot park $live")
-        require(fs.rename(tmp, live), s"compactTriples: cannot swap in $tmp")
-        fs.delete(trash, true)
+        val compacted = fs.listStatus(tmp)
+          .filter(f => f.isFile && isData(f.getPath.getName)).map(_.getPath)
+        // journal the swap BEFORE touching the live dir (atomic rename)
+        val manifest = new Path(root, s".compact_pending-$stamp.txt")
+        val manifestTmp = new Path(root, s".compact_pending-$stamp.txt.tmp")
+        val out = fs.create(manifestTmp, true)
+        try out.write((Seq(live.getName, stamp, compacted.length.toString) ++
+          files.map(_.getPath.getName)).mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        require(fs.rename(manifestTmp, manifest),
+          s"compactTriples: cannot journal $manifest")
+        midCompactHook(live.getName) // test injection point: concurrent append
+        compacted.zipWithIndex.foreach { case (f, i) =>
+          require(fs.rename(f, new Path(live, s"compact-$stamp-$i.parquet")),
+            s"compactTriples: cannot move in $f")
+        }
+        // delete ONLY the snapshotted originals — concurrent appends survive
+        files.foreach(f => fs.delete(f.getPath, false))
+        fs.delete(manifest, false)
+        fs.delete(tmp, true)
       }
     }
   }
@@ -450,25 +537,43 @@ object StreamingPipeline {
     * as the batch [[Pipeline.writeTriples]], via foreachBatch, with the
     * doc-commit sidecar appended per micro-batch — so a streaming
     * ingest, a batch backfill, and `--resume` all interoperate on one
-    * table. The checkpoint makes re-delivered micro-batches idempotent
-    * in effect: the pipeline is deterministic, so a replayed batch
-    * appends byte-identical rows for doc_ids already in the sidecar and
-    * the resume anti-join still sees each doc once.
+    * table.
+    *
+    * Exactly-once in effect under at-least-once foreachBatch delivery
+    * (`resume = true`, default): every batch is anti-joined against the
+    * doc-commit sidecar before writing, so a batch replayed after a
+    * crash (checkpoint behind the data writes) re-appends nothing.
+    * The one window the sidecar filter alone cannot see — a crash
+    * BETWEEN writeTriples and commitDocIds — is closed by a single
+    * [[Pipeline.healSidecar]] pass at stream start (table doc_ids
+    * missing from the sidecar are appended to it before any batch
+    * runs); a failed foreachBatch terminates the query, so in-run
+    * replays always pass through a restart and hit that heal. Cost:
+    * one table-wide doc_id scan per START (not per batch) + one
+    * sidecar-sized anti-join per batch (keep it small with
+    * [[Pipeline.compactCommits]]). `resume = false` restores the raw
+    * append path for single-run bounded backfills where replays are
+    * acceptable or impossible.
     */
   def startBucketed(spark: SparkSession, docsDir: String, outDir: String,
                     checkpointDir: String,
-                    dict: org.apache.spark.broadcast.Broadcast[graft.link.UnitDict]): StreamingQuery = {
+                    dict: org.apache.spark.broadcast.Broadcast[graft.link.UnitDict],
+                    resume: Boolean = true): StreamingQuery = {
     implicit val docEnc = Encoders.product[graft.ingest.Doc]
     val docSchema = Encoders.product[graft.ingest.Doc].schema
+    if (resume) Pipeline.healSidecar(spark, outDir)
     val docs: Dataset[graft.ingest.Doc] = spark.readStream
       .schema(docSchema).parquet(docsDir).as[graft.ingest.Doc]
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[graft.ingest.Doc], _: Long) =>
-        val ts = Pipeline.triples(batch, dict)
+        val todo =
+          if (resume) Pipeline.resumeFilter(batch, spark, outDir, reconcile = false)
+          else batch
+        val ts = Pipeline.triples(todo, dict)
         Pipeline.writeTriples(ts, outDir, org.apache.spark.sql.SaveMode.Append)
-        Pipeline.commitDocIds(batch, outDir)
+        Pipeline.commitDocIds(todo, outDir)
       }
       .start()
   }

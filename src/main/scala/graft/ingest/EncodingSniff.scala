@@ -49,7 +49,8 @@ object EncodingSniff {
     // can be STRUCTURALLY valid EUC-JP — the distribution decides.
     val candidates =
       Seq("shift_jis" -> shiftJisScore(bytes), "euc-jp" -> eucJpScore(bytes)) ++
-        cyrillicScores(bytes)
+        cyrillicScores(bytes) ++ greekScores(bytes) ++ hebrewScores(bytes) ++
+        thaiScores(bytes)
     val (label, score) = candidates.maxBy(_._2)
     if (score >= 0.5) label else "latin-1"
   }
@@ -206,6 +207,102 @@ object EncodingSniff {
     * so lowercase-only hits are what separate them.
     */
   val CyrillicCommon: Set[Char] = "оеаинтсрвлкмдпуяыьгз".toSet
+
+  /** Shared gate for the single-byte frequency probers (Cyrillic uses
+    * the same thresholds inline): >= 8 high bytes and high bytes >= 40%
+    * of the non-space mass — Western latin-1 text (5-10% accented)
+    * never qualifies, so the latin-1 fallback is untouched.
+    */
+  private def highByteGate(bytes: Array[Byte]): Boolean = {
+    var high = 0; var nonSpace = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      if (b > 0x20 && b != 0x7F) nonSpace += 1
+      if (b >= 0x80) high += 1
+      i += 1
+    }
+    high >= 8 && high * 10 >= nonSpace * 4
+  }
+
+  /** Frequency-profile score of one charset candidate: the fraction of
+    * decoded high characters landing on the language's most frequent
+    * letters, with a 2x penalty for characters proving the charset
+    * WRONG (C1 controls / unmappable bytes — e.g. Windows smart quotes
+    * decode to C1 controls under the matching ISO-8859 charset, which
+    * is how windows-125x beats its ISO sibling when either could claim
+    * the letters).
+    */
+  private def freqScore(bytes: Array[Byte], charset: String,
+                        common: Set[Char]): Double = {
+    val decoded = new String(bytes, java.nio.charset.Charset.forName(charset))
+    var hits = 0; var letters = 0; var bad = 0
+    decoded.foreach { c =>
+      if (c > 0x7F) {
+        letters += 1
+        if (common(c)) hits += 1
+        if ((c >= 0x80 && c <= 0x9F) || c == '�') bad += 1
+      }
+    }
+    if (letters == 0) 0.0 else math.max(0.0, (hits - 2.0 * bad) / letters)
+  }
+
+  /** Greek family (reference chardet: Latin7/Win1253 Greek models,
+    * annotator.py:217-224): both charsets place the alphabet
+    * identically, so plain letter text ties and the candidate ORDER
+    * resolves it to iso-8859-7 (chardet lists the ISO model first);
+    * text carrying Windows C1-range punctuation (smart quotes, euro)
+    * decodes to C1 controls under ISO-8859-7 and flips the verdict to
+    * windows-1253 via the freqScore penalty.
+    */
+  def greekScores(bytes: Array[Byte]): Seq[(String, Double)] =
+    if (!highByteGate(bytes)) Seq.empty
+    else Seq("iso-8859-7", "windows-1253").map(cs => cs -> freqScore(bytes, cs, GreekCommon))
+
+  val GreekCommon: Set[Char] = "αοιετνσηρπκμυλωγδςάέήίόύώθχφβ".toSet
+
+  /** Hebrew (chardet's HebrewProber shape): iso-8859-8 (visual) and
+    * windows-1255 (logical) place the alphabet identically — the
+    * DIRECTION decides the label. Logical Hebrew puts final forms
+    * (ך ם ן ף ץ) at word END; visual Hebrew stores each line reversed,
+    * so finals appear at word START. No finals at all -> windows-1255
+    * (logical is the overwhelmingly common modern encoding — chardet's
+    * own default).
+    */
+  def hebrewScores(bytes: Array[Byte]): Seq[(String, Double)] = {
+    if (!highByteGate(bytes)) return Seq.empty
+    val score = freqScore(bytes, "windows-1255", HebrewCommon)
+    if (score == 0.0) return Seq.empty
+    val decoded = new String(bytes, java.nio.charset.Charset.forName("windows-1255"))
+    def isHeb(c: Char) = c >= 'א' && c <= 'ת'
+    var atEnd = 0; var atStart = 0
+    var i = 0
+    while (i < decoded.length) {
+      val c = decoded(i)
+      if (HebrewFinals(c)) {
+        val prevBoundary = i == 0 || !isHeb(decoded(i - 1))
+        val nextBoundary = i == decoded.length - 1 || !isHeb(decoded(i + 1))
+        if (prevBoundary && !nextBoundary) atStart += 1
+        else if (nextBoundary) atEnd += 1
+      }
+      i += 1
+    }
+    Seq((if (atStart > atEnd) "iso-8859-8" else "windows-1255") -> score)
+  }
+
+  val HebrewCommon: Set[Char] = "יוהלארתבשמנעםדקכחפסגץטזןךף".toSet
+  val HebrewFinals: Set[Char] = "ךםןףץ".toSet
+
+  /** Thai (chardet: TIS-620 via its Thai language model): single
+    * candidate, frequency profile over the most common Thai consonants,
+    * vowels and tone marks.
+    */
+  def thaiScores(bytes: Array[Byte]): Seq[(String, Double)] =
+    if (!highByteGate(bytes)) Seq.empty
+    else Seq("tis-620" -> freqScore(bytes, "TIS-620", ThaiCommon))
+
+  val ThaiCommon: Set[Char] =
+    "านรอกเงมยลวสดทตคบปหจแชขษศถพภฟซฯ".toSet ++ "ัิี่้ึืุู็ะำไใโ์๊๋".toSet
 
   def isValidUtf8(bytes: Array[Byte]): Boolean = multibyteUtf8Chars(bytes) >= 0
 

@@ -29,6 +29,13 @@ object AsOfJoin {
     */
   def asOf(leftDf: DataFrame, rightDf: DataFrame,
            keyCol: String, tsCol: String, tieCol: String): DataFrame = {
+    // the three working/output names would silently clobber (withColumn
+    // replaces "side") or collide with same-named left payload columns
+    val reserved = Seq("side", "asof_ts", "asof_tie")
+    val clash = leftDf.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"asOf: left columns ${clash.mkString(", ")} collide with reserved " +
+        "output names side/asof_ts/asof_tie — rename them before joining")
     val left = leftDf.withColumn("side", lit(1))
     val right = rightDf.select(col(keyCol), col(tsCol), col(tieCol))
       .withColumn("side", lit(0))

@@ -98,8 +98,14 @@ object Similarity {
   def kmeansCodebook(df: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int = 5): DataFrame = {
     val vecs = df.select(col(idCol), col(vecCol))
+    // constant-valued (but non-foldable) partition key: the init ranking
+    // runs over the k post-limit rows only, but a bare orderBy window
+    // logs the global "no partition defined" warning on every run — the
+    // q19 fix, xxhash64 so it works for any id type
     var codebook = vecs.orderBy(col(idCol)).limit(k)
-      .select(row_number().over(Window.orderBy(col(idCol))).cast("long").as("cell_id"),
+      .select(row_number().over(
+          Window.partitionBy(pmod(xxhash64(col(idCol)), lit(1)))
+            .orderBy(col(idCol))).cast("long").as("cell_id"),
         col(vecCol).as("cv"))
     for (_ <- 1 to iters) {
       val assigned = ivfAssignWith(vecs, idCol, vecCol, codebook)

@@ -618,7 +618,7 @@ object Queries {
        |    $values),
        |tri AS (
        |  SELECT d.doc_id, substr(' ' || lower(d.text) || ' ', CAST(t.i AS INT), 3) AS gram
-       |  FROM documents d, LATERAL unnest(generate_series(1, greatest(length(d.text), 1)))
+       |  FROM documents d, LATERAL unnest(generate_series(1, greatest(length(lower(d.text)), 1)))
        |    AS t(i)),
        |sc AS (
        |  SELECT t.doc_id,

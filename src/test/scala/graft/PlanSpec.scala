@@ -83,8 +83,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!exec.contains("Exchange"), exec.take(1500))
   }
 
-  test("q22: token split bound once (no per-feature re-split)") {
-    assert("split\\(".r.findAllIn(optimized("q22_quality")).size == 1)
+  test("q22: token split bound once, text lowered once (no re-split/re-lower)") {
+    val o = optimized("q22_quality")
+    assert("split\\(".r.findAllIn(o).size == 1, o.take(1500))
+    // one lower() total: per-token inside the stopword filter lambda —
+    // no feature re-lowers the text (r3->r4 bench note: the 2.7x q22
+    // "regression" was host noise; interleaved-min re-measure = 0.43 s)
+    assert("lower\\(".r.findAllIn(o).size == 1, o.take(1500))
   }
 
   test("verifyPairs: corpus semi-joined to referenced ids BEFORE shingling") {

@@ -60,6 +60,126 @@ class StreamingSpec extends AnyFunSuite {
       .distinct().count() == spark.read.parquet(s"$base/t").count())
   }
 
+  test("compactTriples: a file appended mid-compaction survives (zero row loss)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ctriples").toString
+    val dir = s"$base/t"
+    val dict = Pipeline.broadcastDict(spark)
+    def tripleSet() = spark.read.parquet(dir)
+      .select("doc_id", "subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toVector.sorted
+    // several small appends -> many files per pred_bucket partition
+    for (b <- 0 until 4) {
+      val docs = SynthCorpus.corpus(spark, (b + 1) * 4)
+        .filter($"doc_id" >= SynthCorpus.docId(b * 4))
+      Pipeline.writeTriples(Pipeline.triples(docs, dict), dir,
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    val before = tripleSet()
+    // the concurrent writer: a streaming foreachBatch appending INSIDE
+    // the window between the compactor's snapshot and its delete
+    val lateDocs = SynthCorpus.corpus(spark, 20)
+      .filter($"doc_id" >= SynthCorpus.docId(16))
+    val late = Pipeline.triples(lateDocs, dict).collect()
+      .map(t => (t.doc_id, t.subj, t.pred, t.obj)).toVector
+    val appended = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Pipeline.compactTriples(spark, dir, minFilesToCompact = 2,
+      midCompactHook = _ =>
+        if (appended.compareAndSet(false, true))
+          Pipeline.writeTriples(spark.createDataset(late.map(TripleRow.tupled)),
+            dir, org.apache.spark.sql.SaveMode.Append))
+    assert(appended.get, "hook never fired — compaction skipped every partition")
+    assert(tripleSet() == (before ++ late).sorted, "rows lost or duplicated by compaction")
+    // idempotent re-run (also folds the late files in)
+    Pipeline.compactTriples(spark, dir, minFilesToCompact = 2)
+    assert(tripleSet() == (before ++ late).sorted)
+  }
+
+  test("compactTriples: crash before move-in rolls back; crash mid-delete finishes") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("ctcrash").toString
+    val dir = s"$base/t"
+    val dict = Pipeline.broadcastDict(spark)
+    def tripleSet() = spark.read.parquet(dir)
+      .select("doc_id", "subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toVector.sorted
+    for (b <- 0 until 3) {
+      val docs = SynthCorpus.corpus(spark, (b + 1) * 4)
+        .filter($"doc_id" >= SynthCorpus.docId(b * 4))
+      Pipeline.writeTriples(Pipeline.triples(docs, dict), dir,
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    val before = tripleSet()
+    // crash point 1: after the manifest is journaled, before any move-in
+    // (the hook throws) -> repair must ROLL BACK, originals intact
+    intercept[RuntimeException] {
+      Pipeline.compactTriples(spark, dir, minFilesToCompact = 2,
+        midCompactHook = _ => throw new RuntimeException("injected crash"))
+    }
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new Path(dir))
+      .exists(_.getPath.getName.startsWith(".compact_pending-")), "manifest must persist the crash")
+    Pipeline.compactTriples(spark, dir, minFilesToCompact = 2) // repair + compact
+    assert(fs.listStatus(new Path(dir))
+      .forall(s => !s.getPath.getName.startsWith(".compact_pending-")))
+    assert(tripleSet() == before, "crash rollback lost or duplicated rows")
+    // crash point 2: move-in complete, some originals deleted, manifest
+    // still present -> repair must FINISH (delete remaining originals)
+    val part = fs.listStatus(new Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("pred_bucket=")).head.getPath
+    val dataFiles = fs.listStatus(part).filter(f => f.isFile &&
+      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    // fabricate: pretend the current files are stamp-moved compacted files'
+    // siblings — copy one data file to an "original" name, journal it as
+    // the only original of a completed move-in
+    val victim = dataFiles.head.getPath
+    val dupName = "leftover-original.parquet"
+    org.apache.hadoop.fs.FileUtil.copy(fs, victim, fs, new Path(part, dupName),
+      false, spark.sparkContext.hadoopConfiguration)
+    val stamp = "deadbeef"
+    fs.rename(victim, new Path(part, s"compact-$stamp-0.parquet"))
+    val manifest = new Path(dir, s".compact_pending-$stamp.txt")
+    val out = fs.create(manifest, true)
+    out.write(Seq(part.getName, stamp, "1", dupName).mkString("\n").getBytes("UTF-8"))
+    out.close()
+    Pipeline.compactTriples(spark, dir, minFilesToCompact = 1000) // repair only
+    assert(!fs.exists(new Path(part, dupName)), "finish path must delete the leftover original")
+    assert(!fs.exists(manifest))
+    assert(tripleSet() == before, "finish path lost or duplicated rows")
+  }
+
+  test("startBucketed: full checkpoint-loss replay re-appends nothing (sidecar filter + heal)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sreplay").toString
+    val dict = Pipeline.broadcastDict(spark)
+    val docs = SynthCorpus.corpus(spark, 12)
+    docs.write.parquet(s"$base/docs")
+    val q = StreamingPipeline.startBucketed(spark, s"$base/docs", s"$base/t", s"$base/ckpt", dict)
+    q.awaitTermination()
+    val once = spark.read.parquet(s"$base/t")
+      .select("doc_id", "subj", "pred", "obj").collect().map(_.toString).sorted.toVector
+    // crash window: a batch's triples commit but its doc-commit never runs
+    val orphanDocs = SynthCorpus.corpus(spark, 16).filter($"doc_id" >= SynthCorpus.docId(12))
+    Pipeline.writeTriples(Pipeline.triples(orphanDocs, dict), s"$base/t",
+      org.apache.spark.sql.SaveMode.Append) // no commitDocIds: crashed mid-batch
+    orphanDocs.write.mode("append").parquet(s"$base/docs")
+    // checkpoint wiped: EVERY batch replays, incl. the orphaned docs
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$base/ckpt"))
+    val q2 = StreamingPipeline.startBucketed(spark, s"$base/docs", s"$base/t", s"$base/ckpt2", dict)
+    q2.awaitTermination()
+    val after = spark.read.parquet(s"$base/t")
+    // each doc's triples exactly once: nothing re-appended by the replay
+    assert(after.count() == after.select("doc_id", "subj", "pred", "obj").distinct().count())
+    val expected = Pipeline.triples(SynthCorpus.corpus(spark, 16), dict).toDF()
+      .select("doc_id", "subj", "pred", "obj").collect().map(_.toString).sorted.toVector
+    assert(after.select("doc_id", "subj", "pred", "obj").collect()
+      .map(_.toString).sorted.toVector == expected)
+    assert(once.nonEmpty && expected.size > once.size)
+  }
+
   test("watermarked windowed aggregation == batch over emitted windows") {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("swin").toString
