@@ -81,6 +81,40 @@ class IngestSpec extends AnyFunSuite {
       "ISO-8859-1")) == "latin-1")
   }
 
+  test("single-byte battery: Greek / Hebrew (logical+visual) / Thai probers") {
+    import java.nio.charset.Charset
+    def enc(s: String, cs: String) = s.getBytes(Charset.forName(cs))
+    // Greek: plain letters tie between the two charsets -> iso-8859-7
+    // (chardet lists the ISO model first); Windows C1 punctuation flips
+    // the verdict to windows-1253 (those bytes are C1 controls under ISO)
+    val el = "αυτό είναι ελληνικό κείμενο για τον έλεγχο της κωδικοποίησης και των συχνοτήτων"
+    assert(EncodingSniff.detect(enc(el, "ISO-8859-7")) == "iso-8859-7")
+    assert(EncodingSniff.decode(enc(el, "ISO-8859-7"), "iso-8859-7") == el)
+    val elQuoted = "το “ελληνικό” κείμενο έχει εισαγωγικά και κωδικοποίηση των windows εδώ"
+    assert(EncodingSniff.detect(enc(elQuoted, "windows-1253")) == "windows-1253")
+    assert(EncodingSniff.decode(enc(elQuoted, "windows-1253"), "windows-1253") == elQuoted)
+    // Hebrew: final forms at word END -> logical windows-1255
+    val heLogical = "זהו טקסט בעברית לבדיקת קידוד התווים והתדירות שלהם בשפה העברית"
+    assert(EncodingSniff.detect(enc(heLogical, "windows-1255")) == "windows-1255")
+    assert(EncodingSniff.decode(enc(heLogical, "windows-1255"), "windows-1255") == heLogical)
+    // visual Hebrew stores each line reversed: finals land at word START
+    val heVisual = heLogical.split(" ").map(_.reverse).reverse.mkString(" ")
+    assert(EncodingSniff.detect(enc(heVisual, "ISO-8859-8")) == "iso-8859-8")
+    assert(EncodingSniff.decode(enc(heVisual, "ISO-8859-8"), "iso-8859-8") == heVisual)
+    // Thai (TIS-620)
+    val th = "นี่คือข้อความภาษาไทยสำหรับทดสอบการตรวจจับรหัสอักขระและความถี่ของตัวอักษร"
+    assert(EncodingSniff.detect(enc(th, "TIS-620")) == "tis-620")
+    assert(EncodingSniff.decode(enc(th, "TIS-620"), "tis-620") == th)
+    // none of the new probers claim Western latin-1 or CJK payloads
+    assert(EncodingSniff.detect(enc("Prüfzeit;Messlänge;größer\n", "ISO-8859-1")) == "latin-1")
+    val ja = "これは日本語のテキストです。天気は晴れです。"
+    assert(EncodingSniff.detect(enc(ja, "Shift_JIS")) == "shift_jis")
+    // and the Cyrillic family still wins its own payloads over the new ones
+    val ru = "это русский текст для проверки кодировки и частот букв"
+    for (cs <- EncodingSniff.CyrillicCharsets)
+      assert(EncodingSniff.detect(enc(ru, cs)) == cs, cs)
+  }
+
   test("binaryFile + auto-detection reproduces every fixture doc and label") {
     val got = Ingest.fromCsvFilesDetected(spark,
         "/root/reference/examples/example*.csv").collect()
