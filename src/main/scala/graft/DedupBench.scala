@@ -45,7 +45,57 @@ object DedupBench {
     }
   }
 
+  /** Adversarial clustering shape: one pair per consecutive id — a
+    * single chain-shaped component of diameter nDocs. Plain label
+    * propagation needs nDocs rounds (hits maxIter and returns a SPLIT
+    * component); pointer doubling needs ~log2(nDocs). Runs both
+    * variants on the same pair set and reports rounds-bounded wall
+    * times + whether each converged.
+    */
+  def runChain(cpus: Int, nDocs: Long, maxIterPlain: Int,
+               maxIterPD: Int): (Double, Boolean, Double, Boolean, Boolean) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-dedup-chain-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      import spark.implicits._
+      val pairs = spark.range(nDocs - 1)
+        .select(format_string("doc-%012d", col("id")).as("id1"),
+          format_string("doc-%012d", col("id") + 1).as("id2"))
+        .persist()
+      pairs.count()
+      val t0 = System.nanoTime()
+      val (plain, convPlain) = graft.ops.Dedup.connectedComponentsFlagged(pairs, maxIterPlain)
+      val nPlain = plain.select("component").distinct().count()
+      val tPlain = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (pd, convPD) = graft.ops.Dedup.connectedComponentsPDFlagged(pairs, maxIterPD)
+      val nPD = pd.select("component").distinct().count()
+      val tPD = (System.nanoTime() - t1) / 1e9
+      (tPlain, convPlain, tPD, convPD, nPD == 1L && nPlain >= nPD)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--chain")) {
+      val nDocs = if (args.length > 1) args(1).toLong else 100000L
+      val cpus = if (args.length > 2) args(2).toInt else 32
+      val maxIterPlain = if (args.length > 3) args(3).toInt else 10
+      val maxIterPD = if (args.length > 4) args(4).toInt else 25
+      val (tPlain, convPlain, tPD, convPD, pdOneComponent) =
+        runChain(cpus, nDocs, maxIterPlain, maxIterPD)
+      println(f"""{"metric":"cc_chain_pd_sec","value":$tPD%.1f,"unit":"sec","docs":$nDocs,"cpus":$cpus,"t_plain_sec":$tPlain%.1f,"plain_converged":$convPlain,"plain_max_iter":$maxIterPlain,"t_pd_sec":$tPD%.1f,"pd_converged":$convPD,"pd_max_iter":$maxIterPD,"pd_one_component":$pdOneComponent}""")
+      return
+    }
     val nDocs = if (args.length > 0) args(0).toLong else 200000L
     val lo = if (args.length > 1) args(1).toInt else 8
     val hi = if (args.length > 2) args(2).toInt else 32

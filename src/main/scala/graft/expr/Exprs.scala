@@ -76,5 +76,6 @@ object Exprs {
     reg("graft_minhash", exprs => MinHashOf(exprs.head, intLit(exprs(1)), intLit(exprs(2))))
     reg("graft_simhash", exprs => SimHash64Of(exprs.head, intLit(exprs(1))))
     reg("graft_lang_scores", exprs => LangScoresOf(exprs.head))
+    reg("graft_media_header", exprs => MediaHeaderOf(exprs.head))
   }
 }

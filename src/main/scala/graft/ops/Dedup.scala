@@ -295,6 +295,72 @@ object Dedup {
     (labels, converged)
   }
 
+  /** [[connectedComponentsFlagged]] accelerated with label shortcutting
+    * (pointer doubling): after each neighbor-min step every vertex also
+    * adopts its LABEL's label (component-of-component — labels are
+    * vertex ids, and every vertex id has a label row, so the lookup is
+    * one unique-key join). The reach compounds geometrically, so a
+    * diameter-D component converges in O(log D) rounds instead of O(D):
+    * the adversarial shape for plain label propagation is a CHAIN
+    * (each doc paired only to the next — maxIter rounds), which the
+    * shortcut collapses (DedupBench --chain measures the cliff; OpsSpec
+    * pins label equality with the plain variant on chains and random
+    * graphs). Fixpoint and determinism identical to
+    * [[connectedComponents]] (min reachable id).
+    *
+    * Per round: 2 unique-key joins + 1 min-groupBy (vs 1 + 1 for the
+    * plain variant) — the right trade whenever cluster diameter can
+    * exceed a handful of hops.
+    */
+  def connectedComponentsPDFlagged(pairs: DataFrame,
+                                   maxIter: Int = 20): (DataFrame, Boolean) = {
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id1"), col("id2")),
+        struct(col("id2").as("id1"), col("id1").as("id2")))).as("e"))
+      .select(col("e.id1").as("id1"), col("e.id2").as("id2"))
+      .persist()
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "id2"), "id2")
+        .select(col("id1").as("id"), col("component"))
+      val stepped = labels.select(col("id"), col("component"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint() // materialize once: the shortcut self-joins it
+      // shortcut: component <- min(component, component's own label).
+      // component values are vertex ids, each with exactly one label row
+      // -> unique-key equi-join, no fanout
+      val next = stepped.as("n")
+        .join(stepped.select(col("id").as("lid"), col("component").as("lcomp")),
+          col("n.component") === col("lid"), "left")
+        .select(col("n.id").as("id"),
+          least(col("n.component"), coalesce(col("lcomp"), col("n.component")))
+            .as("component"))
+        .localCheckpoint() // eager: lineage truncated, result cached
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponentsPD: not converged after $maxIter iterations " +
+          s"(covers diameter ~2^$maxIter) — raise maxIter")
+    (labels, converged)
+  }
+
+  def connectedComponentsPD(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsPDFlagged(pairs, maxIter)._1
+
   /** Survivor selection: one canonical doc per near-dup cluster (the
     * minimum id — deterministic), non-clustered docs kept as-is. The
     * full scale recipe: [[lshCandidatePairsFast]] -> (optional verify)

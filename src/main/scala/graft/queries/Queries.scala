@@ -702,19 +702,50 @@ object Queries {
       |  FROM toks)
       |SELECT doc_id, min(md5(sh)) AS fp FROM shingles GROUP BY doc_id""".stripMargin
 
-  /** Q25 — multimodal plumbing: opaque binary payload + deterministic
-    * stub "decode" (see graft.ops.Multimodal for the real batch path).
+  /** Q25 — multimodal header decode: build REAL PNG / GIF / JPEG
+    * container headers byte-by-byte from per-doc dimensions, parse them
+    * back with the native `graft_media_header` codegen Expression
+    * ([[graft.ops.Multimodal.headerDecode]] — pure-JVM container parse,
+    * no codecs; binary payload never leaves the scan task). The oracle
+    * computes the expected (format, width, height, bit_depth, n_bytes)
+    * ARITHMETICALLY from the same per-doc dimensions, so a match proves
+    * the byte-level construction and the parser agree on the real
+    * container layouts (PNG big-endian IHDR, GIF little-endian screen
+    * descriptor, JPEG SOF0 segment walk).
     */
-  def q25MultimodalStub(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(p(dir, "documents"))
-      .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
-      .select(col("doc_id"),
-        length(col("payload")).cast("long").as("n_bytes"),
-        md5(col("payload")).as("sig"))
+  def q25MediaHeader(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(p(dir, "documents"))
+      .withColumn("w", (pmod(col("n_chars"), lit(500)) + 1).cast("int"))
+      .withColumn("h", (pmod(col("n_chars") * 7, lit(500)) + 1).cast("int"))
+    val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+      lpad(hex(col("w")), 8, "0"), lpad(hex(col("h")), 8, "0"),
+      lit("080600000000000000"))
+    val gifHex = concat(lit("474946383961"),
+      lpad(hex(pmod(col("w"), lit(256))), 2, "0"), lpad(hex(expr("w div 256")), 2, "0"),
+      lpad(hex(pmod(col("h"), lit(256))), 2, "0"), lpad(hex(expr("h div 256")), 2, "0"),
+      lit("870000"))
+    val jpegHex = concat(lit("FFD8FFC0001108"),
+      lpad(hex(col("h")), 4, "0"), lpad(hex(col("w")), 4, "0"),
+      lit("03012200021101031101"))
+    d.withColumn("payload", unhex(
+        when(pmod(col("n_chars"), lit(3)) === 0, pngHex)
+          .when(pmod(col("n_chars"), lit(3)) === 1, gifHex)
+          .otherwise(jpegHex)))
+      .withColumn("hdr", graft.expr.MediaHeaderOf(col("payload")))
+      .select(col("doc_id"), col("hdr.format").as("format"),
+        col("hdr.width").cast("long").as("width"),
+        col("hdr.height").cast("long").as("height"),
+        col("hdr.bit_depth").cast("long").as("bit_depth"),
+        length(col("payload")).cast("long").as("n_bytes"))
+  }
 
   val q25Sql: String =
-    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |  md5(text) AS sig
+    """SELECT doc_id,
+      |  CASE n_chars % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+      |  CAST(n_chars % 500 + 1 AS BIGINT) AS width,
+      |  CAST((n_chars * 7) % 500 + 1 AS BIGINT) AS height,
+      |  CAST(8 AS BIGINT) AS bit_depth,
+      |  CAST(CASE n_chars % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 21 END AS BIGINT) AS n_bytes
       |FROM documents""".stripMargin
 
   /** Q26 — make_id via the custom Catalyst expression PyTitleCase
@@ -1074,7 +1105,7 @@ object Queries {
     ("q22_quality", q22Quality _, Some(q22Sql)),
     ("q23_token_count", q23TokenCount _, Some(q23Sql)),
     ("q24_fingerprint", q24Fingerprint _, Some(q24Sql)),
-    ("q25_multimodal_stub", q25MultimodalStub _, Some(q25Sql)),
+    ("q25_media_header", q25MediaHeader _, Some(q25Sql)),
     ("q26_make_id", q26MakeId _, None),
     ("q27_ivf_kmeans", q27IvfKmeans _, None),
     ("q28_cube_metrics", q28CubeMetrics _, Some(q28Sql)),

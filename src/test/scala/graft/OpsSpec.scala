@@ -53,6 +53,39 @@ class OpsSpec extends AnyFunSuite {
     assert(fo.select(expr("size(frame_offsets)")).head().getInt(0) == 4)
   }
 
+  test("media header decode: real PNG/GIF/JPEG/BMP layouts; Expression == scalar") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] = s.replaceAll("\\s", "")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // real container layouts, hand-assembled
+    val png1x1 = hx("89504E470D0A1A0A 0000000D 49484452 00000001 00000001 08 06 00 00 00 00000000")
+    val gif3x2 = hx("474946383961 0300 0200 87 00 00")
+    // JPEG with an APP0/JFIF segment BEFORE the SOF0 (the segment walk)
+    val jpegApp0 = hx("FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 0000" +
+      " FFC0 0011 08 0002 0003 03 012200 021101 031101")
+    val bmp = hx("424D 1E000000 00000000 36000000 28000000" +
+      " 05000000 04000000 0100 1800")
+    assert(Multimodal.headerDecode(png1x1).contains(("png", 1, 1, 8)))
+    assert(Multimodal.headerDecode(gif3x2).contains(("gif", 3, 2, 8)))
+    assert(Multimodal.headerDecode(jpegApp0).contains(("jpeg", 3, 2, 8)))
+    assert(Multimodal.headerDecode(bmp).contains(("bmp", 5, 4, 24)))
+    // unrecognized / truncated -> None (and null through the Expression)
+    assert(Multimodal.headerDecode("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.headerDecode(hx("89504E47")).isEmpty)
+    assert(Multimodal.headerDecode(hx("FFD8FFC0")).isEmpty)
+    val rows = Seq(("png", png1x1), ("gif", gif3x2), ("jpeg", jpegApp0),
+      ("bmp", bmp), ("junk", "zzz".getBytes("UTF-8")))
+    val got = rows.toDF("name", "payload")
+      .withColumn("hdr", graft.expr.MediaHeaderOf(col("payload")))
+      .select("name", "hdr.format", "hdr.width", "hdr.height", "hdr.bit_depth")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))))
+      .toMap
+    rows.foreach { case (name, bytes) =>
+      assert(got(name) == Multimodal.headerDecode(bytes), name)
+    }
+  }
+
   test("similarity: annTopK returns bucket-restricted neighbors") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val topk = Similarity.annTopK(e, "vec_id", "embedding", queryId = 0, k = 5)
