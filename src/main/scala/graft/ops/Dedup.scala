@@ -256,16 +256,42 @@ object Dedup {
     *    on recomputation and the plan does not grow with the iteration
     *    count.
     */
+  /** Run `f` with Catalyst constraint propagation disabled. The
+    * iterative CC loops checkpoint label tables whose captured
+    * constraint sets (alias equalities, self-join leftovers) can
+    * reference attribute ids absent from the checkpointed output;
+    * `Union.rewriteConstraints` then throws `key not found: id#N`
+    * (hit with range+format_string pair sources). Constraints are
+    * optimizer-only inference hints — disabling them for the loop's
+    * trivial join/union/groupBy plans changes no results and no
+    * meaningful plan choice.
+    */
+  private def withoutConstraintPropagation[T](df: DataFrame)(f: => T): T = {
+    val key = "spark.sql.constraintPropagation.enabled"
+    val conf = df.sparkSession.conf
+    val prev = conf.getOption(key)
+    conf.set(key, "false")
+    try f
+    finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
   def connectedComponentsFlagged(pairs: DataFrame,
-                                 maxIter: Int = 10): (DataFrame, Boolean) = {
+                                 maxIter: Int = 10): (DataFrame, Boolean) =
+    withoutConstraintPropagation(pairs) {
+    // eager localCheckpoint (not persist): materializes `edges` once and
+    // REPLACES the pair pipeline's logical plan with the checkpointed RDD
+    // — the loop's unions/joins never re-optimize the (arbitrary)
+    // upstream plan, whose propagated constraints can trip Union
+    // constraint rewriting (hit with range+format_string pair sources)
     val edges = pairs
       .select(explode(array(
         struct(col("id1"), col("id2")),
         struct(col("id2").as("id1"), col("id1").as("id2")))).as("e"))
       .select(col("e.id1").as("id1"), col("e.id2").as("id2"))
-      .persist()
-    // eager localCheckpoint: materializes `edges` into the cache once and
-    // cuts the pair pipeline out of every later plan
+      .localCheckpoint()
     var labels = edges.select(col("id1").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint()
@@ -313,13 +339,15 @@ object Dedup {
     * exceed a handful of hops.
     */
   def connectedComponentsPDFlagged(pairs: DataFrame,
-                                   maxIter: Int = 20): (DataFrame, Boolean) = {
+                                   maxIter: Int = 20): (DataFrame, Boolean) =
+    withoutConstraintPropagation(pairs) {
+    // localCheckpoint (not persist) — same reasoning as the plain variant
     val edges = pairs
       .select(explode(array(
         struct(col("id1"), col("id2")),
         struct(col("id2").as("id1"), col("id1").as("id2")))).as("e"))
       .select(col("e.id1").as("id1"), col("e.id2").as("id2"))
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("id1").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint()

@@ -141,6 +141,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe IVF top-k: scan the query's top-`probes` cells by
+    * centroid cosine instead of only its own cell — the standard recall
+    * lift for IVF (a query near a cell boundary keeps its true
+    * neighbors that were routed to the adjacent cell). Cost scales as
+    * probes/nCells of the corpus; the probe-cell selection itself is
+    * driver-free: a broadcast codebook x broadcast query vector ranking.
+    * Recall\@10 vs the exact scan is pinned by OpsSpec (>= 0.9 on the
+    * fixture embeddings, and monotone vs single-probe).
+    */
+  def ivfTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+                        codebook: DataFrame, queryId: Long, k: Int,
+                        probes: Int): DataFrame = {
+    val assign = ivfAssignWith(df, idCol, vecCol, codebook)
+    val joined = df.join(assign, idCol)
+    val qVec = df.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    val qCells = codebook.crossJoin(broadcast(qVec))
+      .withColumn("d", cosine(col("cv"), col("qv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(pmod(xxhash64(col("cell_id")), lit(1)))
+          .orderBy(col("d").desc, col("cell_id"))))
+      .filter(col("rk") <= probes)
+      .select("cell_id")
+    joined.join(broadcast(qCells), "cell_id")
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(qVec))
+      .withColumn("cos", cosine(col(vecCol), col("qv")))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF top-k: exact cosine within the query's cell only. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, nCells: Int = 16): DataFrame = {

@@ -1076,6 +1076,61 @@ object Queries {
        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jac_u
        |FROM pairs p JOIN sh a ON a.doc_id = p.id1 JOIN sh b ON b.doc_id = p.id2""".stripMargin
 
+  /** Q37 — multi-probe IVF ANN ([[graft.ops.Similarity
+    * .ivfTopKMultiProbe]]): exact cosine top-k over the query's top-2
+    * cells by centroid cosine (instead of its single cell — the recall
+    * lift for boundary queries). Same trained-codebook-as-VALUES oracle
+    * pattern as q27; DuckDB re-derives the probe-cell ranking, the cell
+    * assignment, and the in-cell scoring independently.
+    */
+  def q37AnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(p(dir, "embeddings"))
+    val cb = graft.ops.Similarity.kmeansCodebook(e, "vec_id", "embedding", k = 4, iters = 2)
+    graft.ops.Similarity.ivfTopKMultiProbe(e, "vec_id", "embedding", cb,
+        queryId = 0, k = 10, probes = 2)
+      .select(col("vec_id"), expr("cast(round(1000000.0 * cos) as bigint)").as("cos_u"))
+  }
+
+  def q37Sql(s: SparkSession, dir: String): String = {
+    val cb = graft.ops.Similarity.kmeansCodebook(
+      s.read.parquet(p(dir, "embeddings")), "vec_id", "embedding", k = 4, iters = 2)
+    val rows = cb.orderBy("cell_id").collect().map { r =>
+      val vec = r.getSeq[Float](1).map(_.toString).mkString("[", ", ", "]")
+      s"(${r.getLong(0)}, CAST($vec AS FLOAT[]))"
+    }.mkString(",\n    ")
+    s"""WITH cb(cell_id, cv) AS (VALUES
+       |    $rows),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cbd AS (SELECT cell_id, CAST(cv AS DOUBLE[]) AS cvd FROM cb),
+       |scored AS (
+       |  SELECT e.vec_id, cbd.cell_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_dot_product(v, cvd) /
+       |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cvd, cvd))) DESC,
+       |      cell_id) AS rk
+       |  FROM e, cbd),
+       |assign AS (SELECT vec_id, cell_id FROM scored WHERE rk = 1),
+       |qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+       |qcells AS (
+       |  SELECT cell_id FROM (
+       |    SELECT cbd.cell_id, row_number() OVER (ORDER BY
+       |      list_dot_product(cvd, qvec) /
+       |        (sqrt(list_dot_product(cvd, cvd)) * sqrt(list_dot_product(qvec, qvec))) DESC,
+       |      cell_id) AS rk
+       |    FROM cbd, qv) WHERE rk <= 2),
+       |cand AS (
+       |  SELECT e.vec_id, e.v FROM e
+       |  JOIN assign USING (vec_id) JOIN qcells USING (cell_id)
+       |  WHERE e.vec_id <> 0)
+       |SELECT vec_id,
+       |  CAST(round(1000000.0 * list_dot_product(v, qvec) /
+       |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec)))) AS BIGINT) AS cos_u
+       |FROM cand, qv
+       |ORDER BY list_dot_product(v, qvec) /
+       |  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))) DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -1116,7 +1171,8 @@ object Queries {
     ("q33_asof_join", q33AsofJoin _, Some(q33Sql)),
     ("q34_dedup_cluster", q34DedupCluster _, Some(q34Sql)),
     ("q35_embedding_neardups", q35EmbeddingNearDups _, Some(q35Sql)),
-    ("q36_verify_pairs", q36VerifyPairs _, Some(q36Sql)))
+    ("q36_verify_pairs", q36VerifyPairs _, Some(q36Sql)),
+    ("q37_ann_multiprobe", q37AnnMultiprobe _, None))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live
@@ -1124,7 +1180,8 @@ object Queries {
     * driver's rows-only check rather than taking down the dump.
     */
   val dynamicOracles: Map[String, (SparkSession, String) => String] =
-    Map("q26_make_id" -> (q26Sql _), "q27_ivf_kmeans" -> (q27Sql _))
+    Map("q26_make_id" -> (q26Sql _), "q27_ivf_kmeans" -> (q27Sql _),
+      "q37_ann_multiprobe" -> (q37Sql _))
 
   /** Set by Verify (and tests) so the no-arg SparkEntry.oracleSql
     * contract can build the dir-dependent oracles.

@@ -226,6 +226,33 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.connectedComponentsFlagged(chain, maxIter = 10)._2)
   }
 
+  test("pointer-doubling CC == plain CC; chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // diameter-63 chain: plain label propagation needs 63 rounds; the
+    // shortcut variant must converge within 10 (reach ~2^k)
+    val chain = (0 until 63).map(i => (f"c$i%03d", f"c${i + 1}%03d")).toDF("id1", "id2")
+    val (pd, convPD) = Dedup.connectedComponentsPDFlagged(chain, maxIter = 10)
+    assert(convPD, "pointer doubling must converge on a 64-chain within 10 rounds")
+    val pdMap = pd.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pdMap.size == 64 && pdMap.values.forall(_ == "c000"), pdMap.take(5))
+    // plain with enough rounds agrees exactly
+    val plainMap = Dedup.connectedComponents(chain, maxIter = 70)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pdMap == plainMap)
+    // ...and plain at 10 rounds is exactly the documented cliff
+    assert(!Dedup.connectedComponentsFlagged(chain, maxIter = 10)._2)
+    // random graphs: same labels as the plain variant (seeded)
+    val rnd = new scala.util.Random(42)
+    val randomPairs = Seq.fill(300)(
+      (f"n${rnd.nextInt(200)}%03d", f"n${rnd.nextInt(200)}%03d"))
+      .filter(p => p._1 != p._2).toDF("id1", "id2")
+    val a = Dedup.connectedComponents(randomPairs, maxIter = 30)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = Dedup.connectedComponentsPD(randomPairs, maxIter = 15)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
   test("embeddingNearDups: degenerate bucket at dim 256 / maxBucket 1024 fits task memory") {
     import spark.implicits._
     // 1,100 near-identical dim-256 vectors all land in ONE sign bucket:
@@ -302,6 +329,26 @@ class OpsSpec extends AnyFunSuite {
     val p = dfp.queryExecution.executedPlan.toString
     // the "*(n)" prefix marks the project as inside a codegen stage
     assert("\\*\\(\\d+\\) Project \\[graft_dot".r.findFirstIn(p).isDefined, p.take(800))
+  }
+
+  test("multi-probe IVF: recall@10 >= 0.9 on fixture embeddings, monotone vs single-probe") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.kmeansCodebook(e, "vec_id", "embedding", k = 4, iters = 2)
+    val exact = Similarity.cosineTopK(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), 10)
+      .select("vec_id").as[Long].collect().toSet
+    def recall(probes: Int): Double = {
+      val got = Similarity.ivfTopKMultiProbe(e, "vec_id", "embedding", cb,
+          queryId = 0, k = 10, probes = probes)
+        .select("vec_id").as[Long].collect().toSet
+      (got intersect exact).size / 10.0
+    }
+    val r1 = recall(1); val r2 = recall(2); val r4 = recall(4)
+    assert(r2 >= 0.9, s"recall@10 with 2 probes = $r2")
+    assert(r2 >= r1 && r4 >= r2, s"recall must be monotone in probes: $r1 $r2 $r4")
+    assert(r4 == 1.0, "probing every cell IS the exact scan")
   }
 
   test("kmeans codebook: deterministic, converged cells; ivfTopKWith agrees with exact") {

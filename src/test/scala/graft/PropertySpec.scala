@@ -24,6 +24,60 @@ class PropertySpec extends AnyFunSuite {
     forAll(Gen.chooseNum(-1e300, 1e300))(f)
 
 
+  private lazy val spark: org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  test("resume reconcile: randomized crash points + interleaved compaction never lose or duplicate triples") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dict = Pipeline.broadcastDict(spark)
+    val docs = graft.ingest.SynthCorpus.corpus(spark, 12)
+    val expected = Pipeline.triples(docs, dict).collect()
+      .map(t => (t.doc_id, t.subj, t.pred, t.obj)).sorted.toVector
+    for (seed <- Seq(1L, 7L, 13L, 99L)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = java.nio.file.Files.createTempDirectory(s"fuzz$seed").toString + "/t"
+      var runs = 0
+      var done = false
+      while (!done && runs < 20) {
+        runs += 1
+        // a recovery run may start with compaction (the interaction
+        // matrix: compaction over a table holding ORPHANED triples whose
+        // sidecar commit was lost in the crash)
+        if (rnd.nextInt(3) == 0) Pipeline.compactTriples(spark, dir, minFilesToCompact = 2)
+        if (rnd.nextInt(3) == 0) Pipeline.compactCommits(spark, dir)
+        val todo = Pipeline.resumeFilter(docs, spark, dir) // reconcile default
+        val ids = todo.select("doc_id").as[String].collect().sorted
+        if (ids.isEmpty) done = true
+        else {
+          var crashed = false
+          for (b <- ids.grouped(4).toVector if !crashed) {
+            val batch = docs.filter(col("doc_id").isin(b: _*))
+            Pipeline.writeTriples(Pipeline.triples(batch, dict), dir, SaveMode.Append)
+            if (rnd.nextInt(4) == 0) crashed = true // crash BETWEEN the two commits
+            else {
+              Pipeline.commitDocIds(batch, dir)
+              if (rnd.nextInt(4) == 0) Pipeline.compactCommits(spark, dir)
+              if (rnd.nextInt(4) == 0) Pipeline.compactTriples(spark, dir, minFilesToCompact = 2)
+            }
+          }
+        }
+      }
+      assert(done, s"seed $seed: not recovered after $runs runs")
+      val got = spark.read.parquet(dir).select("doc_id", "subj", "pred", "obj")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+        .sorted.toVector
+      assert(got == expected, s"seed $seed after $runs runs: " +
+        s"got ${got.size} triples, expected ${expected.size}")
+    }
+  }
+
   test("typeOf tags rendered primitives correctly") {
     forAll(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)) { (n: Long) =>
       assert(CellType.typeOf(n.toString) == CellType.INT)
