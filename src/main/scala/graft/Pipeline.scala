@@ -338,20 +338,6 @@ object Pipeline {
       .as[Doc]
   }
 
-  /** Compact the doc-commit sidecar: the streaming writer appends one
-    * tiny parquet file per micro-batch ([[StreamingPipeline
-    * .startBucketed]]), so at 10^12 docs the resume anti-join's
-    * file-listing would dominate. Rewrites the sidecar as sorted,
-    * range-partitioned files of ~`targetRowsPerFile` ids.
-    *
-    * Crash-safe without a rename-atomic filesystem: (1) snapshot the
-    * current file list, (2) write the compacted copy to a temp dir,
-    * (3) move the compacted files IN, (4) delete the snapshotted
-    * originals. After any prefix of these steps the directory holds a
-    * SUPERSET of the ids committed before the snapshot (duplicate ids
-    * are harmless to the anti-join), and files appended concurrently
-    * after the snapshot are never touched.
-    */
   /** Compact the triples table's data files: streaming/resumed appends
     * leave one small file per micro-batch in EVERY pred_bucket
     * partition; at 10^12 docs downstream scans pay the file-listing +
@@ -473,6 +459,20 @@ object Pipeline {
     }
   }
 
+  /** Compact the doc-commit sidecar: the streaming writer appends one
+    * tiny parquet file per micro-batch ([[StreamingPipeline
+    * .startBucketed]]), so at 10^12 docs the resume anti-join's
+    * file-listing would dominate. Rewrites the sidecar as sorted,
+    * range-partitioned files of ~`targetRowsPerFile` ids.
+    *
+    * Crash-safe without a rename-atomic filesystem: (1) snapshot the
+    * current file list, (2) write the compacted copy to a temp dir,
+    * (3) move the compacted files IN, (4) delete the snapshotted
+    * originals. After any prefix of these steps the directory holds a
+    * SUPERSET of the ids committed before the snapshot (duplicate ids
+    * are harmless to the anti-join), and files appended concurrently
+    * after the snapshot are never touched.
+    */
   def compactCommits(spark: SparkSession, triplesDir: String,
                      targetRowsPerFile: Long = 32L * 1024 * 1024): Unit = {
     import org.apache.hadoop.fs.Path
