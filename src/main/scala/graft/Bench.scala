@@ -27,12 +27,19 @@ object Bench {
     // JVM/codegen warmup on a cheap query
     try SparkEntry.queries.head._2(spark, sfDir).count() catch { case _: Throwable => }
 
+    // interleaved reps, per-query MIN — the BENCH.md measurement
+    // protocol (this host's contention windows can inflate any single
+    // shot up to ~3x; interleaving spreads them across all queries
+    // instead of penalizing whichever one they landed on)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    graft.queries.Queries.registry.foreach { case (name, fn, _) =>
-      val t =
-        try { val d = time(fn(spark, sfDir).write.mode("overwrite").format("noop").save()); d }
-        catch { case _: Throwable => -1.0 }
-      results(name) = t
+    for (_ <- 1 to reps) {
+      graft.queries.Queries.registry.foreach { case (name, fn, _) =>
+        val t =
+          try { val d = time(fn(spark, sfDir).write.mode("overwrite").format("noop").save()); d }
+          catch { case _: Throwable => -1.0 }
+        results(name) = results.get(name).filter(p => p >= 0 && p <= t).getOrElse(t)
+      }
     }
     // headline: KG pipeline docs/sec on the deterministic synthetic corpus
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_PIPE_DOCS", "20000").toLong
@@ -45,7 +52,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_docs":$nDocs,"cpus":"$cpus"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_docs":$nDocs,"cpus":"$cpus","reps":$reps,"rep_stat":"min"}"""
     // stdout (bare — build.sbt routes forked run output unprefixed) AND a
     // file, so the driver can machine-read it either way.
     println(line)
