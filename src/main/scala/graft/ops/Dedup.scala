@@ -392,11 +392,17 @@ object Dedup {
   /** Survivor selection: one canonical doc per near-dup cluster (the
     * minimum id — deterministic), non-clustered docs kept as-is. The
     * full scale recipe: [[lshCandidatePairsFast]] -> (optional verify)
-    * -> [[connectedComponents]] -> this.
+    * -> [[connectedComponents]] -> this. Set `pointerDoubling` when
+    * cluster diameter is not known to be small (chain-shaped pair sets
+    * need O(log D) rounds instead of O(D) — see
+    * [[connectedComponentsPDFlagged]]).
     */
   def dedupByComponents(df: DataFrame, idCol: String, pairs: DataFrame,
-                        maxIter: Int = 10): DataFrame = {
-    val comps = connectedComponents(pairs, maxIter)
+                        maxIter: Int = 10,
+                        pointerDoubling: Boolean = false): DataFrame = {
+    val comps =
+      if (pointerDoubling) connectedComponentsPD(pairs, maxIter)
+      else connectedComponents(pairs, maxIter)
     df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .filter(col("component").isNull || col("component") === col(idCol))
       .drop("component")

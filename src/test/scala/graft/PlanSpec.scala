@@ -92,6 +92,19 @@ class PlanSpec extends AnyFunSuite {
     assert("lower\\(".r.findAllIn(o).size == 1, o.take(1500))
   }
 
+  test("q25: media-header decode runs narrow at scan speed (no exchange)") {
+    val p = plan("q25_media_header")
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert(p.contains("graft_media_header"), p.take(1200))
+  }
+
+  test("q37: probe-cell selection and candidate join are broadcast (no sort-merge)") {
+    val p = plan("q37_ann_multiprobe")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "codebook/probe joins must broadcast")
+  }
+
   test("verifyPairs: corpus semi-joined to referenced ids BEFORE shingling") {
     import spark.implicits._
     val d = spark.read.parquet(s"$dir/documents.parquet")
