@@ -298,19 +298,22 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // candidate label per vertex: min of own and neighbors' labels
+      // candidate label per vertex: min of own and neighbors' labels.
+      // The changed-flag join folds INTO the checkpoint materialization
+      // (labels is cached), so each round is ONE job plus a cached
+      // isEmpty scan — not a separate join+count action per round
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "id2"), "id2")
         .select(col("id1").as("id"), col("component"))
       val next = labels.select(col("id"), col("component"))
         .union(viaNeighbors)
         .groupBy("id").agg(min("component").as("component"))
+        .join(labels.withColumnRenamed("component", "old"), "id")
+        .select(col("id"), col("component"), (col("component") < col("old")).as("chg"))
         .localCheckpoint() // eager: lineage truncated, result cached
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") < col("old")).count()
+      converged = next.filter(col("chg")).isEmpty
       labels.unpersist()
-      labels = next
-      converged = changed == 0
+      labels = next.select("id", "component")
       iter += 1
     }
     edges.unpersist()
@@ -363,19 +366,20 @@ object Dedup {
         .localCheckpoint() // materialize once: the shortcut self-joins it
       // shortcut: component <- min(component, component's own label).
       // component values are vertex ids, each with exactly one label row
-      // -> unique-key equi-join, no fanout
+      // -> unique-key equi-join, no fanout. The changed-flag join folds
+      // into the checkpoint (labels cached): one job + cached isEmpty
       val next = stepped.as("n")
         .join(stepped.select(col("id").as("lid"), col("component").as("lcomp")),
           col("n.component") === col("lid"), "left")
         .select(col("n.id").as("id"),
           least(col("n.component"), coalesce(col("lcomp"), col("n.component")))
             .as("component"))
+        .join(labels.withColumnRenamed("component", "old"), "id")
+        .select(col("id"), col("component"), (col("component") < col("old")).as("chg"))
         .localCheckpoint() // eager: lineage truncated, result cached
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") < col("old")).count()
+      converged = next.filter(col("chg")).isEmpty
       labels.unpersist()
-      labels = next
-      converged = changed == 0
+      labels = next.select("id", "component")
       iter += 1
     }
     edges.unpersist()

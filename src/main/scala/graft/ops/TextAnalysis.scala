@@ -67,4 +67,78 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fp",
       array_min(transform(Dedup.shingles(textCol, 5), x => md5(x))))
+
+  /** Repetition signals (the Gopher / RefinedWeb "repetitive content"
+    * family, adapted to flat text): duplicate-token ratio (narrow) and
+    * the fraction of all word-bigram occurrences taken by the single
+    * most frequent bigram — boilerplate and spam pages spike on both.
+    *
+    * Scale shape: the token stats are narrow; the top-bigram count is
+    * ONE shuffle keyed by (doc, bigram) with map-side partial counts —
+    * never all-pairs, never corpus-global. Ratios are emitted as
+    * integer micro-units (exact cross-engine arithmetic).
+    *
+    * Output: idCol, n_tokens, dup_token_ratio_u, top_bigram_n,
+    * top_bigram_frac_u.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .withColumn("_toks", split(col(textCol), "\\s+"))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("_toks"))).cast("long").as("_nd"),
+        col("_toks"))
+    val bigrams = base.select(col(idCol), explode(expr(
+      """case when size(_toks) >= 2
+        |  then transform(sequence(1, size(_toks) - 1),
+        |         i -> concat(try_element_at(_toks, i), ' ',
+        |                     try_element_at(_toks, i + 1)))
+        |  else array() end""".stripMargin)).as("_bg"))
+    val top = bigrams.groupBy(col(idCol), col("_bg")).count()
+      .groupBy(col(idCol)).agg(max("count").as("top_bigram_n"))
+    base.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        expr("cast(round(1000000.0 * (n_tokens - _nd) / greatest(n_tokens, 1)) as bigint)")
+          .as("dup_token_ratio_u"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        expr("cast(round(1000000.0 * coalesce(top_bigram_n, 0) / greatest(n_tokens - 1, 1)) as bigint)")
+          .as("top_bigram_frac_u"))
+  }
+
+  /** The Gopher quality-filter rules (Rae et al. 2021, §A1.1 — the
+    * public rule set every LLM curation pipeline reimplements), with
+    * every threshold comparison done in INTEGER cross-multiplied form
+    * so the flags are bit-reproducible across engines:
+    *  - word count in [minWords, maxWords]
+    *  - mean word length in [3, 10]  (sum_len vs 3n / 10n)
+    *  - symbol-to-word ratio < 0.1   (10 * n_punct < n_tokens)
+    *  - >= 2 distinct words from the 8-stopword indicator list
+    * Narrow — zero shuffle; `keep` is the conjunction.
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherFlags(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val stops = GopherStops.map(w => s"'$w'").mkString("array(", ",", ")")
+    df.withColumn("_toks", split(col(textCol), "\\s+"))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("_sumlen",
+        expr("aggregate(_toks, 0L, (a, w) -> a + length(w))"))
+      .withColumn("_npunct", regexp_count(col(textCol), lit(PunctRe)).cast("long"))
+      .withColumn("_nstops", expr(
+        s"size(array_intersect(array_distinct(transform(_toks, w -> lower(w))), $stops))"))
+      .select(col(idCol), col("n_tokens"),
+        when(col("n_tokens").between(minWords, maxWords), 1L).otherwise(0L)
+          .as("flag_word_count"),
+        when(col("_sumlen") >= lit(3) * col("n_tokens") &&
+             col("_sumlen") <= lit(10) * col("n_tokens"), 1L).otherwise(0L)
+          .as("flag_mean_word_len"),
+        when(lit(10) * col("_npunct") < col("n_tokens"), 1L).otherwise(0L)
+          .as("flag_symbol_ratio"),
+        when(col("_nstops") >= 2, 1L).otherwise(0L).as("flag_stopwords"))
+      .withColumn("keep",
+        (col("flag_word_count") * col("flag_mean_word_len") *
+          col("flag_symbol_ratio") * col("flag_stopwords")).cast("bigint"))
+  }
 }

@@ -1131,6 +1131,74 @@ object Queries {
        |LIMIT 10""".stripMargin
   }
 
+  /** Q38 — repetition signals ([[graft.ops.TextAnalysis
+    * .repetitionStats]]): duplicate-token ratio (narrow) + fraction of
+    * bigram occurrences taken by the most frequent bigram (one
+    * (doc, bigram) shuffle with map-side partial counts). The Gopher/
+    * RefinedWeb boilerplate-detection family; integer micro-units.
+    */
+  def q38Repetition(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.repetitionStats(
+      s.read.parquet(p(dir, "documents")), "doc_id", "text")
+
+  val q38Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+      |  FROM t),
+      |bg AS (
+      |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+      |  FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+      |top AS (
+      |  SELECT doc_id, max(c) AS top_n
+      |  FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1)
+      |SELECT base.doc_id, n_tokens,
+      |  CAST(round(1000000.0 * (n_tokens - nd) / greatest(n_tokens, 1)) AS BIGINT)
+      |    AS dup_token_ratio_u,
+      |  CAST(coalesce(top_n, 0) AS BIGINT) AS top_bigram_n,
+      |  CAST(round(1000000.0 * coalesce(top_n, 0) / greatest(n_tokens - 1, 1)) AS BIGINT)
+      |    AS top_bigram_frac_u
+      |FROM base LEFT JOIN top USING (doc_id)""".stripMargin
+
+  /** Q39 — the Gopher quality-filter rule set ([[graft.ops.TextAnalysis
+    * .gopherFlags]]; Rae et al. 2021 §A1.1): word count, mean word
+    * length, symbol ratio, stopword indicator — every comparison in
+    * integer cross-multiplied form, so flags are bit-reproducible.
+    * minWords lowered to 5 at test scale so both branches populate.
+    */
+  def q39GopherFlags(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.gopherFlags(
+      s.read.parquet(p(dir, "documents")), "doc_id", "text", minWords = 5)
+
+  val q39Sql: String = {
+    val stops = graft.ops.TextAnalysis.GopherStops.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
+       |         CAST(len(regexp_extract_all(text, '$PunctRe')) AS BIGINT) AS npunct
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS sumlen,
+       |    npunct,
+       |    CAST(len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))),
+       |      $stops)) AS BIGINT) AS nstops
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |  CAST(CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS flag_word_count,
+       |  CAST(CASE WHEN sumlen >= 3 * n_tokens AND sumlen <= 10 * n_tokens
+       |       THEN 1 ELSE 0 END AS BIGINT) AS flag_mean_word_len,
+       |  CAST(CASE WHEN 10 * npunct < n_tokens THEN 1 ELSE 0 END AS BIGINT)
+       |    AS flag_symbol_ratio,
+       |  CAST(CASE WHEN nstops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS flag_stopwords,
+       |  CAST(CASE WHEN n_tokens BETWEEN 5 AND 100000
+       |         AND sumlen >= 3 * n_tokens AND sumlen <= 10 * n_tokens
+       |         AND 10 * npunct < n_tokens AND nstops >= 2
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM f""".stripMargin
+  }
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -1172,7 +1240,9 @@ object Queries {
     ("q34_dedup_cluster", q34DedupCluster _, Some(q34Sql)),
     ("q35_embedding_neardups", q35EmbeddingNearDups _, Some(q35Sql)),
     ("q36_verify_pairs", q36VerifyPairs _, Some(q36Sql)),
-    ("q37_ann_multiprobe", q37AnnMultiprobe _, None))
+    ("q37_ann_multiprobe", q37AnnMultiprobe _, None),
+    ("q38_repetition", q38Repetition _, Some(q38Sql)),
+    ("q39_gopher_flags", q39GopherFlags _, Some(q39Sql)))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live

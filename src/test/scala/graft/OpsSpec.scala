@@ -226,6 +226,28 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.connectedComponentsFlagged(chain, maxIter = 10)._2)
   }
 
+  test("repetition stats + gopher flags: hand-computed fixtures") {
+    import spark.implicits._
+    val df = Seq(
+      ("d1", "spam spam spam spam"),
+      ("d2", "the quick brown fox jumps over that lazy dog with")
+    ).toDF("doc_id", "text")
+    val rep = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // d1: 4 tokens, 1 distinct -> dup 750000; "spam spam" occurs 3/3 bigrams
+    assert(rep("d1") == (4L, 750000L, 3L, 1000000L), rep("d1"))
+    // d2: 10 distinct tokens, every bigram unique
+    assert(rep("d2") == (10L, 0L, 1L, 111111L), rep("d2"))
+    val gf = TextAnalysis.gopherFlags(df, "doc_id", "text", minWords = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // d1: wc ok, mean len 4 ok, no punct, NO indicator stopwords -> drop
+    assert(gf("d1") == (1L, 1L, 1L, 0L, 0L), gf("d1"))
+    // d2: sumlen 40 in [30, 100], stops {the, that, with} -> keep
+    assert(gf("d2") == (1L, 1L, 1L, 1L, 1L), gf("d2"))
+  }
+
   test("pointer-doubling CC == plain CC; chain converges in O(log n) rounds") {
     import spark.implicits._
     // diameter-63 chain: plain label propagation needs 63 rounds; the
