@@ -118,6 +118,48 @@ object TextAnalysis {
   val GopherStops: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** PII scrubbing: email / URL detection counts + redaction to
+    * placeholder tokens — the pre-training privacy pass. Narrow, pure
+    * regexp (codegen'd built-ins); patterns chosen to behave
+    * identically under Java regex (Spark) and RE2 (DuckDB oracle).
+    * Emails are replaced before URLs so the two passes cannot overlap.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+
+  /** Deterministic corpus sampling: keep a document iff a hash of its
+    * id falls under the fraction threshold. Unlike `df.sample()` (rand
+    * per task — different rows per retry/cluster size), this is a pure
+    * function of the id: stable across resumes, retries, engines — the
+    * only sampling a resumable 100 TB pipeline can afford. Two forms:
+    * md5-hex-prefix (cross-engine, the oracle form — lexicographic
+    * comparison of lowercase hex IS the uniform numeric comparison) and
+    * xxhash64 (the narrow fast path; same statistics).
+    */
+  def sampleDeterministic(df: DataFrame, idCol: String,
+                          fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction")
+    df.filter(md5(concat(lit("sample:"), col(idCol).cast("string")))
+      < lit(hexThreshold(fraction)))
+  }
+
+  def sampleDeterministicFast(df: DataFrame, idCol: String,
+                              fraction: Double): DataFrame =
+    df.filter(pmod(xxhash64(lit("sample"), col(idCol)), lit(1000000L))
+      < lit((fraction * 1e6).toLong))
+
+  /** 8-hex-digit threshold: fraction of the 32-bit prefix space. */
+  def hexThreshold(fraction: Double): String =
+    f"${math.min((fraction * 4294967296.0).toLong, 4294967295L)}%08x"
+
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(UrlRe)).cast("long").as("n_urls"),
+      md5(regexp_replace(
+        regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>")).as("redacted_md5"))
+
   def gopherFlags(df: DataFrame, idCol: String, textCol: String,
                   minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
     val stops = GopherStops.map(w => s"'$w'").mkString("array(", ",", ")")

@@ -1199,6 +1199,63 @@ object Queries {
        |FROM f""".stripMargin
   }
 
+  /** Q40 — PII scrubbing ([[graft.ops.TextAnalysis.piiScrub]]): email /
+    * URL counts + md5 of the redacted text. The corpus has no organic
+    * PII, so deterministic emails/URLs are first synthesized into the
+    * text from doc_id arithmetic (the q25 pattern) — both engines build
+    * the same contaminated text independently, then the detection
+    * counts and the redacted hash must agree exactly (proves the Java
+    * and RE2 regex semantics line up on these patterns, including
+    * replace-all).
+    */
+  def q40PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(p(dir, "documents"))
+      .withColumn("t2", concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" see https://ex.org/p/"), col("doc_id").cast("string")))
+          .otherwise(lit(""))))
+    graft.ops.TextAnalysis.piiScrub(d, "doc_id", "t2")
+  }
+
+  val q40Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN ' contact' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN ' see https://ex.org/p/' || CAST(doc_id AS VARCHAR)
+      |         ELSE '' END AS t2
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t2, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+      |  md5(regexp_replace(
+      |    regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    'https?://[^\s]+', '<URL>', 'g')) AS redacted_md5
+      |FROM t""".stripMargin
+
+  /** Q41 — deterministic hash sampling ([[graft.ops.TextAnalysis
+    * .sampleDeterministic]]): the resume-stable subsampling a 10^12-doc
+    * pipeline needs (pure function of the id — identical sample across
+    * retries, cluster sizes, engines; never `rand()`). The oracle
+    * recomputes the md5-prefix filter verbatim; the xxhash64 fast path
+    * is pinned to the same statistics by OpsSpec.
+    */
+  def q41Sample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.sampleDeterministic(
+        s.read.parquet(p(dir, "documents")), "doc_id", 0.2)
+      .select(col("doc_id"), col("n_chars"))
+
+  val q41Sql: String = {
+    val thr = graft.ops.TextAnalysis.hexThreshold(0.2)
+    s"""SELECT doc_id, n_chars FROM documents
+       |WHERE md5('sample:' || CAST(doc_id AS VARCHAR)) < '$thr'""".stripMargin
+  }
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -1242,7 +1299,9 @@ object Queries {
     ("q36_verify_pairs", q36VerifyPairs _, Some(q36Sql)),
     ("q37_ann_multiprobe", q37AnnMultiprobe _, None),
     ("q38_repetition", q38Repetition _, Some(q38Sql)),
-    ("q39_gopher_flags", q39GopherFlags _, Some(q39Sql)))
+    ("q39_gopher_flags", q39GopherFlags _, Some(q39Sql)),
+    ("q40_pii_scrub", q40PiiScrub _, Some(q40Sql)),
+    ("q41_sample", q41Sample _, Some(q41Sql)))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live

@@ -226,6 +226,21 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.connectedComponentsFlagged(chain, maxIter = 10)._2)
   }
 
+  test("deterministic sampling: partitioning-invariant, fraction-accurate, edge fractions") {
+    import spark.implicits._
+    val df = spark.range(10000).toDF("id")
+    val a = TextAnalysis.sampleDeterministic(df, "id", 0.2)
+      .select("id").as[Long].collect().toSet
+    val b = TextAnalysis.sampleDeterministic(df.repartition(7), "id", 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "sample must be a pure function of the id")
+    assert(math.abs(a.size - 2000) < 150, s"got ${a.size} of ~2000")
+    val f = TextAnalysis.sampleDeterministicFast(df, "id", 0.2).count()
+    assert(math.abs(f - 2000) < 150, s"fast path got $f of ~2000")
+    assert(TextAnalysis.sampleDeterministic(df, "id", 0.0).count() == 0)
+    assert(TextAnalysis.sampleDeterministic(df, "id", 1.0).count() == 10000)
+  }
+
   test("repetition stats + gopher flags: hand-computed fixtures") {
     import spark.implicits._
     val df = Seq(
