@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -159,6 +160,93 @@ object TextAnalysis {
       md5(regexp_replace(
         regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
         UrlRe, "<URL>")).as("redacted_md5"))
+
+  /** Benchmark decontamination (the GPT-3 appendix-C / Llama "13-gram
+    * overlap" pass every LLM pipeline runs): report corpus documents
+    * sharing any lowered token n-gram with a benchmark (test-set)
+    * table, with the count of distinct overlapping n-grams.
+    *
+    * Scale shape: the benchmark side is SMALL (test sets are at most
+    * millions of n-grams) — its distinct n-grams BROADCAST. The corpus
+    * side is a narrow scan → n-gram projection → explode → broadcast
+    * hash join that keeps only matching n-grams, so the post-join
+    * volume is O(hits), and the only shuffle is the tiny per-doc
+    * count-distinct over hits. The corpus itself never shuffles, and
+    * the output is O(contaminated docs), not corpus-sized.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram order $n")
+    def withNgrams(df: DataFrame): DataFrame =
+      df.withColumn("_ts",
+          expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x <> '')"))
+        .withColumn("_ng", expr(
+          s"""case when size(_ts) >= $n
+             |  then transform(sequence(1, size(_ts) - ${n - 1}),
+             |         i -> concat_ws(' ', slice(_ts, i, $n)))
+             |  else array() end""".stripMargin))
+    val benchNg = withNgrams(bench).select(explode(col("_ng")).as("ng")).distinct()
+    // explode_OUTER on the corpus side: a plain explode makes Catalyst
+    // infer a size(_ng) > 0 filter and push it below the projections,
+    // re-deriving the whole n-gram array a second time per row on the
+    // 100 TB hot path. Outer generate skips that rule; the empty-array
+    // rows surface as null ng, which the inner join drops for free.
+    withNgrams(corpus).select(col(idCol), explode_outer(col("_ng")).as("ng"))
+      .join(broadcast(benchNg), "ng")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("ng")).cast("long").as("n_hits"))
+  }
+
+  /** Sequence packing (the GPT-style training-shard layout): documents
+    * are concatenated in `idCol` order into one virtual token stream,
+    * which is cut into fixed `budget`-token shards; each document
+    * reports its exclusive start offset and the first/last shard it
+    * lands in. All arithmetic is integral (`div`), exact past 2^53.
+    *
+    * Scale shape: the global prefix sum is computed with the TWO-PASS
+    * scheme — ids are range-bucketed into `partSpan`-wide parts, each
+    * part computes its internal running sum in parallel (one shuffle,
+    * partitioned by part), and the per-part totals (a tiny table,
+    * |ids|/partSpan rows) get a cumulative sum whose single-partition
+    * window is fine at any corpus size, then broadcast back. NEVER a
+    * global `Window.orderBy(id)` over the corpus — that serializes
+    * 100 TB through one task. OpsSpec pins two-pass == naive window ==
+    * partitioning-invariant; the DuckDB oracle IS the naive window.
+    * Ids must be non-negative (`div` truncation).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    budget: Long, partSpan: Long = 1L << 20): DataFrame = {
+    require(budget > 0, s"budget $budget")
+    require(partSpan > 0, s"partSpan $partSpan")
+    val base = df.select(col(idCol),
+        col(tokensCol).cast("long").as("n_tokens"))
+      // coalesce makes _part non-nullable: the later inner join then
+      // infers no isnotnull(_part) filter, which would otherwise land
+      // asymmetrically in the two branches (scan-pushed in one, stuck
+      // above the window in the other) and break exchange reuse.
+      .withColumn("_part",
+        coalesce(expr(s"cast($idCol as long) div $partSpan"),
+          lit(Long.MinValue)))
+    val wIn = Window.partitionBy("_part").orderBy(idCol)
+    // _run is the inclusive running sum; the part total is _run at the
+    // part's last id (max_by), so the totals branch is derived FROM the
+    // windowed branch — both sides share one Exchange (ReuseExchange),
+    // and the corpus is scanned + tokenized exactly once.
+    val withPrefix = base
+      .withColumn("_run", sum(col("n_tokens")).over(wIn))
+      .withColumn("_in_pre", col("_run") - col("n_tokens"))
+    val wPart = Window.partitionBy(pmod(col("_part"), lit(1))).orderBy("_part")
+    val offsets = withPrefix.groupBy("_part")
+      .agg(expr(s"max_by(_run, $idCol)").as("_tot"))
+      .withColumn("_off", sum(col("_tot")).over(wPart) - col("_tot"))
+      .select(col("_part"), col("_off"))
+    withPrefix.join(broadcast(offsets), Seq("_part"))
+      .select(col(idCol), col("n_tokens"),
+        (col("_off") + col("_in_pre")).as("start_off"))
+      .withColumn("shard_first", expr(s"start_off div $budget"))
+      .withColumn("shard_last",
+        expr(s"(start_off + greatest(n_tokens, 1L) - 1) div $budget"))
+  }
 
   def gopherFlags(df: DataFrame, idCol: String, textCol: String,
                   minWords: Long = 50, maxWords: Long = 100000): DataFrame = {

@@ -1256,6 +1256,67 @@ object Queries {
        |WHERE md5('sample:' || CAST(doc_id AS VARCHAR)) < '$thr'""".stripMargin
   }
 
+  /** Q42 — benchmark decontamination ([[graft.ops.TextAnalysis
+    * .decontaminate]]): flag corpus docs sharing any lowered token
+    * 8-gram with a synthetic "benchmark" (the first 40 tokens of every
+    * 97th document — both engines derive it from the corpus itself, so
+    * no external data). Oracle re-derives the n-gram overlap with the
+    * same lower/split/filter parity primitives as q24/q36.
+    */
+  def q42Decontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(p(dir, "documents"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(expr(
+        "concat_ws(' ', slice(filter(split(lower(text), '\\\\s+'), x -> x <> ''), 1, 40))")
+        .as("text"))
+    graft.ops.TextAnalysis.decontaminate(docs, bench, "doc_id", "text", n = 8)
+  }
+
+  val q42Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+      |  FROM documents),
+      |bt AS (SELECT ts[1:40] AS ts FROM tok WHERE doc_id % 97 = 0),
+      |bng AS (
+      |  SELECT DISTINCT array_to_string(ts[i:i+7], ' ') AS ng
+      |  FROM bt, LATERAL unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS u(i)),
+      |cng AS (
+      |  SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS ng
+      |  FROM tok, LATERAL unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS u(i))
+      |SELECT c.doc_id, CAST(count(DISTINCT c.ng) AS BIGINT) AS n_hits
+      |FROM cng c JOIN bng b ON c.ng = b.ng
+      |GROUP BY 1""".stripMargin
+
+  /** Q43 — sequence packing ([[graft.ops.TextAnalysis.packSequences]]):
+    * 4096-token training shards over the doc_id-ordered corpus stream.
+    * partSpan=64 forces many range parts at sf0.01+ so the two-pass
+    * prefix sum genuinely exercises the per-part + totals recombination;
+    * the oracle is the naive global window the two-pass must equal.
+    */
+  def q43PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(p(dir, "documents"))
+      .withColumn("n_tok", size(split(col("text"), "\\s+")).cast("long"))
+    graft.ops.TextAnalysis.packSequences(d, "doc_id", "n_tok",
+      budget = 4096L, partSpan = 64L)
+  }
+
+  val q43Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start_off
+      |  FROM t)
+      |SELECT doc_id, n_tokens, start_off,
+      |  CAST(start_off // 4096 AS BIGINT) AS shard_first,
+      |  CAST((start_off + greatest(n_tokens, 1) - 1) // 4096 AS BIGINT) AS shard_last
+      |FROM o""".stripMargin
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -1301,7 +1362,9 @@ object Queries {
     ("q38_repetition", q38Repetition _, Some(q38Sql)),
     ("q39_gopher_flags", q39GopherFlags _, Some(q39Sql)),
     ("q40_pii_scrub", q40PiiScrub _, Some(q40Sql)),
-    ("q41_sample", q41Sample _, Some(q41Sql)))
+    ("q41_sample", q41Sample _, Some(q41Sql)),
+    ("q42_decontam", q42Decontam _, Some(q42Sql)),
+    ("q43_pack_sequences", q43PackSequences _, Some(q43Sql)))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live

@@ -241,6 +241,45 @@ class OpsSpec extends AnyFunSuite {
     assert(TextAnalysis.sampleDeterministic(df, "id", 1.0).count() == 10000)
   }
 
+  test("decontaminate: overlap hits flagged, clean docs absent, case-insensitive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "THE QUICK BROWN fox jumps over entirely different words here"),
+      (3L, "nothing in common with anything in any benchmark at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq("leading words then the quick brown fox jumps more")
+      .toDF("text")
+    val hits = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bench 5-grams include "the quick brown fox jumps" (lowered);
+    // doc 1 and doc 2 (case-folded) contain it, doc 3 does not.
+    assert(hits.keySet == Set(1L, 2L))
+    assert(hits(1L) >= 1 && hits(2L) >= 1)
+  }
+
+  test("packSequences: two-pass == naive global window, partitioning- and span-invariant") {
+    import spark.implicits._
+    val df = spark.range(1000).toDF("id")
+      .withColumn("tok", pmod(col("id") * 37 + 11, lit(90)) + 1)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val twoPass = key(TextAnalysis.packSequences(df, "id", "tok", budget = 512L, partSpan = 64L))
+    // naive reference: one global ordered prefix sum on the driver
+    val rows = df.select("id", "tok").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var acc = 0L
+    val naive = rows.map { case (id, t) =>
+      val start = acc; acc += t
+      (id, t, start, start / 512L, (start + math.max(t, 1L) - 1) / 512L)
+    }.toSeq
+    assert(twoPass == naive, "two-pass prefix sum must equal the serial scan")
+    assert(key(TextAnalysis.packSequences(df.repartition(13), "id", "tok", 512L, 64L)) == naive)
+    assert(key(TextAnalysis.packSequences(df, "id", "tok", 512L, partSpan = 1L)) == naive)
+    assert(key(TextAnalysis.packSequences(df, "id", "tok", 512L, partSpan = 1L << 40)) == naive)
+  }
+
   test("repetition stats + gopher flags: hand-computed fixtures") {
     import spark.implicits._
     val df = Seq(

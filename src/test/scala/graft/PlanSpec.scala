@@ -105,6 +105,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "codebook/probe joins must broadcast")
   }
 
+  test("q42: bench n-grams broadcast; corpus scan carries no duplicated n-gram filter") {
+    val p = plan("q42_decontam")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "bench n-gram set must broadcast")
+    // explode_outer on the corpus side: no inferred size(_ng)>0 filter
+    // re-deriving the n-gram array a second time on the corpus scan
+    val corpusScan = p.linesIterator.filter(_.contains("FileScan"))
+      .filterNot(_.contains("pmod(doc_id")).mkString
+    assert(corpusScan.contains("DataFilters: []"),
+      s"corpus scan must be filter-free: $corpusScan")
+  }
+
+  test("q43: one corpus scan (totals branch reuses the part exchange), offsets broadcast") {
+    val q = graft.queries.Queries.registry.find(_._1 == "q43_pack_sequences").get
+      ._2(spark, dir)
+    q.collect() // finalize AQE so stage reuse is visible
+    val p = q.queryExecution.executedPlan.toString
+    val start = p.indexOf("== Final Plan ==")
+    val end = p.indexOf("== Initial Plan ==")
+    val fin = if (end > start) p.substring(start, end) else p.substring(start)
+    assert(fin.linesIterator.count(_.contains("FileScan")) == 1,
+      "corpus must be scanned + tokenized exactly once")
+    assert(fin.contains("ReusedExchange"), fin.take(2000))
+    assert(fin.contains("BroadcastHashJoin") && !fin.contains("SortMergeJoin"),
+      "per-part offsets must broadcast back")
+    // every Window is partitioned (no corpus-global ordered window)
+    assert(fin.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(l => l.contains("_part") || l.contains("_w0")), fin.take(2000))
+  }
+
   test("verifyPairs: corpus semi-joined to referenced ids BEFORE shingling") {
     import spark.implicits._
     val d = spark.read.parquet(s"$dir/documents.parquet")
