@@ -174,17 +174,23 @@ object TextAnalysis {
     * count-distinct over hits. The corpus itself never shuffles, and
     * the output is O(contaminated docs), not corpus-sized.
     */
+  /** Lowered token n-gram array bound as `_ng` (tokens in `_ts`): the
+    * shared primitive of [[decontaminate]] and [[dupNgrams]]. Narrow;
+    * the split is bound once per row.
+    */
+  private def withTokenNgrams(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.withColumn("_ts",
+        expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x <> '')"))
+      .withColumn("_ng", expr(
+        s"""case when size(_ts) >= $n
+           |  then transform(sequence(1, size(_ts) - ${n - 1}),
+           |         i -> concat_ws(' ', slice(_ts, i, $n)))
+           |  else array() end""".stripMargin))
+
   def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 8): DataFrame = {
     require(n >= 1, s"n-gram order $n")
-    def withNgrams(df: DataFrame): DataFrame =
-      df.withColumn("_ts",
-          expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x <> '')"))
-        .withColumn("_ng", expr(
-          s"""case when size(_ts) >= $n
-             |  then transform(sequence(1, size(_ts) - ${n - 1}),
-             |         i -> concat_ws(' ', slice(_ts, i, $n)))
-             |  else array() end""".stripMargin))
+    def withNgrams(df: DataFrame): DataFrame = withTokenNgrams(df, textCol, n)
     val benchNg = withNgrams(bench).select(explode(col("_ng")).as("ng")).distinct()
     // explode_OUTER on the corpus side: a plain explode makes Catalyst
     // infer a size(_ng) > 0 filter and push it below the projections,
@@ -246,6 +252,58 @@ object TextAnalysis {
       .withColumn("shard_first", expr(s"start_off div $budget"))
       .withColumn("shard_last",
         expr(s"(start_off + greatest(n_tokens, 1L) - 1) div $budget"))
+  }
+
+  /** Corpus-wide duplicated n-gram mining (stage 1 of exact-substring
+    * dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better"): every lowered token n-gram occurring in
+    * at least `minDocs` distinct documents, with its document and
+    * total occurrence counts — the blocklist boilerplate/template
+    * detectors are built from.
+    *
+    * Scale shape: ONE shuffle keyed by the n-gram with two-level
+    * (map-side partial) aggregation; the threshold filter bounds the
+    * output to the heavy tail. This global count is inherently a
+    * corpus-sized shuffle — at 100 TB you ship an 8-byte xxhash64 of
+    * each n-gram instead of the string (`hashed = true`; OpsSpec pins
+    * hashed counts == string counts) and recover the text of the few
+    * survivors with one broadcast semi-join afterwards.
+    */
+  def dupNgrams(df: DataFrame, idCol: String, textCol: String,
+                n: Int = 8, minDocs: Long = 2, hashed: Boolean = false): DataFrame = {
+    require(n >= 1 && minDocs >= 1)
+    val exploded = withTokenNgrams(df, textCol, n)
+      .select(col(idCol), explode_outer(col("_ng")).as("_s"))
+      // xxhash64(null) yields the (non-null) seed hash, so the hashed
+      // form must keep explode_outer's null rows null explicitly
+      .withColumn("ng",
+        if (hashed) when(col("_s").isNotNull, xxhash64(col("_s")).cast("string"))
+        else col("_s"))
+    exploded.groupBy("ng")
+      .agg(countDistinct(col(idCol)).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_total"))
+      .filter(col("n_docs") >= minDocs && col("ng").isNotNull)
+  }
+
+  /** Stratified deterministic sampling — the data-mixing primitive:
+    * per-stratum keep fractions (e.g. up-/down-weighting sources in a
+    * training mixture), decided by the same pure id-hash rule as
+    * [[sampleDeterministic]] so the mixture is reproducible across
+    * retries, resumes, cluster sizes, and engines. Strata absent from
+    * `fractions` fall back to `defaultFraction`. Narrow — a single
+    * filter at scan speed.
+    */
+  def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0 && f <= 1, s"fraction $f"))
+    val thr = fractions.foldLeft(lit(hexThreshold(defaultFraction))) {
+      case (acc, (s, f)) =>
+        when(col(stratumCol) === s, lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.filter(md5(concat(lit("sample:"), col(stratumCol), lit(":"),
+      col(idCol).cast("string"))) < thr)
   }
 
   def gopherFlags(df: DataFrame, idCol: String, textCol: String,

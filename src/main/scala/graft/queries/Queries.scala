@@ -1317,6 +1317,54 @@ object Queries {
       |  CAST((start_off + greatest(n_tokens, 1) - 1) // 4096 AS BIGINT) AS shard_last
       |FROM o""".stripMargin
 
+  /** Q44 — duplicated n-gram mining ([[graft.ops.TextAnalysis
+    * .dupNgrams]]): every lowered token 8-gram appearing in >= 2
+    * distinct documents, with doc/total counts — the boilerplate
+    * blocklist feed. One corpus shuffle with map-side partials; the
+    * hashed fast path is pinned equal by OpsSpec.
+    */
+  def q44DupNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.dupNgrams(
+      s.read.parquet(p(dir, "documents")), "doc_id", "text", n = 8, minDocs = 2)
+
+  val q44Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+      |  FROM documents),
+      |cng AS (
+      |  SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS ng
+      |  FROM tok, LATERAL unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS u(i))
+      |SELECT ng, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       CAST(count(*) AS BIGINT) AS n_total
+      |FROM cng GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin
+
+  /** Q45 — stratified deterministic sampling ([[graft.ops.TextAnalysis
+    * .sampleStratified]]): the data-mixing primitive — per-source keep
+    * fractions (up-weight src1, down-weight src2, default 10%), decided
+    * by a pure hash of (stratum, id) so the mixture is identical across
+    * engines/retries. The oracle replays the same CASE'd thresholds.
+    */
+  val Q45Fractions: Map[String, Double] =
+    Map("src1" -> 0.8, "src2" -> 0.05, "src3" -> 0.3)
+
+  def q45SampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.sampleStratified(
+        s.read.parquet(p(dir, "documents")), "doc_id", "source",
+        Q45Fractions, defaultFraction = 0.1)
+      .select(col("doc_id"), col("source"))
+
+  val q45Sql: String = {
+    import graft.ops.TextAnalysis.hexThreshold
+    val cases = Q45Fractions.toSeq.sortBy(_._1).map { case (s, f) =>
+      s"WHEN source = '$s' THEN '${hexThreshold(f)}'"
+    }.mkString("\n      |    ")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE md5('sample:' || source || ':' || CAST(doc_id AS VARCHAR)) <
+       |  CASE $cases
+       |    ELSE '${hexThreshold(0.1)}' END""".stripMargin
+  }
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -1364,7 +1412,9 @@ object Queries {
     ("q40_pii_scrub", q40PiiScrub _, Some(q40Sql)),
     ("q41_sample", q41Sample _, Some(q41Sql)),
     ("q42_decontam", q42Decontam _, Some(q42Sql)),
-    ("q43_pack_sequences", q43PackSequences _, Some(q43Sql)))
+    ("q43_pack_sequences", q43PackSequences _, Some(q43Sql)),
+    ("q44_dup_ngrams", q44DupNgrams _, Some(q44Sql)),
+    ("q45_sample_stratified", q45SampleStratified _, Some(q45Sql)))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live

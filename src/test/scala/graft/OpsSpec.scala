@@ -280,6 +280,47 @@ class OpsSpec extends AnyFunSuite {
     assert(key(TextAnalysis.packSequences(df, "id", "tok", 512L, partSpan = 1L << 40)) == naive)
   }
 
+  test("dupNgrams: cross-doc n-grams mined, hashed path count-identical") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "ALPHA BETA gamma delta extra"),   // shares 3-grams case-folded
+      (3L, "zeta eta theta iota"))            // shares nothing
+      .toDF("doc_id", "text")
+    val mined = TextAnalysis.dupNgrams(df, "doc_id", "text", n = 3, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mined == Set(
+      ("alpha beta gamma", 2L, 2L),
+      ("beta gamma delta", 2L, 2L)), mined)
+    val hashed = TextAnalysis.dupNgrams(df, "doc_id", "text", n = 3, minDocs = 2,
+        hashed = true)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(hashed == mined.toSeq.map(t => (t._2, t._3)).sorted,
+      "hashed fast path must produce identical count rows")
+  }
+
+  test("sampleStratified: per-stratum fractions, stratum-independent, partition-invariant") {
+    import spark.implicits._
+    val df = spark.range(30000).toDF("id")
+      .withColumn("src", concat(lit("s"), pmod(col("id"), lit(3))))
+    val fr = Map("s0" -> 0.5, "s1" -> 0.05)
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.sampleStratified(d, "id", "src", fr, defaultFraction = 0.2)
+    val got = sample(df).groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(got("s0") - 5000) < 350, got.toString)  // 10000 * 0.5
+    assert(math.abs(got("s1") - 500) < 150, got.toString)   // 10000 * 0.05
+    assert(math.abs(got("s2") - 2000) < 250, got.toString)  // default 0.2
+    // pure function of (stratum, id): partitioning cannot change the set
+    val a = sample(df).select("id").as[Long].collect().toSet
+    assert(a == sample(df.repartition(11)).select("id").as[Long].collect().toSet)
+    // changing ANOTHER stratum's fraction leaves this stratum's sample intact
+    val b = TextAnalysis.sampleStratified(df, "id", "src",
+        Map("s0" -> 0.5, "s1" -> 0.9), 0.2)
+      .filter(col("src") === "s0").select("id").as[Long].collect().toSet
+    assert(b == a.filter(_ % 3 == 0), "s0 sample must not depend on s1's fraction")
+  }
+
   test("repetition stats + gopher flags: hand-computed fixtures") {
     import spark.implicits._
     val df = Seq(
