@@ -77,5 +77,8 @@ object Exprs {
     reg("graft_simhash", exprs => SimHash64Of(exprs.head, intLit(exprs(1))))
     reg("graft_lang_scores", exprs => LangScoresOf(exprs.head))
     reg("graft_media_header", exprs => MediaHeaderOf(exprs.head))
+    def strLit(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+      e.eval(null).toString
+    reg("graft_normalize", exprs => UnicodeNormalize(exprs.head, strLit(exprs(1))))
   }
 }

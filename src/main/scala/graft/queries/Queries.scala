@@ -1365,6 +1365,42 @@ object Queries {
        |    ELSE '${hexThreshold(0.1)}' END""".stripMargin
   }
 
+  /** Q46 — Unicode NFC normalization ([[graft.expr.UnicodeNormalize]],
+    * the ninth codegen Expression): deterministic composed/decomposed/
+    * compatibility suffixes are appended from doc_id arithmetic (the
+    * q40 pattern), then the normalized md5 + codepoint lengths must
+    * match DuckDB's utf8proc-backed `nfc_normalize` exactly — pinning
+    * JVM `java.text.Normalizer` NFC against an independent
+    * implementation. Narrow, zero shuffle.
+    */
+  def q46NfcNormalize(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(p(dir, "documents"))
+      .withColumn("t2", concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(" xe\u0301"))  // e + U+0301 combining acute
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit(" x\u00e9")) // precomposed e-acute
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit(" \u212b"))  // angstrom sign -> U+00C5
+          .otherwise(lit(" \u1100\u1161"))))     // conjoining jamo -> U+AC00
+    val norm = graft.expr.UnicodeNormalize(col("t2"), "NFC")
+    d.select(col("doc_id"),
+      length(col("t2")).cast("long").as("n_raw"),
+      length(norm).cast("long").as("n_norm"),
+      md5(norm).as("norm_md5"))
+  }
+
+  val q46Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text ||
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN ' x' || chr(101) || chr(769)
+      |      WHEN 1 THEN ' x' || chr(233)
+      |      WHEN 2 THEN ' ' || chr(8491)
+      |      ELSE ' ' || chr(4352) || chr(4449) END AS t2
+      |  FROM documents)
+      |SELECT doc_id, CAST(length(t2) AS BIGINT) AS n_raw,
+      |  CAST(length(nfc_normalize(t2)) AS BIGINT) AS n_norm,
+      |  md5(nfc_normalize(t2)) AS norm_md5
+      |FROM t""".stripMargin
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -1414,7 +1450,8 @@ object Queries {
     ("q42_decontam", q42Decontam _, Some(q42Sql)),
     ("q43_pack_sequences", q43PackSequences _, Some(q43Sql)),
     ("q44_dup_ngrams", q44DupNgrams _, Some(q44Sql)),
-    ("q45_sample_stratified", q45SampleStratified _, Some(q45Sql)))
+    ("q45_sample_stratified", q45SampleStratified _, Some(q45Sql)),
+    ("q46_nfc_normalize", q46NfcNormalize _, Some(q46Sql)))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live

@@ -321,6 +321,35 @@ class OpsSpec extends AnyFunSuite {
     assert(b == a.filter(_ % 3 == 0), "s0 sample must not depend on s1's fraction")
   }
 
+  test("graft_normalize: NFC composition, NFKC folding, idempotent, SQL form") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "xé"),        // decomposed e-acute -> NFC "xé"
+      (2L, "\ufb01le \u2460"), // fi-ligature + circled one: NFC-stable, NFKC "file 1"
+      (3L, "plain ascii"))
+      .toDF("id", "s")
+    val got = df.select(col("id"),
+        graft.expr.UnicodeNormalize(col("s"), "NFC").as("nfc"),
+        graft.expr.UnicodeNormalize(col("s"), "NFKC").as("nfkc"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(1L) == ("x\u00e9", "x\u00e9"))
+    assert(got(2L) == ("\ufb01le \u2460", "file 1"))
+    assert(got(3L) == ("plain ascii", "plain ascii"))
+    // idempotent: normalizing twice == once (the isNormalized fast path)
+    val twice = df.select(graft.expr.UnicodeNormalize(
+      graft.expr.UnicodeNormalize(col("s"), "NFKC"), "NFKC").as("n"))
+      .as[String].collect().toSet
+    assert(twice == got.values.map(_._2).toSet)
+    // registered SQL name
+    graft.expr.Exprs.register(spark)
+    assert(df.selectExpr("graft_normalize(s, 'NFC') AS n")
+      .as[String].collect().toSet == got.values.map(_._1).toSet)
+    // invalid form rejected at analysis
+    intercept[Exception] {
+      df.selectExpr("graft_normalize(s, 'NFX')").collect()
+    }
+  }
+
   test("repetition stats + gopher flags: hand-computed fixtures") {
     import spark.implicits._
     val df = Seq(
