@@ -135,6 +135,14 @@ class PlanSpec extends AnyFunSuite {
       .forall(l => l.contains("_part") || l.contains("_w0")), fin.take(2000))
   }
 
+  test("q45/q46: sampling filter and NFC normalization run narrow (no exchange)") {
+    val p45 = plan("q45_sample_stratified")
+    assert(!p45.contains("Exchange"), p45.take(1200))
+    val p46 = plan("q46_nfc_normalize")
+    assert(!p46.contains("Exchange"), p46.take(1200))
+    assert(p46.contains("graft_normalize"), p46.take(1200))
+  }
+
   test("verifyPairs: corpus semi-joined to referenced ids BEFORE shingling") {
     import spark.implicits._
     val d = spark.read.parquet(s"$dir/documents.parquet")
