@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -15,6 +16,38 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   val TokenSplitSql = "\\\\s+"
+
+  /** Global line-level dedup (the CCNet / RefinedWeb pass: boilerplate
+    * lines — nav bars, cookie banners, footers — repeat across pages
+    * and are removed corpus-wide, keeping only the EARLIEST occurrence
+    * by (id, line index)). Returns per doc: total line count, dropped
+    * count, and the md5 of the surviving text (lines rejoined in
+    * original order).
+    *
+    * Scale shape: posexplode -> ONE shuffle keyed by the line hash
+    * (row_number window) -> one groupBy back on the doc id. Lines
+    * shorter than `minLen` do not participate: they are always kept
+    * AND keyed by (id, idx) instead of content, so the corpus-wide
+    * hot keys ("", "-", "ok") never form a skewed window partition.
+    * The eligibility flag is part of the partition key, so salted
+    * short-line keys cannot collide with real line content.
+    */
+  def dedupLinesGlobal(df: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 5): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .withColumn("elig", length(col("line")) >= minLen)
+      .withColumn("k", when(col("elig"), md5(col("line")))
+        .otherwise(concat(col(idCol).cast("string"), lit(":"), col("idx"))))
+    val w = Window.partitionBy("elig", "k").orderBy(col(idCol), col("idx"))
+    lines.withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        md5(concat_ws("\n", expr(
+          "transform(array_sort(collect_list(case when keep then struct(idx, line) end)), x -> x.line)")))
+          .as("kept_md5"))
+  }
 
   /** Exact content dedup: groupBy md5(content), keep the smallest id. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -1401,6 +1401,43 @@ object Queries {
       |  md5(nfc_normalize(t2)) AS norm_md5
       |FROM t""".stripMargin
 
+  /** Q47 — global line-level dedup ([[graft.ops.Dedup
+    * .dedupLinesGlobal]], the CCNet boilerplate-removal pass): docs are
+    * synthesized into multi-line pages (a shared cookie-banner first
+    * line + sentence-split body), then duplicate lines are dropped
+    * corpus-wide keeping the earliest (doc_id, idx) occurrence. The
+    * oracle replays the identical window rule; fully-deduplicated docs
+    * hash the empty string on both engines.
+    */
+  def q47DedupLines(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(p(dir, "documents"))
+      .withColumn("t2", concat(lit("COOKIE BANNER ACCEPT ALL\n"),
+        regexp_replace(col("text"), "\\. ", "\n")))
+    graft.ops.Dedup.dedupLinesGlobal(d, "doc_id", "t2", minLen = 5)
+  }
+
+  val q47Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         'COOKIE BANNER ACCEPT ALL' || chr(10) || replace(text, '. ', chr(10)) AS t2
+      |  FROM documents),
+      |tok AS (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM t),
+      |l AS (
+      |  SELECT doc_id, i - 1 AS idx, ls[i] AS ln
+      |  FROM tok, LATERAL unnest(generate_series(1, len(ls))) AS u(i)),
+      |k AS (
+      |  SELECT doc_id, idx, ln,
+      |    row_number() OVER (
+      |      PARTITION BY (length(ln) >= 5),
+      |        CASE WHEN length(ln) >= 5 THEN ln ELSE doc_id || ':' || idx END
+      |      ORDER BY doc_id, idx) AS rn
+      |  FROM l)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+      |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN ln END, chr(10) ORDER BY idx), ''))
+      |    AS kept_md5
+      |FROM k GROUP BY 1""".stripMargin
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -1451,7 +1488,8 @@ object Queries {
     ("q43_pack_sequences", q43PackSequences _, Some(q43Sql)),
     ("q44_dup_ngrams", q44DupNgrams _, Some(q44Sql)),
     ("q45_sample_stratified", q45SampleStratified _, Some(q45Sql)),
-    ("q46_nfc_normalize", q46NfcNormalize _, Some(q46Sql)))
+    ("q46_nfc_normalize", q46NfcNormalize _, Some(q46Sql)),
+    ("q47_dedup_lines", q47DedupLines _, Some(q47Sql)))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live

@@ -350,6 +350,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupLinesGlobal: earliest doc keeps, short lines immune, empty doc hashes ''") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "COOKIE BANNER\nunique first body line\nok"),
+      (2L, "COOKIE BANNER\nunique second body line\nok"),
+      (3L, "COOKIE BANNER\nunique first body line"))
+      .toDF("doc_id", "text")
+    def key(minLen: Int) = Dedup.dedupLinesGlobal(df, "doc_id", "text", minLen)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val got = key(5)
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // doc1 first everywhere: keeps all three lines ("ok" is short -> immune)
+    assert(got(1L) == ((3L, 0L, m("COOKIE BANNER\nunique first body line\nok"))))
+    // doc2 loses the banner (doc1 owns it), keeps its unique line and "ok"
+    assert(got(2L) == ((3L, 1L, m("unique second body line\nok"))))
+    // doc3 loses BOTH lines -> empty survivor hashes ""
+    assert(got(3L) == ((2L, 2L, m(""))))
+    // partitioning-invariant
+    val rep = Dedup.dedupLinesGlobal(df.repartition(7), "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rep == got)
+  }
+
   test("repetition stats + gopher flags: hand-computed fixtures") {
     import spark.implicits._
     val df = Seq(
