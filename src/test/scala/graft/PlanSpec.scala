@@ -143,6 +143,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p46.contains("graft_normalize"), p46.take(1200))
   }
 
+  test("q47: line dedup is two shuffles (line-hash window + doc regroup), no join") {
+    val p = plan("q47_dedup_lines")
+    assert("Exchange".r.findAllIn(p).size == 2, p.take(2000))
+    assert(!p.contains("Join"), "corpus-side line dedup must not join")
+  }
+
   test("verifyPairs: corpus semi-joined to referenced ids BEFORE shingling") {
     import spark.implicits._
     val d = spark.read.parquet(s"$dir/documents.parquet")
