@@ -78,6 +78,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences == serial prefix scan on sparse unordered ids, any partSpan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 400)
+      ids <- Gen.listOfN(n, Gen.chooseNum(0L, 1000000L)).map(_.distinct)
+      toks <- Gen.listOfN(ids.size, Gen.chooseNum(0L, 5000L))
+      span <- Gen.oneOf(1L, 3L, 64L, 1000L, 1L << 40)
+      budget <- Gen.oneOf(1L, 100L, 4096L)
+    } yield (ids.zip(toks), span, budget)
+    forAll(caseGen, n = 25) { case (rows, span, budget) =>
+      val df = rows.toDF("id", "tok").repartition(5)
+      val got = graft.ops.TextAnalysis.packSequences(df, "id", "tok", budget, span)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toVector
+      var acc = 0L
+      val want = rows.sortBy(_._1).map { case (id, t) =>
+        val start = acc; acc += t
+        (id, t, start, start / budget, (start + math.max(t, 1L) - 1) / budget)
+      }.toVector
+      assert(got == want, s"span=$span budget=$budget n=${rows.size}")
+    }
+  }
+
   test("typeOf tags rendered primitives correctly") {
     forAll(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)) { (n: Long) =>
       assert(CellType.typeOf(n.toString) == CellType.INT)
