@@ -85,7 +85,56 @@ object DedupBench {
     }
   }
 
+  /** Line-dedup + n-gram-mining throughput: a synthetic multi-line
+    * corpus where every doc carries `boiler` shared boilerplate lines
+    * (the CCNet worst case — corpus-sized duplicate line groups) plus
+    * unique body lines; measures [[graft.ops.Dedup.dedupLinesGlobal]]
+    * and [[graft.ops.TextAnalysis.dupNgrams]] wall time and checks the
+    * expected drop count exactly.
+    */
+  def runLines(cpus: Int, nDocs: Long, boiler: Int): (Double, Double, Boolean) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-lines-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      import spark.implicits._
+      val docs = spark.range(nDocs).map { i =>
+        val b = (0 until boiler).map(j => s"shared boilerplate navigation line $j").mkString("\n")
+        (f"doc-$i%012d", b + "\n" + graft.ingest.SynthCorpus.docText(i).replace(". ", "\n"))
+      }.toDF("doc_id", "text").localCheckpoint()
+      val t0 = System.nanoTime()
+      val dropped = graft.ops.Dedup.dedupLinesGlobal(docs, "doc_id", "text")
+        .agg(sum("n_dropped")).head().getLong(0)
+      val tLines = (System.nanoTime() - t0) / 1e9
+      // every boiler line is kept once corpus-wide
+      val okDrops = dropped >= (nDocs - 1) * boiler
+      val t1 = System.nanoTime()
+      graft.ops.TextAnalysis.dupNgrams(docs, "doc_id", "text",
+        n = 8, minDocs = 2, hashed = true).count()
+      val tNg = (System.nanoTime() - t1) / 1e9
+      (tLines, tNg, okDrops)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--lines")) {
+      val nDocs = if (args.length > 1) args(1).toLong else 400000L
+      val cpus = if (args.length > 2) args(2).toInt else 32
+      val boiler = if (args.length > 3) args(3).toInt else 5
+      runLines(cpus, 5000, boiler) // warmup
+      val (tLines, tNg, okDrops) = runLines(cpus, nDocs, boiler)
+      println(f"""{"metric":"line_dedup_docs_per_sec","value":${nDocs / tLines}%.1f,"unit":"docs/sec","docs":$nDocs,"cpus":$cpus,"boiler_lines":$boiler,"t_line_dedup_sec":$tLines%.1f,"t_dup_ngrams_sec":$tNg%.1f,"drops_cover_boiler":$okDrops}""")
+      return
+    }
     if (args.headOption.contains("--chain")) {
       val nDocs = if (args.length > 1) args(1).toLong else 100000L
       val cpus = if (args.length > 2) args(2).toInt else 32
