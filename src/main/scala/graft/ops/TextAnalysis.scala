@@ -275,9 +275,11 @@ object TextAnalysis {
     val exploded = withTokenNgrams(df, textCol, n)
       .select(col(idCol), explode_outer(col("_ng")).as("_s"))
       // xxhash64(null) yields the (non-null) seed hash, so the hashed
-      // form must keep explode_outer's null rows null explicitly
+      // form must keep explode_outer's null rows null explicitly; the
+      // hash stays a LONG — the whole point is shuffling 8 bytes per
+      // key instead of the n-gram string
       .withColumn("ng",
-        if (hashed) when(col("_s").isNotNull, xxhash64(col("_s")).cast("string"))
+        if (hashed) when(col("_s").isNotNull, xxhash64(col("_s")))
         else col("_s"))
     exploded.groupBy("ng")
       .agg(countDistinct(col(idCol)).cast("long").as("n_docs"),
