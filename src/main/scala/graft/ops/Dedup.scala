@@ -32,8 +32,12 @@ object Dedup {
     * The eligibility flag is part of the partition key, so salted
     * short-line keys cannot collide with real line content.
     */
-  def dedupLinesGlobal(df: DataFrame, idCol: String, textCol: String,
-                       minLen: Int = 5): DataFrame = {
+  /** The line-level keep decision of [[dedupLinesGlobal]], exposed:
+    * (idCol, idx, line, keep) per exploded line. Streaming line dedup
+    * is pinned equal to this rule over doc-ordered batches.
+    */
+  def markDupLines(df: DataFrame, idCol: String, textCol: String,
+                   minLen: Int = 5): DataFrame = {
     val lines = df.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
       .withColumn("elig", length(col("line")) >= minLen)
@@ -41,6 +45,11 @@ object Dedup {
         .otherwise(concat(col(idCol).cast("string"), lit(":"), col("idx"))))
     val w = Window.partitionBy("elig", "k").orderBy(col(idCol), col("idx"))
     lines.withColumn("keep", row_number().over(w) === 1)
+  }
+
+  def dedupLinesGlobal(df: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 5): DataFrame = {
+    markDupLines(df, idCol, textCol, minLen)
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_lines"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),

@@ -321,6 +321,85 @@ class StreamingSpec extends AnyFunSuite {
       a < "d0030" && b >= "d0030" })
   }
 
+  test("streaming line dedup: kept set == batch rule over doc-ordered batches + restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("slinededup").toString
+    // every doc: shared banner + unique body line + short "ok" line;
+    // docs 28/29 and 30/31 also share one body line ACROSS the batch split
+    def df(ids: Range) = ids.map { i =>
+      val body = if (i >= 28 && i <= 31) "cross batch shared body line"
+        else s"unique body line number $i"
+      (f"d$i%04d", s"COOKIE BANNER ACCEPT ALL\n$body\nok")
+    }.toDF("doc_id", "text")
+    val schema = df(0 until 1).schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$base/docs")
+      val q = graft.streaming.StreamingLineDedup.keptLines(stream)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out").start()
+      q.awaitTermination()
+    }
+    def emitted() = spark.read.parquet(s"$base/out")
+      .as[(String, Int, String)].collect().toSet
+    df(0 until 30).write.parquet(s"$base/docs")
+    runOnce()
+    val afterB1 = emitted()
+    df(30 until 60).write.mode("append").parquet(s"$base/docs")
+    runOnce() // same checkpoint: line state survives the restart
+    val streamed = emitted()
+    val batch = graft.ops.Dedup.markDupLines(df(0 until 60), "doc_id", "text")
+      .filter(col("keep")).select(col("doc_id"), col("idx"), col("line"))
+      .as[(String, Int, String)].collect().toSet
+    assert(streamed == batch, s"missing=${(batch -- streamed).take(5)} " +
+      s"extra=${(streamed -- batch).take(5)}")
+    // cross-restart suppression: d0030/31's shared body line was claimed
+    // by d0028 in run 1, and no batch-2 doc re-emits the banner
+    assert(!(streamed -- afterB1).exists(_._3 == "cross batch shared body line"))
+    assert(!(streamed -- afterB1).exists(_._3 == "COOKIE BANNER ACCEPT ALL"))
+    // short lines bypass state: every doc keeps its "ok"
+    assert(streamed.count(_._3 == "ok") == 60)
+  }
+
+  test("TTL'd streaming line dedup: a boilerplate line re-admits after expiry") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("slinettl").toString
+    val ttlMs = 20000L
+    val schema = Seq(("x", "y")).toDF("doc_id", "text").schema
+    def runFor(sleepMs: Long): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$base/docs")
+      val q = graft.streaming.StreamingLineDedup.keptLinesTtl(stream, ttlMs)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.ProcessingTime(100))
+        .format("parquet").option("path", s"$base/out").start()
+      Thread.sleep(sleepMs)
+      q.stop()
+      q.awaitTermination()
+    }
+    Seq(("a1", "BOILERPLATE LINE\nbody of a1")).toDF("doc_id", "text")
+      .write.parquet(s"$base/docs")
+    runFor(5000)
+    // within TTL: a2's boilerplate is suppressed, its body kept
+    Seq(("a2", "BOILERPLATE LINE\nbody of a2")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$base/docs")
+    runFor(5000)
+    Thread.sleep(ttlMs) // expire, then an unrelated batch fires the sweep
+    Seq(("a3", "something else entirely")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$base/docs")
+    runFor(5000)
+    // re-admitted after expiry
+    Seq(("a4", "BOILERPLATE LINE\nbody of a4")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$base/docs")
+    runFor(5000)
+    val owners = spark.read.parquet(s"$base/out")
+      .filter(org.apache.spark.sql.functions.col("line") === "BOILERPLATE LINE")
+      .select("doc_id").as[String].collect().sorted.toVector
+    assert(owners == Vector("a1", "a4"), owners.toString)
+  }
+
   test("TTL'd streaming near-dup: pairs form within the horizon, not across an expiry") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
