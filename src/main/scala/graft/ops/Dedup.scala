@@ -58,6 +58,51 @@ object Dedup {
           .as("kept_md5"))
   }
 
+  /** Exact-substring excision (stage 2 of Lee et al. 2022, the pass
+    * that deletes REPEATED SPANS inside documents rather than whole
+    * documents): every corpus position covered by a raw-token n-gram
+    * whose first global occurrence — smallest (id, position) — is
+    * elsewhere gets excised; the survivors are the original tokens
+    * minus all duplicated spans (first occurrences stay). Returns per
+    * doc: n_tokens, n_excised (distinct excised positions), and the
+    * md5 of the surviving space-joined tokens.
+    *
+    * Scale shape: first occurrences come from a map-side-combinable
+    * min((id, pos)) AGGREGATION keyed by the n-gram — deliberately NOT
+    * a row_number window, whose hot boilerplate key would serialize
+    * one task; the occ-to-first join is AQE-skew-splittable. Span
+    * coverage explodes only DUPLICATE occurrences (O(dups·n), not
+    * corpus·n), and the rebuild join is keyed by the doc id — on a
+    * bucketed corpus table it is co-located (zero exchange on the
+    * text side).
+    */
+  def exciseDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8): DataFrame = {
+    require(n >= 1)
+    val toks = df.select(col(idCol), split(col(textCol), "\\s+").as("_ts"))
+    val occ = toks.select(col(idCol), posexplode(expr(
+        s"""case when size(_ts) >= $n
+           |  then transform(sequence(1, size(_ts) - ${n - 1}),
+           |         i -> concat_ws(' ', slice(_ts, i, $n)))
+           |  else array() end""".stripMargin)).as(Seq("i", "ng")))
+    val first = occ.groupBy("ng")
+      .agg(min(struct(col(idCol), col("i"))).as("_f"))
+    val dup = occ.join(first, "ng")
+      .filter(!(col(idCol) === col(s"_f.$idCol") && col("i") === col("_f.i")))
+    val excised = dup
+      .select(col(idCol), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .groupBy(col(idCol)).agg(collect_set("p").as("_exc"))
+    toks.join(excised, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("_ts")).cast("long").as("n_tokens"),
+        coalesce(size(col("_exc")), lit(0)).cast("long").as("n_excised"),
+        md5(concat_ws(" ", expr(
+          """transform(
+            |  filter(transform(_ts, (t, j) -> struct(j, t)),
+            |         s -> _exc is null or not array_contains(_exc, s.j)),
+            |  x -> x.t)""".stripMargin))).as("kept_md5"))
+  }
+
   /** Exact content dedup: groupBy md5(content), keep the smallest id. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("h", md5(col(textCol)))

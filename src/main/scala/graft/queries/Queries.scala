@@ -1438,6 +1438,44 @@ object Queries {
       |    AS kept_md5
       |FROM k GROUP BY 1""".stripMargin
 
+  /** Q48 — exact-substring excision ([[graft.ops.Dedup
+    * .exciseDupSpans]], Lee et al. stage 2): every position covered by
+    * a repeated raw-token 8-gram is removed except at the span's first
+    * global (doc_id, pos) occurrence. The oracle replays the identical
+    * decision with a window (row_number == 1 ⇔ the min-aggregation
+    * first) and rebuilds the survivor text position by position.
+    */
+  def q48ExciseSpans(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.exciseDupSpans(
+      s.read.parquet(p(dir, "documents")), "doc_id", "text", n = 8)
+
+  val q48Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+      |occ AS (
+      |  SELECT doc_id, i - 1 AS i, array_to_string(ts[i:i+7], ' ') AS ng
+      |  FROM toks, LATERAL unnest(generate_series(1, greatest(len(ts) - 7, 0))) u(i)),
+      |occ2 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY ng ORDER BY doc_id, i) AS rn
+      |  FROM occ),
+      |exc AS (
+      |  SELECT DISTINCT doc_id, v.p
+      |  FROM occ2, LATERAL unnest(generate_series(i, i + 7)) v(p)
+      |  WHERE rn > 1),
+      |agg AS (SELECT doc_id, list(p) AS ps FROM exc GROUP BY 1),
+      |cells AS (
+      |  SELECT t.doc_id, len(t.ts) AS n_tokens, coalesce(len(a.ps), 0) AS n_excised,
+      |    w.j, t.ts[w.j] AS tok,
+      |    CASE WHEN a.ps IS NULL OR NOT list_contains(a.ps, w.j - 1)
+      |         THEN 1 ELSE 0 END AS k
+      |  FROM toks t LEFT JOIN agg a USING (doc_id),
+      |       LATERAL unnest(generate_series(1, len(t.ts))) w(j))
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_excised AS BIGINT) AS n_excised,
+      |  md5(coalesce(string_agg(CASE WHEN k = 1 THEN tok END, ' ' ORDER BY j), ''))
+      |    AS kept_md5
+      |FROM cells GROUP BY doc_id, n_tokens, n_excised""".stripMargin
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -1489,7 +1527,8 @@ object Queries {
     ("q44_dup_ngrams", q44DupNgrams _, Some(q44Sql)),
     ("q45_sample_stratified", q45SampleStratified _, Some(q45Sql)),
     ("q46_nfc_normalize", q46NfcNormalize _, Some(q46Sql)),
-    ("q47_dedup_lines", q47DedupLines _, Some(q47Sql)))
+    ("q47_dedup_lines", q47DedupLines _, Some(q47Sql)),
+    ("q48_excise_spans", q48ExciseSpans _, Some(q48Sql)))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live

@@ -376,6 +376,35 @@ class OpsSpec extends AnyFunSuite {
     assert(rep == got)
   }
 
+  test("exciseDupSpans: repeated spans removed, first occurrence survives, self-repeats") {
+    import spark.implicits._
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val df = Seq(
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "X one two three four five six seven eight Y"),
+      (3L, "totally different content with no repeats at all whatsoever"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exciseDupSpans(df, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc1 owns the 8-gram; doc2 loses tokens 1..8, keeping "X Y"
+    assert(got(1L) == ((9L, 0L, m("one two three four five six seven eight nine"))))
+    assert(got(2L) == ((10L, 8L, m("X Y"))))
+    assert(got(3L) == ((9L, 0L, m("totally different content with no repeats at all whatsoever"))))
+    // self-repeat inside one doc: "p q" repeats at pos 2 and 4 -> only
+    // the first window survives
+    val self = Seq((9L, "p q p q p q")).toDF("doc_id", "text")
+    val s = Dedup.exciseDupSpans(self, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(s == ((6L, 4L, m("p q"))), s)
+    // partitioning-invariant
+    val rep = Dedup.exciseDupSpans(df.repartition(7), "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rep == got)
+  }
+
   test("repetition stats + gopher flags: hand-computed fixtures") {
     import spark.implicits._
     val df = Seq(
