@@ -149,6 +149,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "corpus-side line dedup must not join")
   }
 
+  test("q48: span ownership is an aggregation, not a window on the hot n-gram key") {
+    val p = plan("q48_excise_spans")
+    assert(!p.contains("Window"), "first-ownership must be min-agg, not row_number")
+    // partial aggregation (map-side combine) before the n-gram exchange
+    val firstAgg = p.indexOf("partial_min")
+    assert(firstAgg >= 0, p.take(2000))
+  }
+
   test("verifyPairs: corpus semi-joined to referenced ids BEFORE shingling") {
     import spark.implicits._
     val d = spark.read.parquet(s"$dir/documents.parquet")

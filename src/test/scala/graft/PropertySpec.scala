@@ -102,6 +102,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("exciseDupSpans == serial reference on repeat-heavy random corpora") {
+    import spark.implicits._
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    val caseGen = for {
+      nDocs <- Gen.chooseNum(1, 8)
+      n <- Gen.chooseNum(2, 4)
+      texts <- Gen.listOfN(nDocs,
+        Gen.chooseNum(1, 12).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, n)
+    def md5(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    forAll(caseGen, n = 40) { case (rows, n) =>
+      val got = graft.ops.Dedup.exciseDupSpans(rows.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      // serial reference: global first-ownership scan in (doc, pos) order
+      val toks = rows.map { case (id, t) => id -> t.split("\\s+", -1).toVector }
+      val firsts = scala.collection.mutable.Map[String, (Long, Int)]()
+      for ((id, ts) <- toks.sortBy(_._1); i <- 0 to ts.size - n)
+        firsts.getOrElseUpdate(ts.slice(i, i + n).mkString(" "), (id, i))
+      val want = toks.map { case (id, ts) =>
+        val exc = (for {
+          i <- 0 to ts.size - n
+          if firsts(ts.slice(i, i + n).mkString(" ")) != ((id, i))
+          p <- i until i + n
+        } yield p).toSet
+        id -> ((ts.size.toLong, exc.size.toLong,
+          md5(ts.zipWithIndex.collect { case (t, j) if !exc(j) => t }.mkString(" "))))
+      }.toMap
+      assert(got == want, s"n=$n rows=$rows")
+    }
+  }
+
   test("typeOf tags rendered primitives correctly") {
     forAll(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)) { (n: Long) =>
       assert(CellType.typeOf(n.toString) == CellType.INT)
