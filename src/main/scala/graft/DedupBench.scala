@@ -125,7 +125,56 @@ object DedupBench {
     }
   }
 
+  /** Full curation-pass throughput: normalize -> line dedup -> lang-ID
+    * -> Gopher -> exact dedup -> sample over a corpus with injected
+    * whole-doc duplicates and shared boilerplate (1 in `dupGroup` docs
+    * share a text; every doc carries one boilerplate line). One lazy
+    * plan, one job.
+    */
+  def runCurate(cpus: Int, nDocs: Long, dupGroup: Int): (Double, Long) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-curate-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      import spark.implicits._
+      // prose-shaped corpus (SynthCorpus's instrument tables carry no
+      // English stopwords, so Gopher would — correctly — reject them):
+      // 1-in-dupGroup docs share their 3 body lines; every doc shares
+      // the boilerplate header. Expected survivors ~ nDocs/dupGroup.
+      val docs = spark.range(nDocs).map { i =>
+        val k = i - i % dupGroup
+        val body = (0 until 3).map(j =>
+          s"the measurement run number ${k}_$j was completed and the result " +
+            s"of the test is ${(k * 37 + j) % 9000} units that we have " +
+            "recorded with great care").mkString("\n")
+        (f"doc-$i%012d", "shared boilerplate navigation header\n" + body)
+      }.toDF("doc_id", "text").localCheckpoint()
+      val t0 = System.nanoTime()
+      val kept = graft.ops.Curation.curate(docs, "doc_id", "text",
+        graft.ops.Curation.CurateConfig(minWords = 5)).count()
+      ((System.nanoTime() - t0) / 1e9, kept)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--curate")) {
+      val nDocs = if (args.length > 1) args(1).toLong else 400000L
+      val cpus = if (args.length > 2) args(2).toInt else 32
+      val dupGroup = if (args.length > 3) args(3).toInt else 5
+      runCurate(cpus, 5000, dupGroup) // warmup
+      val (t, kept) = runCurate(cpus, nDocs, dupGroup)
+      println(f"""{"metric":"curate_docs_per_sec","value":${nDocs / t}%.1f,"unit":"docs/sec","docs":$nDocs,"cpus":$cpus,"dup_group":$dupGroup,"t_sec":$t%.1f,"kept":$kept}""")
+      return
+    }
     if (args.headOption.contains("--lines")) {
       val nDocs = if (args.length > 1) args(1).toLong else 400000L
       val cpus = if (args.length > 2) args(2).toInt else 32

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation pass a pre-training corpus goes through,
+  * composed from this library's operators into ONE lazy plan — no
+  * intermediate actions, so Catalyst sees the whole chain and a single
+  * job runs it:
+  *
+  *   1. Unicode NFC normalization     (graft_normalize, narrow)
+  *   2. global line-level dedup       (CCNet boilerplate pass, 2 shuffles)
+  *   3. language ID on the survivors  (stopword vote, narrow)
+  *   4. Gopher quality rules          (narrow)
+  *   5. exact-content dedup           (min-id ownership agg + join —
+  *                                     the q48 skew-safe shape, 2 shuffles)
+  *   6. deterministic id-hash sample  (narrow filter)
+  *
+  * [[curationReport]] returns every document with its curated text and
+  * one keep flag PER STAGE (so corpus-loss accounting per filter is a
+  * single aggregation over the report); [[curate]] is the
+  * survivors-only projection. All decisions are pure functions of
+  * content and id — byte-identical across retries, cluster sizes, and
+  * resumes.
+  */
+object Curation {
+
+  case class CurateConfig(
+      normalize: Boolean = true,
+      lineDedup: Boolean = true,
+      lineMinLen: Int = 5,
+      keepLangs: Set[String] = Set.empty, // empty = keep all languages
+      gopher: Boolean = true,
+      minWords: Long = 50,
+      maxWords: Long = 100000,
+      exactDedup: Boolean = true,
+      sampleFraction: Double = 1.0)
+
+  def curationReport(docs: DataFrame, idCol: String, textCol: String,
+                     cfg: CurateConfig = CurateConfig()): DataFrame = {
+    // 1. normalize
+    val normed = docs.select(col(idCol),
+      (if (cfg.normalize) graft.expr.UnicodeNormalize(col(textCol), "NFC")
+       else col(textCol)).as("_t0"))
+
+    // 2. line dedup -> curated text (kept lines rejoined in order)
+    val curated =
+      if (!cfg.lineDedup) normed.withColumn("text_curated", col("_t0"))
+      else Dedup.markDupLines(normed, idCol, "_t0", cfg.lineMinLen)
+        .groupBy(col(idCol))
+        .agg(concat_ws("\n", expr(
+          "transform(array_sort(collect_list(case when keep then struct(idx, line) end)), x -> x.line)"))
+          .as("text_curated"))
+
+    // 3. language ID
+    val withLang = TextAnalysis.langId(curated, "text_curated")
+      .withColumn("keep_lang",
+        if (cfg.keepLangs.isEmpty) lit(true)
+        else col("pred_lang").isInCollection(cfg.keepLangs))
+
+    // 4. Gopher rules (joined back on id — flags only, narrow recompute)
+    val withGopher =
+      if (!cfg.gopher) withLang.withColumn("keep_gopher", lit(true))
+      else withLang.join(
+        TextAnalysis.gopherFlags(withLang.select(col(idCol), col("text_curated")),
+            idCol, "text_curated", cfg.minWords, cfg.maxWords)
+          .select(col(idCol), (col("keep") === 1L).as("keep_gopher")),
+        Seq(idCol))
+
+    // 5. exact dedup on the CURATED text: min-id ownership aggregation
+    // (map-side combinable; the hot all-identical key AQE-splits)
+    val withExact =
+      if (!cfg.exactDedup) withGopher.withColumn("keep_exact", lit(true))
+      else {
+        val owners = withGopher
+          .select(col(idCol), md5(col("text_curated")).as("_h"))
+          .groupBy("_h").agg(min(col(idCol)).as("_owner"))
+        withGopher.withColumn("_h", md5(col("text_curated")))
+          .join(owners, "_h")
+          .withColumn("keep_exact", col(idCol) === col("_owner"))
+          .drop("_h", "_owner")
+      }
+
+    // 6. deterministic sample
+    val sampled = withExact.withColumn("keep_sample",
+      if (cfg.sampleFraction >= 1.0) lit(true)
+      else md5(concat(lit("sample:"), col(idCol).cast("string")))
+        < lit(TextAnalysis.hexThreshold(cfg.sampleFraction)))
+
+    sampled.withColumn("keep",
+      col("keep_lang") && col("keep_gopher") &&
+        col("keep_exact") && col("keep_sample"))
+  }
+
+  /** Survivors only: (idCol, text_curated). */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             cfg: CurateConfig = CurateConfig()): DataFrame =
+    curationReport(docs, idCol, textCol, cfg)
+      .filter(col("keep")).select(col(idCol), col("text_curated"))
+
+  /** One-aggregation loss accounting over a report: docs surviving each
+    * successive stage (the funnel every curation run reports).
+    */
+  def funnel(report: DataFrame): DataFrame =
+    report.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("keep_lang"), 1L).otherwise(0L)).as("n_lang"),
+      sum(when(col("keep_lang") && col("keep_gopher"), 1L).otherwise(0L))
+        .as("n_gopher"),
+      sum(when(col("keep_lang") && col("keep_gopher") && col("keep_exact"), 1L)
+        .otherwise(0L)).as("n_exact"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+}

@@ -405,6 +405,43 @@ class OpsSpec extends AnyFunSuite {
     assert(rep == got)
   }
 
+  test("curation pipeline: per-stage flags, funnel accounting, line/exact interplay") {
+    import spark.implicits._
+    val en = "the quick brown foxes have jumped over all of those lazy dogs that sleep with great comfort today"
+    val de = "der hund und die katze ist nicht ein freund aber das wetter ist gut und alle sind froh heute"
+    val dfA = Seq(
+      (1L, en), (2L, en),             // 2 = exact duplicate
+      (3L, de),                       // wrong language
+      (4L, "the cat is of and"))      // english but fails Gopher word count
+      .toDF("doc_id", "text")
+    val cfgA = Curation.CurateConfig(lineDedup = false,
+      keepLangs = Set("en"), minWords = 10)
+    val rep = Curation.curationReport(dfA, "doc_id", "text", cfgA)
+    val flags = rep.select("doc_id", "keep_lang", "keep_gopher", "keep_exact", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(flags(1L) == ((true, true, true, true)))
+    assert(flags(2L)._3 == false && flags(2L)._4 == false) // dup loses to min id
+    assert(flags(3L)._1 == false && flags(3L)._4 == false)
+    assert(flags(4L)._1 == true && flags(4L)._2 == false && flags(4L)._4 == false)
+    val f = Curation.funnel(rep).collect().head
+    assert((f.getLong(0), f.getLong(1), f.getLong(2), f.getLong(3), f.getLong(4))
+      == ((4L, 3L, 2L, 1L, 1L)), f.toString)
+    val kept = Curation.curate(dfA, "doc_id", "text", cfgA)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSeq == Seq((1L, en)))
+    // with line dedup ON, a full duplicate is stripped line-by-line
+    // first (doc 1 owns every line), then Gopher rejects the husk
+    val multi = en.replace(" over ", "\nover ")
+    val dfB = Seq((1L, multi), (2L, multi)).toDF("doc_id", "text")
+    val repB = Curation.curationReport(dfB, "doc_id", "text",
+      Curation.CurateConfig(keepLangs = Set("en"), minWords = 10))
+    val b = repB.select("doc_id", "text_curated", "keep")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(b(1L) == ((multi, true)))
+    assert(b(2L)._1 == "" && !b(2L)._2, b(2L).toString)
+  }
+
   test("repetition stats + gopher flags: hand-computed fixtures") {
     import spark.implicits._
     val df = Seq(
