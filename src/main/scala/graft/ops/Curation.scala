@@ -58,14 +58,14 @@ object Curation {
         if (cfg.keepLangs.isEmpty) lit(true)
         else col("pred_lang").isInCollection(cfg.keepLangs))
 
-    // 4. Gopher rules (joined back on id — flags only, narrow recompute)
+    // 4. Gopher rules appended narrow — no flags join back
     val withGopher =
       if (!cfg.gopher) withLang.withColumn("keep_gopher", lit(true))
-      else withLang.join(
-        TextAnalysis.gopherFlags(withLang.select(col(idCol), col("text_curated")),
-            idCol, "text_curated", cfg.minWords, cfg.maxWords)
-          .select(col(idCol), (col("keep") === 1L).as("keep_gopher")),
-        Seq(idCol))
+      else TextAnalysis.withGopherFlags(withLang, "text_curated",
+          cfg.minWords, cfg.maxWords)
+        .withColumn("keep_gopher", col("keep") === 1L)
+        .drop("keep", "flag_word_count", "flag_mean_word_len",
+          "flag_symbol_ratio", "flag_stopwords")
 
     // 5. exact dedup on the CURATED text: min-id ownership aggregation
     // (map-side combinable; the hot all-identical key AQE-splits)

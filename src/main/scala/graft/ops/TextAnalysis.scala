@@ -308,8 +308,13 @@ object TextAnalysis {
       col(idCol).cast("string"))) < thr)
   }
 
-  def gopherFlags(df: DataFrame, idCol: String, textCol: String,
-                  minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+  /** APPENDS the Gopher columns (n_tokens + four flags + keep) to `df`
+    * keeping every existing column — the narrow form [[graft.ops
+    * .Curation]] composes without a flags join; [[gopherFlags]] is the
+    * projected view of the same definition.
+    */
+  def withGopherFlags(df: DataFrame, textCol: String,
+                      minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
     val stops = GopherStops.map(w => s"'$w'").mkString("array(", ",", ")")
     df.withColumn("_toks", split(col(textCol), "\\s+"))
       .withColumn("n_tokens", size(col("_toks")).cast("long"))
@@ -318,17 +323,25 @@ object TextAnalysis {
       .withColumn("_npunct", regexp_count(col(textCol), lit(PunctRe)).cast("long"))
       .withColumn("_nstops", expr(
         s"size(array_intersect(array_distinct(transform(_toks, w -> lower(w))), $stops))"))
-      .select(col(idCol), col("n_tokens"),
-        when(col("n_tokens").between(minWords, maxWords), 1L).otherwise(0L)
-          .as("flag_word_count"),
+      .withColumn("flag_word_count",
+        when(col("n_tokens").between(minWords, maxWords), 1L).otherwise(0L))
+      .withColumn("flag_mean_word_len",
         when(col("_sumlen") >= lit(3) * col("n_tokens") &&
-             col("_sumlen") <= lit(10) * col("n_tokens"), 1L).otherwise(0L)
-          .as("flag_mean_word_len"),
-        when(lit(10) * col("_npunct") < col("n_tokens"), 1L).otherwise(0L)
-          .as("flag_symbol_ratio"),
-        when(col("_nstops") >= 2, 1L).otherwise(0L).as("flag_stopwords"))
+             col("_sumlen") <= lit(10) * col("n_tokens"), 1L).otherwise(0L))
+      .withColumn("flag_symbol_ratio",
+        when(lit(10) * col("_npunct") < col("n_tokens"), 1L).otherwise(0L))
+      .withColumn("flag_stopwords",
+        when(col("_nstops") >= 2, 1L).otherwise(0L))
       .withColumn("keep",
         (col("flag_word_count") * col("flag_mean_word_len") *
           col("flag_symbol_ratio") * col("flag_stopwords")).cast("bigint"))
+      .drop("_toks", "_sumlen", "_npunct", "_nstops")
   }
+
+  def gopherFlags(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50, maxWords: Long = 100000): DataFrame =
+    withGopherFlags(df, textCol, minWords, maxWords)
+      .select(col(idCol), col("n_tokens"), col("flag_word_count"),
+        col("flag_mean_word_len"), col("flag_symbol_ratio"),
+        col("flag_stopwords"), col("keep"))
 }
