@@ -157,6 +157,19 @@ class PlanSpec extends AnyFunSuite {
     assert(firstAgg >= 0, p.take(2000))
   }
 
+  test("curation report: the only join is exact-dedup ownership; flags stay narrow") {
+    import spark.implicits._
+    val docs = Seq(("a", "x\ny"), ("b", "y\nz")).toDF("doc_id", "text")
+    val o = graft.ops.Curation.curationReport(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert("Join".r.findAllIn(o).size == 1, o.take(2000))
+    // and with exact dedup off the whole report is join-free
+    val o2 = graft.ops.Curation.curationReport(docs, "doc_id", "text",
+        graft.ops.Curation.CurateConfig(exactDedup = false))
+      .queryExecution.optimizedPlan.toString
+    assert(!o2.contains("Join"), o2.take(2000))
+  }
+
   test("verifyPairs: corpus semi-joined to referenced ids BEFORE shingling") {
     import spark.implicits._
     val d = spark.read.parquet(s"$dir/documents.parquet")
