@@ -33,20 +33,29 @@ object Bench {
     // instead of penalizing whichever one they landed on)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // min-of-reps that never lets a failed rep (-1) clobber a valid
+    // earlier measurement
+    def record(name: String, t: Double): Unit =
+      results(name) = results.get(name).filter(_ >= 0)
+        .map(p => if (t >= 0) math.min(p, t) else p).getOrElse(t)
+
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_PIPE_DOCS", "20000").toLong
+    val dict = Pipeline.broadcastDict(spark)
     for (_ <- 1 to reps) {
       graft.queries.Queries.registry.foreach { case (name, fn, _) =>
         val t =
           try { val d = time(fn(spark, sfDir).write.mode("overwrite").format("noop").save()); d }
           catch { case _: Throwable => -1.0 }
-        results(name) = results.get(name).filter(p => p >= 0 && p <= t).getOrElse(t)
+        record(name, t)
       }
-    }
-    // headline: KG pipeline docs/sec on the deterministic synthetic corpus
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_PIPE_DOCS", "20000").toLong
-    val dict = Pipeline.broadcastDict(spark)
-    results("pipeline_synth") = time {
-      Pipeline.triples(graft.ingest.SynthCorpus.corpus(spark, nDocs), dict)
-        .write.mode("overwrite").format("noop").save()
+      // the KG-pipeline headline runs INSIDE the interleaved-reps loop so
+      // it gets the same min-of-reps de-noising as every query
+      val tp =
+        try time {
+          Pipeline.triples(graft.ingest.SynthCorpus.corpus(spark, nDocs), dict)
+            .write.mode("overwrite").format("noop").save()
+        } catch { case _: Throwable => -1.0 }
+      record("pipeline_synth", tp)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

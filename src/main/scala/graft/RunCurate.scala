@@ -7,17 +7,46 @@ import org.apache.spark.sql.SparkSession
   * (idCol, textCol), write the survivors table + the per-stage funnel,
   * print the funnel as one JSON line.
   *
-  *   runMain graft.RunCurate <docsParquet> <outDir> [idCol] [textCol]
+  *   runMain graft.RunCurate <docsParquet> <outDir> [idCol] [textCol] [flags...]
+  *
+  * Flags (each maps 1:1 onto a [[graft.ops.Curation.CurateConfig]]
+  * field): --keep-langs en,de  --lang-scorer stopwords|trigram
+  * --min-words N  --max-words N  --fraction F  --line-min-len N
+  * --no-normalize  --no-line-dedup  --no-gopher  --no-exact-dedup
   *
   * Scale shape: the whole pass is one lazy plan (see Curation); the
   * survivors write is the only action besides the funnel aggregate.
   */
 object RunCurate {
+
+  /** Parse the flag tail into a config; pure so tests can pin it. */
+  def parseConfig(flags: Seq[String]): graft.ops.Curation.CurateConfig = {
+    var cfg = graft.ops.Curation.CurateConfig()
+    var rest = flags.toList
+    while (rest.nonEmpty) rest match {
+      case "--keep-langs" :: v :: t =>
+        cfg = cfg.copy(keepLangs = v.split(",").filter(_.nonEmpty).toSet); rest = t
+      case "--lang-scorer" :: v :: t => cfg = cfg.copy(langScorer = v); rest = t
+      case "--min-words" :: v :: t => cfg = cfg.copy(minWords = v.toLong); rest = t
+      case "--max-words" :: v :: t => cfg = cfg.copy(maxWords = v.toLong); rest = t
+      case "--fraction" :: v :: t => cfg = cfg.copy(sampleFraction = v.toDouble); rest = t
+      case "--line-min-len" :: v :: t => cfg = cfg.copy(lineMinLen = v.toInt); rest = t
+      case "--no-normalize" :: t => cfg = cfg.copy(normalize = false); rest = t
+      case "--no-line-dedup" :: t => cfg = cfg.copy(lineDedup = false); rest = t
+      case "--no-gopher" :: t => cfg = cfg.copy(gopher = false); rest = t
+      case "--no-exact-dedup" :: t => cfg = cfg.copy(exactDedup = false); rest = t
+      case f :: _ => throw new IllegalArgumentException(s"unknown flag $f")
+    }
+    cfg
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: RunCurate <docsParquet> <outDir> [idCol] [textCol]")
+    require(args.length >= 2, "usage: RunCurate <docsParquet> <outDir> [idCol] [textCol] [flags...]")
     val (in, out) = (args(0), args(1))
-    val idCol = if (args.length > 2) args(2) else "doc_id"
-    val textCol = if (args.length > 3) args(3) else "text"
+    val positional = args.drop(2).takeWhile(!_.startsWith("--"))
+    val idCol = if (positional.length > 0) positional(0) else "doc_id"
+    val textCol = if (positional.length > 1) positional(1) else "text"
+    val cfg = parseConfig(args.drop(2 + positional.length).toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,7 +59,7 @@ object RunCurate {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val docs = spark.read.parquet(in)
-      val report = graft.ops.Curation.curationReport(docs, idCol, textCol)
+      val report = graft.ops.Curation.curationReport(docs, idCol, textCol, cfg)
         .localCheckpoint() // one evaluation feeds both the write and the funnel
       report.filter(org.apache.spark.sql.functions.col("keep"))
         .select(idCol, "text_curated")

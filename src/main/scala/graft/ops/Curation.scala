@@ -30,18 +30,25 @@ object Curation {
       lineDedup: Boolean = true,
       lineMinLen: Int = 5,
       keepLangs: Set[String] = Set.empty, // empty = keep all languages
+      langScorer: String = "stopwords", // or "trigram" (LangNgram profiles)
       gopher: Boolean = true,
       minWords: Long = 50,
       maxWords: Long = 100000,
       exactDedup: Boolean = true,
-      sampleFraction: Double = 1.0)
+      sampleFraction: Double = 1.0) {
+    require(Set("stopwords", "trigram")(langScorer),
+      s"langScorer must be stopwords|trigram, got $langScorer")
+  }
 
   def curationReport(docs: DataFrame, idCol: String, textCol: String,
                      cfg: CurateConfig = CurateConfig()): DataFrame = {
-    // 1. normalize
+    // 1. normalize — null text flows through as '' so every input doc is
+    // counted by the funnel (and then filtered by word count), instead
+    // of vanishing in the line-dedup posexplode
+    val t0 = coalesce(col(textCol), lit(""))
     val normed = docs.select(col(idCol),
-      (if (cfg.normalize) graft.expr.UnicodeNormalize(col(textCol), "NFC")
-       else col(textCol)).as("_t0"))
+      (if (cfg.normalize) graft.expr.UnicodeNormalize(t0, "NFC")
+       else t0).as("_t0"))
 
     // 2. line dedup -> curated text (kept lines rejoined in order)
     val curated =
@@ -52,11 +59,21 @@ object Curation {
           "transform(array_sort(collect_list(case when keep then struct(idx, line) end)), x -> x.line)"))
           .as("text_curated"))
 
-    // 3. language ID
-    val withLang = TextAnalysis.langId(curated, "text_curated")
-      .withColumn("keep_lang",
-        if (cfg.keepLangs.isEmpty) lit(true)
-        else col("pred_lang").isInCollection(cfg.keepLangs))
+    // 3. language ID — scorer is pluggable: the 7-stopword vote (cheap,
+    // whole-word) or the Cavnar–Trenkle trigram profiles (codegen
+    // kernel, robust on short/noisy text). Scorer-internal score
+    // columns are dropped so the report schema is identical either way.
+    val scored = cfg.langScorer match {
+      case "trigram" =>
+        LangNgram.langIdNgram(curated, "text_curated")
+          .drop(LangNgram.Langs.map(l => s"s_$l"): _*)
+      case _ =>
+        TextAnalysis.langId(curated, "text_curated")
+          .drop(TextAnalysis.Stopwords.keys.toSeq.map(l => s"hits_$l"): _*)
+    }
+    val withLang = scored.withColumn("keep_lang",
+      if (cfg.keepLangs.isEmpty) lit(true)
+      else col("pred_lang").isInCollection(cfg.keepLangs))
 
     // 4. Gopher rules appended narrow — no flags join back
     val withGopher =
@@ -68,16 +85,24 @@ object Curation {
           "flag_symbol_ratio", "flag_stopwords")
 
     // 5. exact dedup on the CURATED text: min-id ownership aggregation
-    // (map-side combinable; the hot all-identical key AQE-splits)
+    // (map-side combinable; the hot all-identical key AQE-splits).
+    // Sequential-stage semantics: ownership is computed over the
+    // SURVIVORS of stages 3–4, so a duplicate group whose min-id copy
+    // was rejected by language/Gopher still keeps its smallest
+    // surviving copy (a corpus-wide owner could otherwise drop every
+    // passing copy of a text). Non-survivors get keep_exact=false
+    // (irrelevant to `keep`, which already requires stages 3–4).
     val withExact =
       if (!cfg.exactDedup) withGopher.withColumn("keep_exact", lit(true))
       else {
         val owners = withGopher
+          .filter(col("keep_lang") && col("keep_gopher"))
           .select(col(idCol), md5(col("text_curated")).as("_h"))
           .groupBy("_h").agg(min(col(idCol)).as("_owner"))
         withGopher.withColumn("_h", md5(col("text_curated")))
-          .join(owners, "_h")
-          .withColumn("keep_exact", col(idCol) === col("_owner"))
+          .join(owners, Seq("_h"), "left")
+          .withColumn("keep_exact",
+            coalesce(col(idCol) === col("_owner"), lit(false)))
           .drop("_h", "_owner")
       }
 

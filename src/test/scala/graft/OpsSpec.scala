@@ -442,6 +442,79 @@ class OpsSpec extends AnyFunSuite {
     assert(b(2L)._1 == "" && !b(2L)._2, b(2L).toString)
   }
 
+  test("curation: null/empty text is counted by the funnel, not dropped") {
+    import spark.implicits._
+    val en = "the quick brown foxes have jumped over all of those lazy dogs that sleep with great comfort today"
+    val df = Seq((1L, en), (2L, null: String), (3L, ""))
+      .toDF("doc_id", "text")
+    val rep = Curation.curationReport(df, "doc_id", "text",
+      Curation.CurateConfig(minWords = 10))
+    val f = Curation.funnel(rep).collect().head
+    // all three docs counted; null/empty fail Gopher word count, doc 1 survives
+    assert(f.getLong(0) == 3L, s"n_docs must count null-text docs: $f")
+    assert(f.getLong(4) == 1L, f.toString)
+    val flags = rep.select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> false), flags.toString)
+  }
+
+  test("curation: dedup ownership is over stage-3/4 survivors (sequential semantics)") {
+    import spark.implicits._
+    val de = "der hund und die katze ist nicht ein freund aber das wetter ist gut und alle sind froh heute"
+    val en = "the quick brown foxes have jumped over all of those lazy dogs that sleep with great comfort today"
+    // a duplicate group whose every copy fails the language stage: with
+    // ownership over survivors, the group's hash is absent from the
+    // owners table and the left join yields keep_exact=false for all
+    // copies (keep already false via keep_lang)
+    val df = Seq((1L, de), (2L, de), (3L, en)).toDF("doc_id", "text")
+    val rep = Curation.curationReport(df, "doc_id", "text",
+      Curation.CurateConfig(lineDedup = false, keepLangs = Set("en"), minWords = 10))
+    val flags = rep.select("doc_id", "keep_lang", "keep_exact", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(flags(1L) == ((false, false, false)), flags.toString)
+    assert(flags(2L) == ((false, false, false)), flags.toString)
+    assert(flags(3L) == ((true, true, true)), flags.toString)
+    val f = Curation.funnel(rep).collect().head
+    assert((f.getLong(0), f.getLong(4)) == ((3L, 1L)), f.toString)
+  }
+
+  test("curation: trigram scorer classifies short stopword-free text") {
+    import spark.implicits._
+    // no whole stopword from the 7-word lists, but trigram morphology
+    // says English — the stopword vote returns 'und', the trigram
+    // scorer keeps it
+    val shorty = "jumping foxes watched thoughtful badgers"
+    val en = "the quick brown foxes have jumped over all of those lazy dogs that sleep with great comfort today"
+    val df = Seq((1L, en), (2L, shorty)).toDF("doc_id", "text")
+    def langs(scorer: String): Map[Long, String] =
+      Curation.curationReport(df, "doc_id", "text",
+          Curation.CurateConfig(lineDedup = false, langScorer = scorer))
+        .select("doc_id", "pred_lang").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stop = langs("stopwords")
+    val tri = langs("trigram")
+    assert(stop(1L) == "en" && tri(1L) == "en")
+    assert(stop(2L) == "und", stop.toString)
+    assert(tri(2L) == "en", tri.toString)
+    intercept[IllegalArgumentException] {
+      Curation.CurateConfig(langScorer = "bogus")
+    }
+  }
+
+  test("RunCurate.parseConfig: every flag maps onto CurateConfig") {
+    val cfg = graft.RunCurate.parseConfig(Seq(
+      "--keep-langs", "en,de", "--lang-scorer", "trigram",
+      "--min-words", "10", "--max-words", "5000", "--fraction", "0.5",
+      "--line-min-len", "3", "--no-normalize", "--no-exact-dedup"))
+    assert(cfg == Curation.CurateConfig(normalize = false, lineDedup = true,
+      lineMinLen = 3, keepLangs = Set("en", "de"), langScorer = "trigram",
+      minWords = 10, maxWords = 5000, exactDedup = false, sampleFraction = 0.5))
+    assert(graft.RunCurate.parseConfig(Nil) == Curation.CurateConfig())
+    intercept[IllegalArgumentException] {
+      graft.RunCurate.parseConfig(Seq("--bogus"))
+    }
+  }
+
   test("repetition stats + gopher flags: hand-computed fixtures") {
     import spark.implicits._
     val df = Seq(

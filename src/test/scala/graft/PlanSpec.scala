@@ -170,6 +170,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!o2.contains("Join"), o2.take(2000))
   }
 
+  test("curation: ownership join reuses the line-dedup exchanges (AQE-final plan)") {
+    import spark.implicits._
+    // docs must PASS Gopher (else AQE empty-relation propagation
+    // deletes the ownership join outright — pinned separately below)
+    val line1 = "the cat and dog have fun with all of that good stuff today"
+    val line2 = "more words about the dog and that cat with all of the fun"
+    val docs = Seq(("a", s"$line1\n$line2"), ("b", s"$line1\nother text here"),
+      ("c", s"$line1\n$line2")).toDF("doc_id", "text")
+    val rep = graft.ops.Curation.curationReport(docs, "doc_id", "text",
+      graft.ops.Curation.CurateConfig(minWords = 3))
+    rep.collect() // finalize AQE so stage reuse is visible
+    val p = rep.queryExecution.executedPlan.toString
+    val start = p.indexOf("== Final Plan ==")
+    val end = p.indexOf("== Initial Plan ==")
+    val fin = if (start >= 0 && end > start) p.substring(start, end)
+              else if (start >= 0) p.substring(start) else p
+    // the heavy line-dedup subtree sits under BOTH sides of the
+    // ownership join; its shuffles must be shared, never re-executed
+    assert(fin.contains("ReusedExchange") || fin.contains("reuses operator id"),
+      fin.take(4000))
+
+    // and when no doc survives stages 3-4, AQE propagates the empty
+    // owners side through the left join: no join runs at all
+    val husks = Seq(("a", "x\ny"), ("b", "y\nz")).toDF("doc_id", "text")
+    val rep2 = graft.ops.Curation.curationReport(husks, "doc_id", "text")
+    rep2.collect()
+    val p2 = rep2.queryExecution.executedPlan.toString
+    val s2 = p2.indexOf("== Final Plan ==")
+    val e2 = p2.indexOf("== Initial Plan ==")
+    val fin2 = if (s2 >= 0 && e2 > s2) p2.substring(s2, e2)
+               else if (s2 >= 0) p2.substring(s2) else p2
+    assert(!fin2.contains("Join"), fin2.take(2000))
+  }
+
   test("verifyPairs: corpus semi-joined to referenced ids BEFORE shingling") {
     import spark.implicits._
     val d = spark.read.parquet(s"$dir/documents.parquet")
