@@ -178,7 +178,7 @@ object TextAnalysis {
     * shared primitive of [[decontaminate]] and [[dupNgrams]]. Narrow;
     * the split is bound once per row.
     */
-  private def withTokenNgrams(df: DataFrame, textCol: String, n: Int): DataFrame =
+  private[graft] def withTokenNgrams(df: DataFrame, textCol: String, n: Int): DataFrame =
     df.withColumn("_ts",
         expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x <> '')"))
       .withColumn("_ng", expr(

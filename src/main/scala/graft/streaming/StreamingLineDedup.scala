@@ -8,12 +8,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * [[graft.ops.Dedup.dedupLinesGlobal]] — the CCNet boilerplate pass
   * run continuously): across all micro-batches, each eligible line
   * survives only at its first-seen occurrence; within the batch that
-  * first sees a line, the smallest (doc_id, idx) wins — so over
+  * first sees a line, the smallest (doc_id, idx) wins UNDER THE
+  * NATIVE id ordering (numeric ids compare numerically, matching the
+  * batch window's `orderBy(idCol)` on the typed column) — so over
   * doc-ordered batches the kept set equals the batch rule exactly
-  * (pinned by StreamingSpec across two checkpointed runs). Lines
-  * shorter than `minLen` bypass state entirely: they are always kept
-  * and never shuffled into a hot key group — the same skew rule as the
-  * batch operator.
+  * (pinned by StreamingSpec across two checkpointed runs, and for
+  * same-batch numeric-id ties). Lines shorter than `minLen`
+  * codepoints (Spark `length()` semantics, not UTF-16 units) bypass
+  * state entirely: they are always kept and never shuffled into a hot
+  * key group — the same skew rule as the batch operator.
   *
   * Scale: one groupByKey shuffle on the 32-hex line hash; state is one
   * boolean per distinct eligible line, RocksDB-backed when it outgrows
@@ -23,21 +26,53 @@ object StreamingLineDedup {
 
   case class LineRow(doc_id: String, idx: Int, line: String)
 
+  /** In-batch tie-break orderings on the stringified doc id, matching
+    * the BATCH rule's window order on the NATIVE id type: numeric ids
+    * compare numerically (batch: `orderBy(idCol)` on a long column —
+    * lexicographic "10" < "9" would keep the wrong doc), strings
+    * lexicographically. Chosen from the input schema in [[keptLines]];
+    * each is a serializable object so the closure ships clean.
+    */
+  object LexOrder extends Ordering[LineRow] with Serializable {
+    def compare(a: LineRow, b: LineRow): Int = {
+      val c = a.doc_id.compareTo(b.doc_id)
+      if (c != 0) c else Integer.compare(a.idx, b.idx)
+    }
+  }
+  object NumericOrder extends Ordering[LineRow] with Serializable {
+    def compare(a: LineRow, b: LineRow): Int = {
+      val c = java.lang.Long.compare(a.doc_id.toLong, b.doc_id.toLong)
+      if (c != 0) c else Integer.compare(a.idx, b.idx)
+    }
+  }
+
+  private def orderFor(df: DataFrame): Ordering[LineRow] =
+    df.schema("doc_id").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        NumericOrder
+      case _ => LexOrder
+    }
+
   private def md5hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
     d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  private def firstOf(rows: Iterator[LineRow]): Iterator[LineRow] =
-    if (rows.isEmpty) Iterator.empty
-    else Iterator(rows.reduceLeft { (a, b) =>
-      if (a.doc_id < b.doc_id || (a.doc_id == b.doc_id && a.idx <= b.idx)) a else b
-    })
+  /** Codepoint count — the batch eligibility rule uses Spark
+    * `length()` (codepoints), not UTF-16 units; astral chars near the
+    * threshold must classify identically in both engines.
+    */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
 
-  def firstLine(key: String, rows: Iterator[LineRow],
+  private def firstOf(ord: Ordering[LineRow], rows: Iterator[LineRow]): Iterator[LineRow] =
+    if (rows.isEmpty) Iterator.empty
+    else Iterator(rows.reduceLeft((a, b) => if (ord.lteq(a, b)) a else b))
+
+  def firstLine(ord: Ordering[LineRow])(key: String, rows: Iterator[LineRow],
                 state: GroupState[Boolean]): Iterator[LineRow] =
     if (state.exists) Iterator.empty
-    else { state.update(true); firstOf(rows) }
+    else { state.update(true); firstOf(ord, rows) }
 
   /** TTL'd variant: a line's claim expires `ttlMs` after it was last
     * seen (sliding last-seen horizon, same re-arm rule as
@@ -45,14 +80,15 @@ object StreamingLineDedup {
     * after expiry is re-admitted once. Bounded state for infinite
     * streams.
     */
-  def firstLineTtl(ttlMs: Long)(key: String, rows: Iterator[LineRow],
-                                state: GroupState[Boolean]): Iterator[LineRow] =
+  def firstLineTtl(ttlMs: Long, ord: Ordering[LineRow] = LexOrder)(
+      key: String, rows: Iterator[LineRow],
+      state: GroupState[Boolean]): Iterator[LineRow] =
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else if (state.exists) { state.setTimeoutDuration(ttlMs); Iterator.empty }
     else {
       state.update(true)
       state.setTimeoutDuration(ttlMs)
-      firstOf(rows)
+      firstOf(ord, rows)
     }
 
   private def lines(docs: DataFrame, textCol: String): Dataset[LineRow] = {
@@ -71,11 +107,12 @@ object StreamingLineDedup {
     implicit val enc = Encoders.product[LineRow]
     implicit val strEnc = Encoders.STRING
     implicit val boolEnc = Encoders.scalaBoolean
+    val ord = orderFor(docs)
     val l = lines(docs, textCol)
-    val kept = l.filter(_.line.length >= minLen)
+    val kept = l.filter(r => cpLen(r.line) >= minLen)
       .groupByKey(r => md5hex(r.line))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(firstLine)
-    kept.union(l.filter(_.line.length < minLen))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(firstLine(ord))
+    kept.union(l.filter(r => cpLen(r.line) < minLen))
   }
 
   /** [[keptLines]] with TTL-bounded state (ProcessingTimeTimeout: the
@@ -87,11 +124,12 @@ object StreamingLineDedup {
     implicit val enc = Encoders.product[LineRow]
     implicit val strEnc = Encoders.STRING
     implicit val boolEnc = Encoders.scalaBoolean
+    val ord = orderFor(docs)
     val l = lines(docs, textCol)
-    val kept = l.filter(_.line.length >= minLen)
+    val kept = l.filter(r => cpLen(r.line) >= minLen)
       .groupByKey(r => md5hex(r.line))
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.ProcessingTimeTimeout)(firstLineTtl(ttlMs))
-    kept.union(l.filter(_.line.length < minLen))
+        GroupStateTimeout.ProcessingTimeTimeout)(firstLineTtl(ttlMs, ord))
+    kept.union(l.filter(r => cpLen(r.line) < minLen))
   }
 }

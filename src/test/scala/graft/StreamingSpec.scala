@@ -363,6 +363,135 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count(_._3 == "ok") == 60)
   }
 
+  test("streaming line dedup == batch for numeric-id same-batch ties and astral minLen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("slinenum").toString
+    // ids 9 and 10 share a line in ONE micro-batch: lexicographic
+    // "10" < "9" would keep doc 10; the batch window on the long id
+    // keeps doc 9. Also: a 3-astral-char line (3 codepoints, 6 UTF-16
+    // units) must stay INELIGIBLE at minLen=5 in both engines.
+    val astral = "😀😁😂" // 3 emoji
+    val docs = Seq(
+      (9L, s"tied across nine and ten\n$astral"),
+      (10L, s"tied across nine and ten\n$astral"),
+      (2L, "a doc of its very own"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$base/docs")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$base/docs")
+    val q = graft.streaming.StreamingLineDedup.keptLines(stream)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", s"$base/out").start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$base/out")
+      .as[(String, Int, String)].collect().toSet
+    val batch = graft.ops.Dedup.markDupLines(docs, "doc_id", "text")
+      .filter(col("keep"))
+      .select(col("doc_id").cast("string"), col("idx"), col("line"))
+      .as[(String, Int, String)].collect().toSet
+    assert(streamed == batch, s"missing=${batch -- streamed} extra=${streamed -- batch}")
+    // the tie went to doc 9, and BOTH docs kept the short astral line
+    assert(streamed.contains(("9", 0, "tied across nine and ten")))
+    assert(!streamed.contains(("10", 0, "tied across nine and ten")))
+    assert(streamed.count(_._3 == astral) == 2)
+  }
+
+  test("streaming decontamination: hit set == batch operator across a checkpointed restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("sdecontam").toString
+    val n = 3
+    val bench = Seq(
+      ("b1", "the capital of france is paris"),
+      ("b2", "what is the boiling point of water")).toDF("bid", "text")
+    def df(ids: Range) = ids.map { i =>
+      val t = i % 4 match {
+        case 0 => s"totally clean document number $i with original content"
+        case 1 => s"quiz leak the capital of france happens to be mentioned here $i"
+        case 2 => s"another clean one $i nothing shared at all"
+        case _ => s"trivia $i the boiling point of water is well known"
+      }
+      (f"d$i%04d", t)
+    }.toDF("doc_id", "text")
+    val schema = df(0 until 1).schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$base/docs")
+      val q = graft.streaming.StreamingDecontam.hits(stream, bench, "doc_id", "text", n)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out").start()
+      q.awaitTermination()
+    }
+    df(0 until 12).write.parquet(s"$base/docs")
+    runOnce()
+    df(12 until 24).write.mode("append").parquet(s"$base/docs")
+    runOnce() // same checkpoint: already-processed docs are not re-emitted
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("doc_id", "ng").as[(String, String)].collect()
+    // no doc processed twice (restart did not replay batch 1)
+    assert(streamed.length == streamed.distinct.length, "duplicate hits after restart")
+    val perDoc = streamed.groupBy(_._1).map { case (d, hs) => d -> hs.length.toLong }
+    val batch = graft.ops.TextAnalysis.decontaminate(df(0 until 24), bench, "doc_id", "text", n)
+      .as[(String, Long)].collect().toMap
+    assert(perDoc == batch, s"streamed=$perDoc batch=$batch")
+    assert(batch.nonEmpty && batch.keys.forall(d => d.drop(1).toInt % 2 == 1))
+  }
+
+  test("streaming excision: decisions replay to the batch operator's kept_md5 across a restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("sexcise").toString
+    val n = 4
+    val boiler = "all rights reserved by the site owner"   // 7 tokens: dup n-grams
+    def df(ids: Range) = ids.map { i =>
+      val t =
+        if (i % 3 == 2) s"unique article body $i with plenty of fresh words here. $boiler"
+        else s"page $i says something new and then repeats. $boiler"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val schema = df(0 until 1).schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$base/docs")
+      val q = graft.streaming.StreamingExcision.excisedOccurrences(stream, "text", n)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out").start()
+      q.awaitTermination()
+    }
+    df(0 until 9).write.parquet(s"$base/docs")
+    runOnce()
+    df(9 until 18).write.mode("append").parquet(s"$base/docs")
+    runOnce() // same checkpoint: n-gram claims survive the restart
+    val decisions = spark.read.parquet(s"$base/out")
+      .as[(String, Int)].collect().groupBy(_._1.toLong)
+      .map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val docs = df(0 until 18)
+    // replay: excise positions i..i+n-1 for each decision, rebuild text
+    val replayed = docs.collect().map { r =>
+      val id = r.getLong(0)
+      val toks = r.getString(1).split("\\s+")
+      val cover = decisions.getOrElse(id, Set.empty)
+        .flatMap(i => i until math.min(i + n, toks.length))
+      val kept = toks.zipWithIndex.collect { case (t, j) if !cover(j) => t }
+      id -> ((toks.length.toLong, cover.size.toLong,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(kept.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString))
+    }.toMap
+    val batch = graft.ops.Dedup.exciseDupSpans(docs, "doc_id", "text", n)
+      .select("doc_id", "n_tokens", "n_excised", "kept_md5")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(replayed == batch,
+      s"diff=${replayed.toSet.diff(batch.toSet).take(3)} / ${batch.toSet.diff(replayed.toSet).take(3)}")
+    // the boilerplate really was excised somewhere past doc 0
+    assert(decisions.keys.exists(_ > 0L) && batch(1L)._2 > 0L)
+  }
+
   test("TTL'd streaming line dedup: a boilerplate line re-admits after expiry") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
