@@ -103,6 +103,87 @@ object Dedup {
             |  x -> x.t)""".stripMargin))).as("kept_md5"))
   }
 
+  /** Variable-length exact-substring excision — Lee et al. 2022 stage 2
+    * with TRUE repeat-span semantics: every maximal duplicated span of
+    * length >= `minLen` tokens is excised wherever it is not the first
+    * global occurrence, and the spans themselves (exact start/end
+    * boundaries, however long the repeat) are reported per document.
+    *
+    * Equivalence to the fixed-n operator (the reason this needs no
+    * suffix array on the cluster): a position p belongs to a repeated
+    * substring of length >= L iff p is covered by a repeated L-gram —
+    * every position of an m >= L repeat lies inside one of its L-windows
+    * and each such window repeats wherever the repeat does; conversely a
+    * repeated L-window IS a repeat of length L. The same identity holds
+    * occurrence-wise for the keep-first rule: an occurrence's L-windows
+    * are first-occurrences exactly when the enclosing repeat occurrence
+    * is first (ties broken by global (id, pos) order in both views). So
+    * [[exciseDupSpans]] at n = L already excises the EXACT variable-
+    * length position set (OpsSpec pins the equality), and this operator
+    * adds what the suffix-array formulation reports and fixed-n cannot:
+    * the merged maximal span boundaries, their count, and the longest
+    * repeat length. Both are fuzz-pinned against a serial suffix-array +
+    * LCP reference (the paper's own formulation) in OpsSpec.
+    *
+    * Scale shape: identical to [[exciseDupSpans]] — min(struct(id,pos))
+    * ownership AGGREGATION on the n-gram key (map-side combinable, AQE
+    * skew-splittable; never a window on the hot boilerplate key), dup-
+    * only coverage, and ONE doc-keyed rebuild join; the span merge is a
+    * narrow per-doc HOF fold over the sorted dup starts. A 10^6-token
+    * repeated document costs O(len) fold steps, not O(len^2).
+    *
+    * Returns per doc: n_tokens, n_spans, n_excised, max_span_len,
+    * spans (array<struct<st,en>>, 0-based token offsets, end
+    * exclusive), kept_md5.
+    */
+  def exciseDupSpansVar(df: DataFrame, idCol: String, textCol: String,
+                        minLen: Int = 50): DataFrame = {
+    require(minLen >= 1)
+    val n = minLen
+    val toks = df.select(col(idCol), split(col(textCol), "\\s+").as("_ts"))
+    val occ = toks.select(col(idCol), posexplode(expr(
+        s"""case when size(_ts) >= $n
+           |  then transform(sequence(1, size(_ts) - ${n - 1}),
+           |         i -> concat_ws(' ', slice(_ts, i, $n)))
+           |  else array() end""".stripMargin)).as(Seq("i", "ng")))
+    val first = occ.groupBy("ng")
+      .agg(min(struct(col(idCol), col("i"))).as("_f"))
+    val dup = occ.join(first, "ng")
+      .filter(!(col(idCol) === col(s"_f.$idCol") && col("i") === col("_f.i")))
+    // merge the sorted dup starts into maximal spans: starts s ascending
+    // each contribute [s, s+n); s <= last.en merges (overlap OR abutting
+    // coverage — contiguous excised positions are one span, exactly the
+    // union-of-repeats the suffix-array formulation excises)
+    val spans = dup
+      .groupBy(col(idCol)).agg(sort_array(collect_set("i")).as("_st"))
+      .withColumn("spans", expr(
+        s"""aggregate(_st, cast(array() as array<struct<st:int,en:int>>),
+           |  (acc, s) -> case
+           |    when size(acc) > 0 and s <= element_at(acc, -1).en
+           |      then concat(slice(acc, 1, size(acc) - 1),
+           |             array(struct(element_at(acc, -1).st as st,
+           |                          s + $n as en)))
+           |    else concat(acc, array(struct(s as st, s + $n as en)))
+           |  end)""".stripMargin))
+      .select(col(idCol), col("spans"))
+    toks.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("_ts")).cast("long").as("n_tokens"),
+        coalesce(size(col("spans")), lit(0)).cast("long").as("n_spans"),
+        coalesce(expr("aggregate(spans, 0, (a, x) -> a + x.en - x.st)"), lit(0))
+          .cast("long").as("n_excised"),
+        coalesce(expr("aggregate(spans, 0, (a, x) -> greatest(a, x.en - x.st))"),
+          lit(0)).cast("long").as("max_span_len"),
+        coalesce(col("spans"),
+          expr("cast(array() as array<struct<st:int,en:int>>)")).as("spans"),
+        md5(concat_ws(" ", expr(
+          """transform(
+            |  filter(transform(_ts, (t, j) -> struct(j, t)),
+            |         s -> spans is null or
+            |              not exists(spans, sp -> s.j >= sp.st and s.j < sp.en)),
+            |  x -> x.t)""".stripMargin))).as("kept_md5"))
+  }
+
   /** Exact content dedup: groupBy md5(content), keep the smallest id. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("h", md5(col(textCol)))

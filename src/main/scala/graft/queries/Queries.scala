@@ -1476,6 +1476,72 @@ object Queries {
       |    AS kept_md5
       |FROM cells GROUP BY doc_id, n_tokens, n_excised""".stripMargin
 
+  /** Q49 — VARIABLE-LENGTH exact-substring excision ([[graft.ops.Dedup
+    * .exciseDupSpansVar]], the true Lee et al. stage-2 semantics): a
+    * 15-token boilerplate tail is appended to every document, so each
+    * non-first occurrence is excised as ONE maximal span (length >= 15,
+    * not an 8-gram at a time) with exact boundaries; per-doc span
+    * count, excised total, and longest-repeat length are reported. The
+    * oracle replays the identical math: dup 8-gram coverage, then
+    * consecutive covered positions merged into islands (p - row_number)
+    * — the same union-of-repeats a suffix array would excise.
+    */
+  val q49Boiler = "all rights reserved contact the site administrator " +
+    "for removal requests and further detailed information today"
+
+  def q49ExciseVar(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.exciseDupSpansVar(
+      s.read.parquet(p(dir, "documents"))
+        .withColumn("t2", concat(col("text"), lit(" " + q49Boiler))),
+      "doc_id", "t2", minLen = 8)
+      .drop("spans")
+
+  val q49Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, text || ' $q49Boiler' AS t2 FROM documents),
+      |toks AS (
+      |  SELECT doc_id, string_split_regex(t2, '\\s+') AS ts FROM t),
+      |occ AS (
+      |  SELECT doc_id, i - 1 AS i, array_to_string(ts[i:i+7], ' ') AS ng
+      |  FROM toks, LATERAL unnest(generate_series(1, greatest(len(ts) - 7, 0))) u(i)),
+      |occ2 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY ng ORDER BY doc_id, i) AS rn
+      |  FROM occ),
+      |exc AS (
+      |  SELECT DISTINCT doc_id, v.p
+      |  FROM occ2, LATERAL unnest(generate_series(i, i + 7)) v(p)
+      |  WHERE rn > 1),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      |  FROM exc),
+      |sp AS (
+      |  SELECT doc_id, grp, min(p) AS st, max(p) + 1 AS en
+      |  FROM isl GROUP BY 1, 2),
+      |spanagg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |    CAST(sum(en - st) AS BIGINT) AS n_excised,
+      |    CAST(max(en - st) AS BIGINT) AS max_span_len
+      |  FROM sp GROUP BY 1),
+      |agg AS (SELECT doc_id, list(p) AS ps FROM exc GROUP BY 1),
+      |cells AS (
+      |  SELECT t.doc_id, len(t.ts) AS n_tokens, w.j, t.ts[w.j] AS tok,
+      |    CASE WHEN a.ps IS NULL OR NOT list_contains(a.ps, w.j - 1)
+      |         THEN 1 ELSE 0 END AS k
+      |  FROM toks t LEFT JOIN agg a USING (doc_id),
+      |       LATERAL unnest(generate_series(1, len(t.ts))) w(j)),
+      |km AS (
+      |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    md5(coalesce(string_agg(CASE WHEN k = 1 THEN tok END, ' ' ORDER BY j), ''))
+      |      AS kept_md5
+      |  FROM cells GROUP BY doc_id, n_tokens)
+      |SELECT km.doc_id, km.n_tokens,
+      |  coalesce(s.n_spans, 0) AS n_spans,
+      |  coalesce(s.n_excised, 0) AS n_excised,
+      |  coalesce(s.max_span_len, 0) AS max_span_len,
+      |  km.kept_md5
+      |FROM km LEFT JOIN spanagg s USING (doc_id)""".stripMargin
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -1528,7 +1594,8 @@ object Queries {
     ("q45_sample_stratified", q45SampleStratified _, Some(q45Sql)),
     ("q46_nfc_normalize", q46NfcNormalize _, Some(q46Sql)),
     ("q47_dedup_lines", q47DedupLines _, Some(q47Sql)),
-    ("q48_excise_spans", q48ExciseSpans _, Some(q48Sql)))
+    ("q48_excise_spans", q48ExciseSpans _, Some(q48Sql)),
+    ("q49_excise_var", q49ExciseVar _, Some(q49Sql)))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live

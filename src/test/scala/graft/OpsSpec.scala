@@ -405,6 +405,118 @@ class OpsSpec extends AnyFunSuite {
     assert(rep == got)
   }
 
+  /** Serial suffix-array + LCP reference for variable-length
+    * exact-substring excision — the Lee et al. formulation itself,
+    * implemented independently of the Spark operator: concatenate the
+    * docs (id order) with unique sentinels, sort all suffixes, group
+    * identical L-windows as maximal SA runs with pairwise LCP >= L,
+    * keep each group's smallest global position, cover the rest, merge
+    * covered positions into maximal spans per doc.
+    */
+  private def saExciseReference(docs: Seq[(Long, String)], minL: Int)
+      : Map[Long, (Long, Long, Long, Long, String)] = {
+    val sorted = docs.sortBy(_._1)
+    val stream = scala.collection.mutable.ArrayBuffer.empty[String]
+    val owner = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)] // (doc, tokIdx); sentinel = (-1,-1)
+    for ((id, text) <- sorted) {
+      val ts = text.split("\\s+")
+      for ((t, j) <- ts.zipWithIndex) { stream += t; owner += ((id, j)) }
+      stream += ("\u0000SENTINEL" + id + "\u0000"); owner += ((-1L, -1))
+    }
+    val a = stream.toArray
+    val n = a.length
+    val sa = (0 until n).sortBy(i => a.slice(i, n).toSeq)(
+      Ordering.Implicits.seqOrdering[Seq, String])
+    def lcp(i: Int, j: Int): Int = {
+      var k = 0
+      while (i + k < n && j + k < n && a(i + k) == a(j + k)) k += 1
+      k
+    }
+    val adj = Array.tabulate(math.max(n - 1, 0))(r => lcp(sa(r), sa(r + 1)))
+    // maximal runs with pairwise LCP >= minL = groups of equal L-windows
+    val covered = scala.collection.mutable.Set.empty[(Long, Int)]
+    var r = 0
+    while (r < n) {
+      var e = r
+      while (e < n - 1 && adj(e) >= minL) e += 1
+      if (e > r) {
+        val members = (r to e).map(sa)
+          .filter(g => owner(g)._1 >= 0 && g + minL <= n &&
+            (0 until minL).forall(k => owner(g + k)._1 == owner(g)._1))
+        if (members.size >= 2) {
+          val keep = members.min
+          for (g <- members if g != keep; k <- 0 until minL)
+            covered += owner(g + k)
+        }
+      }
+      r = e + 1
+    }
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    sorted.map { case (id, text) =>
+      val ts = text.split("\\s+")
+      val cov = ts.indices.filter(j => covered((id, j)))
+      // islands of consecutive covered positions = maximal spans
+      val spans = cov.foldLeft(Vector.empty[(Int, Int)]) { (acc, p) =>
+        if (acc.nonEmpty && p == acc.last._2) acc.init :+ ((acc.last._1, p + 1))
+        else acc :+ ((p, p + 1))
+      }
+      val kept = ts.zipWithIndex.collect { case (t, j) if !covered((id, j)) => t }
+      id -> ((ts.length.toLong, spans.size.toLong, cov.size.toLong,
+        (if (spans.isEmpty) 0 else spans.map(s => s._2 - s._1).max).toLong,
+        m(kept.mkString(" "))))
+    }.toMap
+  }
+
+  test("exciseDupSpansVar: true span boundaries; == suffix-array reference (fuzz) and == fixed-n") {
+    import spark.implicits._
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // a 12-token repeat excised as ONE span of length 12 (not "an
+    // 8-gram approximation"): variable length reported exactly
+    val rep12 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+    val df = Seq(
+      (1L, s"intro words $rep12 tail bits"),
+      (2L, s"other start $rep12 different end entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exciseDupSpansVar(df, "doc_id", "text", minLen = 8)
+      .select("doc_id", "n_tokens", "n_spans", "n_excised", "max_span_len", "kept_md5")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(got(1L) == ((16L, 0L, 0L, 0L, m(s"intro words $rep12 tail bits"))))
+    assert(got(2L) == ((17L, 1L, 12L, 12L, m("other start different end entirely"))),
+      got(2L).toString)
+    // span boundaries are exact token offsets
+    val spans2 = Dedup.exciseDupSpansVar(df, "doc_id", "text", minLen = 8)
+      .filter(col("doc_id") === 2L).select(expr("spans[0].st"), expr("spans[0].en"))
+      .as[(Int, Int)].collect().head
+    assert(spans2 == ((2, 14)), spans2.toString)
+
+    // fuzz vs the serial suffix-array reference AND the fixed-n operator
+    val rnd = new scala.util.Random(4202)
+    for (trial <- 0 until 12) {
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+      val L = 2 + rnd.nextInt(3) // 2..4
+      val docs = (0L until (3 + rnd.nextInt(4)).toLong).map { id =>
+        id -> (0 until (L + rnd.nextInt(18)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val in = docs.toDF("doc_id", "text")
+      val varGot = Dedup.exciseDupSpansVar(in, "doc_id", "text", minLen = L)
+        .select("doc_id", "n_tokens", "n_spans", "n_excised", "max_span_len", "kept_md5")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+      val ref = saExciseReference(docs, L)
+      assert(varGot == ref, s"trial $trial L=$L docs=$docs\nvar=$varGot\nref=$ref")
+      // position-set equivalence with the fixed-n operator at n = L
+      val fixed = Dedup.exciseDupSpans(in, "doc_id", "text", n = L)
+        .select("doc_id", "n_excised", "kept_md5")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(varGot.map { case (k, v) => k -> ((v._3, v._5)) } == fixed,
+        s"trial $trial fixed-n mismatch")
+    }
+  }
+
   test("curation pipeline: per-stage flags, funnel accounting, line/exact interplay") {
     import spark.implicits._
     val en = "the quick brown foxes have jumped over all of those lazy dogs that sleep with great comfort today"

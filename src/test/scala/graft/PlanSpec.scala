@@ -157,6 +157,12 @@ class PlanSpec extends AnyFunSuite {
     assert(firstAgg >= 0, p.take(2000))
   }
 
+  test("q49: variable-length excision keeps the q48 skew-safe shape (min-agg, no window)") {
+    val p = plan("q49_excise_var")
+    assert(!p.contains("Window"), "ownership must be min-agg, not row_number")
+    assert(p.contains("partial_min"), p.take(2000))
+  }
+
   test("curation report: the only join is exact-dedup ownership; flags stay narrow") {
     import spark.implicits._
     val docs = Seq(("a", "x\ny"), ("b", "y\nz")).toDF("doc_id", "text")
