@@ -47,10 +47,12 @@ object EncodingSniff {
     // otherwise Western single-byte -> latin-1. Scored (not
     // first-match) because windows-1251 Russian with even-length words
     // can be STRUCTURALLY valid EUC-JP — the distribution decides.
+    // utf16Cjk LAST: maxBy keeps the FIRST maximum, so on exact score
+    // ties the established single/multi-byte probers win
     val candidates =
       Seq("shift_jis" -> shiftJisScore(bytes), "euc-jp" -> eucJpScore(bytes)) ++
         cyrillicScores(bytes) ++ greekScores(bytes) ++ hebrewScores(bytes) ++
-        thaiScores(bytes)
+        thaiScores(bytes) ++ utf16CjkScores(bytes)
     val (label, score) = candidates.maxBy(_._2)
     if (score >= 0.5) label else "latin-1"
   }
@@ -304,7 +306,96 @@ object EncodingSniff {
   val ThaiCommon: Set[Char] =
     "านรอกเงมยลวสดทตคบปหจแชขษศถพภฟซฯ".toSet ++ "ัิี่้ึืุู็ะำไใโ์๊๋".toSet
 
-  def isValidUtf8(bytes: Array[Byte]): Boolean = multibyteUtf8Chars(bytes) >= 0
+  /** No-BOM UTF-16 of CJK-dominated payloads — the one chardet class
+    * the engine previously (r3/r4, DIVERGENCES #8) declined to claim.
+    * The r4-documented danger is Western aliasing: latin-1/ASCII letter
+    * PAIRS read as UTF-16 units land inside the CJK unified block
+    * ("Pr" -> U+5072, 0xFC+'f' -> U+FC66-ish), and kana-only UTF-16LE
+    * is even VALID ASCII ("B0D0F0" == あいう), so block-membership alone
+    * can never discriminate. Two defenses make the claim safe:
+    *
+    *  1. Reachability: this prober only runs in the invalid-UTF-8
+    *     branch, so every ASCII / UTF-8 payload (including the
+    *     kana-aliasing product-code class) is out of scope by
+    *     construction — exactly the chardet prober-group position.
+    *  2. Distribution over LONG windows (the NUL-skeleton-statistics
+    *     idea generalized): real Japanese/Chinese running text
+    *     concentrates on kana + a small common-kanji core + CJK
+    *     punctuation, while aliased Western pairs scatter uniformly
+    *     over the 21k-codepoint block (P(hit the ~170-char common set)
+    *     ~ 0.8% per unit). The claim needs >= 24 units, >= 80% of
+    *     units in CJK ranges, zero structural violations (controls,
+    *     lone surrogates), and >= 30% of the CJK mass in the common
+    *     core — Western/Cyrillic/Greek/Thai adversaries fail two to
+    *     three of those gates at once (battery-pinned in IngestSpec).
+    *
+    * Hangul-only payloads stay unclaimed: KOI8/1251 Cyrillic letter
+    * pairs alias into U+AC00-U+D7AF with plausible density and there
+    * is no small "common syllable" core to gate on (DIVERGENCES #8
+    * keeps that sub-class documented).
+    */
+  def utf16CjkScores(bytes: Array[Byte]): Seq[(String, Double)] = {
+    val n = bytes.length
+    if (n < 48 || n % 2 != 0) return Seq.empty
+    def scoreOf(be: Boolean): Double = {
+      val units = new Array[Int](n / 2)
+      var i = 0
+      while (i < n) {
+        val hi = bytes(if (be) i else i + 1) & 0xFF
+        val lo = bytes(if (be) i + 1 else i) & 0xFF
+        units(i / 2) = (hi << 8) | lo
+        i += 2
+      }
+      var cjk = 0; var core = 0; var other = 0
+      var j = 0
+      while (j < units.length) {
+        val u = units(j)
+        if (u < 0x20 && u != 0x09 && u != 0x0A && u != 0x0D) return 0 // controls
+        if (u >= 0xD800 && u <= 0xDBFF) { // surrogate pair must close
+          if (j + 1 >= units.length || units(j + 1) < 0xDC00 ||
+              units(j + 1) > 0xDFFF) return 0
+          other += 2; j += 2
+        } else if (u >= 0xDC00 && u <= 0xDFFF) return 0 // lone low surrogate
+        else {
+          val isCjk = (u >= 0x3000 && u <= 0x30FF) || // punct + kana
+            (u >= 0x4E00 && u <= 0x9FFF) ||           // unified ideographs
+            (u >= 0xFF00 && u <= 0xFFEF)              // full/half-width forms
+          if (isCjk) {
+            cjk += 1
+            val isKana = u >= 0x3040 && u <= 0x30FF
+            val isPunct = (u >= 0x3000 && u <= 0x303F) || (u >= 0xFF00 && u <= 0xFFEF)
+            if (isKana || isPunct || CjkCommon(u.toChar)) core += 1
+          } else if (u == 0x20 || u == 0x09 || u == 0x0A || u == 0x0D) ()
+          else other += 1
+          j += 1
+        }
+      }
+      val total = cjk + other
+      if (total < 24 || cjk < total * 8 / 10) return 0
+      val dist = core.toDouble / cjk
+      if (dist >= 0.3) 0.5 + dist / 2 else 0
+    }
+    Seq("utf-16-be" -> scoreOf(be = true), "utf-16-le" -> scoreOf(be = false))
+      .filter(_._2 > 0)
+  }
+
+  /** Common-core ideographs: the high-frequency hanzi/kanji that carry
+    * the bulk of running Chinese/Japanese text (public frequency-list
+    * knowledge: 的一是不了... / 日本人年月...), plus the kanji numerals
+    * and everyday nouns shared by both languages.
+    */
+  val CjkCommon: Set[Char] =
+    ("的一是不了人我在有他这中大来上国个到说们为子和你地出道也时年得" +
+     "就那要下以生会自着去之过家学对可她里后小么心多天而能好都然没日" +
+     "于起还发成事只作当想看文无开手十用主行方又如前所本见经头面公同" +
+     "三已老从动两长知民样现分将外但身些与高意进把法此实回二理美点月" +
+     "明其种声全工己话儿者向情部正名定女问力机给等几很业最间新什打便" +
+     "位因重被走电四第门相次东政海口使教西再平真听世气信北少关并内加" +
+     "化由却代军产入先山五太水万市眼体别处总才场师书比住员九笑性通目" +
+     "华报立马命张活难神数件安表原车白应路期叫死常提感金何更反题必钱" +
+     "日本人年月時分国中大小学生気会社今田川山口目手力女男子文字言語" +
+     "東京都道府県市町村駅電車新聞雨空天私見行来食飲読書話買物時間毎" +
+     "週末朝昼夜魚肉茶水火木金土曜何名前先生授業宿題試験勉強図館映画").toSet
 
   /** Strict UTF-8 validity scan (RFC 3629: no overlongs, no surrogates,
     * max U+10FFFF) — a single branchy pass, no allocation. Returns the

@@ -115,6 +115,51 @@ class IngestSpec extends AnyFunSuite {
       assert(EncodingSniff.detect(enc(ru, cs)) == cs, cs)
   }
 
+  test("no-BOM UTF-16 CJK battery: claimed with Western/Cyrillic adversaries unclaimed") {
+    import java.nio.charset.{Charset, StandardCharsets}
+    def enc(s: String, cs: String) = s.getBytes(Charset.forName(cs))
+    // real Japanese (kanji + kana) and Chinese running text, no BOM
+    val ja = "日本語の文章です。今日は天気が良いので、私たちは公園へ行きました。" +
+      "明日も晴れるでしょう。電車で学校まで行って、本を読みます。"
+    val zh = "中国的人口是世界上最多的国家之一。我们在北京的大学学习中文。" +
+      "他说他的家人都住在上海,每天工作到很晚,但是生活很好。"
+    for (s <- Seq(ja, zh)) {
+      assert(EncodingSniff.detect(s.getBytes(StandardCharsets.UTF_16LE)) == "utf-16-le", s.take(8))
+      assert(EncodingSniff.detect(s.getBytes(StandardCharsets.UTF_16BE)) == "utf-16-be", s.take(8))
+      assert(EncodingSniff.decode(s.getBytes(StandardCharsets.UTF_16LE), "utf-16-le") == s)
+      assert(EncodingSniff.decode(s.getBytes(StandardCharsets.UTF_16BE), "utf-16-be") == s)
+    }
+    // the documented aliasing adversaries stay with their own classes:
+    // Western letter pairs land in the CJK block but miss the
+    // kana/common-core distribution gate (and usually the 80% gate)
+    val de = "Die Prüfzeit am Gerät wurde für die nächste Messung geändert " +
+      "und außerdem überprüft, damit die Härte größer bleibt."
+    assert(EncodingSniff.detect(enc(de, "ISO-8859-1")) == "latin-1")
+    val fr = "le café est préparé très tôt, août est déjà fini côté forêt"
+    assert(EncodingSniff.detect(enc(fr, "ISO-8859-1")) == "latin-1")
+    val ru = "это русский текст для проверки кодировки и частот букв"
+    for (cs <- EncodingSniff.CyrillicCharsets)
+      assert(EncodingSniff.detect(enc(ru, cs)) == cs, cs)
+    val el = "αυτό είναι ελληνικό κείμενο για τον έλεγχο της κωδικοποίησης και των συχνοτήτων"
+    assert(EncodingSniff.detect(enc(el, "ISO-8859-7")) == "iso-8859-7")
+    val th = "นี่คือข้อความภาษาไทยสำหรับทดสอบการตรวจจับรหัสอักขระและความถี่"
+    assert(EncodingSniff.detect(enc(th, "TIS-620")) == "tis-620")
+    // Shift-JIS / EUC-JP Japanese keep winning their own classes
+    assert(EncodingSniff.detect(enc(ja, "Shift_JIS")) == "shift_jis")
+    assert(EncodingSniff.detect(enc(ja, "EUC-JP")) == "euc-jp")
+    // UTF-8 CJK takes the UTF-8 branch, never this prober
+    assert(EncodingSniff.detect(ja.getBytes(StandardCharsets.UTF_8)) == "utf-8")
+    // kana-only UTF-16LE is VALID ASCII ("B0D0F0" == あいう) — out of
+    // scope by construction (ascii/product-code payloads must win);
+    // this sub-class stays documented in DIVERGENCES #8
+    val kanaOnly = "あいうえおかきくけこさしすせそたちつてと"
+    assert(EncodingSniff.detect(kanaOnly.getBytes(StandardCharsets.UTF_16LE)) == "utf-8")
+    // hangul-only payloads deliberately unclaimed (KOI8 pairs alias
+    // into the hangul block): Korean UTF-16 falls back, Cyrillic wins
+    val ko = "한국어 텍스트입니다 인코딩 감지를 테스트합니다"
+    assert(EncodingSniff.detect(ko.getBytes(StandardCharsets.UTF_16BE)) != "utf-16-be")
+  }
+
   test("binaryFile + auto-detection reproduces every fixture doc and label") {
     val got = Ingest.fromCsvFilesDetected(spark,
         "/root/reference/examples/example*.csv").collect()
