@@ -71,6 +71,70 @@ object StreamingExcision {
     }
   }
 
+  /** TTL'd ownership: an n-gram's claim expires `ttlMs` after it was
+    * LAST SEEN (sliding horizon, the [[StreamingLineDedup.firstLineTtl]]
+    * re-arm rule); a boilerplate n-gram recurring after expiry is
+    * re-admitted once. Bounds state for infinite streams — the
+    * deployable shape at 10^12 docs, where exact forever-ownership
+    * belongs to the batch operator.
+    */
+  def dupOccsTtl(ttlMs: Long, ord: Ordering[Occ])(
+      key: String, rows: Iterator[Occ],
+      state: GroupState[Boolean]): Iterator[OccRow] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else if (state.exists) {
+      state.setTimeoutDuration(ttlMs)
+      rows.map(o => OccRow(o.doc_id, o.i))
+    } else {
+      val all = rows.toVector
+      state.update(true)
+      state.setTimeoutDuration(ttlMs)
+      if (all.isEmpty) Iterator.empty
+      else {
+        val owner = all.min(ord)
+        all.iterator.filter(_ != owner).map(o => OccRow(o.doc_id, o.i))
+      }
+    }
+
+  private def orderFor(docs: DataFrame): Ordering[Occ] =
+    docs.schema("doc_id").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        NumOcc
+      case _ => LexOcc
+    }
+
+  private def occurrences(docs: DataFrame, textCol: String, n: Int)
+      : Dataset[Occ] = {
+    implicit val occEnc = Encoders.product[Occ]
+    docs.select(col("doc_id").cast("string").as("doc_id"),
+        posexplode(expr(
+          s"""case when size(split($textCol, '\\\\s+')) >= $n
+             |  then transform(sequence(1, size(split($textCol, '\\\\s+')) - ${n - 1}),
+             |         i -> concat_ws(' ', slice(split($textCol, '\\\\s+'), i, $n)))
+             |  else array() end""".stripMargin)).as(Seq("i", "ng")))
+      .as[Occ]
+  }
+
+  /** [[excisedOccurrences]] with TTL-bounded state
+    * (ProcessingTimeTimeout — drive with a processing-time trigger +
+    * stop(), not AvailableNow).
+    */
+  def excisedOccurrencesTtl(docs: DataFrame, ttlMs: Long,
+                            textCol: String = "text",
+                            n: Int = 8): Dataset[OccRow] = {
+    require(n >= 1)
+    implicit val occEnc = Encoders.product[Occ]
+    implicit val outEnc = Encoders.product[OccRow]
+    implicit val strEnc = Encoders.STRING
+    implicit val boolEnc = Encoders.scalaBoolean
+    val ord = orderFor(docs)
+    occurrences(docs, textCol, n)
+      .groupByKey(o => md5hex(o.ng))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(dupOccsTtl(ttlMs, ord))
+  }
+
   /** Streaming docs (doc_id, textCol) -> streaming excision decisions
     * (doc_id, i): start positions of non-first n-gram occurrences.
     * Positions are 0-based token indices; the excised span is
@@ -83,19 +147,8 @@ object StreamingExcision {
     implicit val outEnc = Encoders.product[OccRow]
     implicit val strEnc = Encoders.STRING
     implicit val boolEnc = Encoders.scalaBoolean
-    val ord: Ordering[Occ] = docs.schema("doc_id").dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
-        NumOcc
-      case _ => LexOcc
-    }
-    docs.select(col("doc_id").cast("string").as("doc_id"),
-        posexplode(expr(
-          s"""case when size(split($textCol, '\\\\s+')) >= $n
-             |  then transform(sequence(1, size(split($textCol, '\\\\s+')) - ${n - 1}),
-             |         i -> concat_ws(' ', slice(split($textCol, '\\\\s+'), i, $n)))
-             |  else array() end""".stripMargin)).as(Seq("i", "ng")))
-      .as[Occ]
+    val ord = orderFor(docs)
+    occurrences(docs, textCol, n)
       .groupByKey(o => md5hex(o.ng))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(dupOccs(ord))
   }

@@ -492,6 +492,98 @@ class StreamingSpec extends AnyFunSuite {
     assert(decisions.keys.exists(_ > 0L) && batch(1L)._2 > 0L)
   }
 
+  test("streaming curation funnel == batch curate across batches, restart, and a replayed batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("scurate").toString
+    val de = "der hund und die katze ist nicht ein freund aber das wetter ist gut und alle sind froh heute"
+    def enDoc(i: Long) =
+      s"the measurement number $i of this series has finished and the result " +
+        "of all tests is good so we have recorded it with great care today"
+    // batch 1: ids 0-19; batch 2: ids 20-39 (doc-ordered). Duplicates
+    // WITHIN batch 1 (ids 3==4), ACROSS batches (21 == 5), a German doc
+    // per batch, a null-text doc, and a shared boilerplate line
+    def text(i: Long): String = i match {
+      case 4L => enDoc(3)
+      case 21L => enDoc(5)
+      case 7L | 27L => de
+      case 9L => null
+      case _ => enDoc(i)
+    }
+    def df(ids: Range) = ids.map(i => (i.toLong, {
+      val t = text(i); if (t == null) null else "SHARED BOILERPLATE NAVIGATION LINE\n" + t
+    })).toDF("doc_id", "text")
+    val cfg = graft.ops.Curation.CurateConfig(
+      keepLangs = Set("en"), minWords = 10, sampleFraction = 0.8)
+    df(0 until 20).write.parquet(s"$base/docs")
+    graft.streaming.StreamingCuration.start(spark, s"$base/docs", s"$base/out",
+      cfg = cfg).awaitTermination()
+    df(20 until 40).write.mode("append").parquet(s"$base/docs")
+    graft.streaming.StreamingCuration.start(spark, s"$base/docs", s"$base/out",
+      cfg = cfg).awaitTermination() // same checkpoint: claims survive restart
+    val streamed = spark.read.parquet(s"$base/out/curated")
+      .select("doc_id", "text_curated").as[(Long, String)].collect().toMap
+    val batch = graft.ops.Curation.curate(df(0 until 40), "doc_id", "text", cfg)
+      .as[(Long, String)].collect().toMap
+    assert(streamed == batch,
+      s"missing=${(batch.keySet -- streamed.keySet)} extra=${(streamed.keySet -- batch.keySet)}")
+    // the interesting decisions really happened: in-batch dup 4 lost to
+    // 3, cross-batch dup 21 lost to 5, German and null-text dropped
+    assert(batch.contains(3L) && !batch.contains(4L) && !batch.contains(21L))
+    assert(!batch.contains(7L) && !batch.contains(9L))
+    assert(batch.size > 10)
+    // replaying an already-processed batch id is idempotent: claims and
+    // output for batch 0 are overwritten, not duplicated
+    val before = spark.read.parquet(s"$base/out/curated").count()
+    val linesBefore = spark.read.parquet(s"$base/out/_lines_seen").count()
+    graft.streaming.StreamingCuration.processBatch(
+      df(0 until 20), 0L, s"$base/out", "doc_id", "text", cfg)
+    assert(spark.read.parquet(s"$base/out/curated").count() == before)
+    assert(spark.read.parquet(s"$base/out/_lines_seen").count() == linesBefore)
+    val streamed2 = spark.read.parquet(s"$base/out/curated")
+      .select("doc_id", "text_curated").as[(Long, String)].collect().toMap
+    assert(streamed2 == batch)
+  }
+
+  test("TTL'd streaming excision: an n-gram claim expires and re-admits") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("sexcttl").toString
+    val ttlMs = 20000L
+    val boiler = "one two three four"
+    val schema = Seq(("x", "y")).toDF("doc_id", "text").schema
+    def runFor(sleepMs: Long): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$base/docs")
+      val q = graft.streaming.StreamingExcision
+        .excisedOccurrencesTtl(stream, ttlMs, "text", 4)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.ProcessingTime(100))
+        .format("parquet").option("path", s"$base/out").start()
+      Thread.sleep(sleepMs)
+      q.stop(); q.awaitTermination()
+    }
+    Seq(("a1", s"$boiler alpha beta")).toDF("doc_id", "text")
+      .write.parquet(s"$base/docs")
+    runFor(5000)
+    // within TTL: a2's boilerplate 4-gram is excised
+    Seq(("a2", s"$boiler gamma delta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$base/docs")
+    runFor(5000)
+    Thread.sleep(ttlMs) // expire, then an unrelated batch fires the sweep
+    Seq(("a3", "nothing shared here at all")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$base/docs")
+    runFor(5000)
+    // re-admitted: a4's occurrence claims anew, nothing excised
+    Seq(("a4", s"$boiler epsilon zeta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$base/docs")
+    runFor(5000)
+    val excisedDocs = spark.read.parquet(s"$base/out")
+      .select("doc_id").as[String].collect().toSet
+    assert(excisedDocs.contains("a2") && !excisedDocs.contains("a4"),
+      excisedDocs.toString)
+    assert(!excisedDocs.contains("a1") && !excisedDocs.contains("a3"))
+  }
+
   test("TTL'd streaming line dedup: a boilerplate line re-admits after expiry") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
