@@ -10,11 +10,16 @@ import org.apache.spark.sql.types._
   * `mapInPandas`: one iterator of rows in, one out, vectorizable per
   * batch).
   *
-  * The decode step itself is a STUB — media codecs are not available in
-  * this environment — but the Spark-side contract (schema, batching,
-  * partitioning, deterministic fake features) is real and tested. At
-  * 100 TB the shape matters: payloads never pass through a shuffle (all
-  * transforms narrow), and feature extraction cost is bounded per batch.
+  * Decode status (r5): IMAGE pixel decode is REAL — the JDK's
+  * headless-safe `javax.imageio` reads PNG/GIF/JPEG/BMP, so
+  * [[pixelFeatures]] (stats), [[imageEmbedding]] (n×n mean-gray grid,
+  * feeds the [[Similarity]] ANN ops) and [[extractFeatures]]'s decoded
+  * path compute from actual pixels. AUDIO is real for PCM WAV via
+  * `javax.sound.sampled` ([[wavFeatures]]: duration/RMS/zero-crossing
+  * rate). VIDEO remains the one honest stub (no container/codec
+  * libraries exist in the JDK). At 100 TB the shape matters: payloads
+  * never pass through a shuffle (all transforms narrow), and feature
+  * extraction cost is bounded per batch.
   */
 object Multimodal {
 
@@ -33,6 +38,7 @@ object Multimodal {
     StructField("kind", StringType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("sig", StringType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
     StructField("features", ArrayType(FloatType), nullable = false)))
 
   /** REAL header decode — pure-JVM parse of the PNG / GIF / JPEG / BMP
@@ -93,11 +99,10 @@ object Multimodal {
       case None => null
     }
 
-  /** STUB feature extraction: a real deployment would decode pixels with
-    * an image/audio codec here (per partition, batched). This
-    * deterministic fake derives an 8-dim "feature vector" from payload
-    * bytes so the plumbing is testable end-to-end — header METADATA
-    * extraction is real, see [[headerDecode]].
+  /** Fallback feature vector for payloads no JDK decoder accepts
+    * (deterministic byte-fold; formerly the only path, now the
+    * non-image/non-WAV fallback so the plumbing keeps working on
+    * arbitrary binaries).
     */
   def stubDecode(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
@@ -109,7 +114,124 @@ object Multimodal {
     out
   }
 
-  /** Batched per-partition feature extraction over media rows. */
+  /** REAL pixel decode via the JDK's ImageIO (PNG/GIF/JPEG/BMP; pure
+    * JVM, headless-safe). None when no registered reader accepts the
+    * bytes.
+    */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Throwable => None }
+
+  /** 8-dim REAL pixel statistics: [w, h, meanR, meanG, meanB, meanLum,
+    * stdLum, dominant-luminance-octant]. Deterministic integer pixel
+    * math (no float accumulation-order dependence): sums in Long,
+    * divisions at the end.
+    */
+  def pixelFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L; var sl2 = 0L
+    val hist = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+        // integer Rec.601 luma (exact across JVMs)
+        val lum = (299 * r + 587 * g + 114 * b) / 1000
+        sr += r; sg += g; sb += b; sl += lum; sl2 += lum.toLong * lum
+        hist(lum >> 5) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val meanL = sl.toDouble / n
+    val varL = sl2.toDouble / n - meanL * meanL
+    var peak = 0; var pi = 0
+    while (pi < 8) { if (hist(pi) > hist(peak)) peak = pi; pi += 1 }
+    Array(w.toFloat, h.toFloat, (sr.toDouble / n).toFloat,
+      (sg.toDouble / n).toFloat, (sb.toDouble / n).toFloat,
+      meanL.toFloat, math.sqrt(math.max(varL, 0)).toFloat, peak.toFloat)
+  }
+
+  /** n×n mean-grayscale grid embedding (area-averaged in integer math —
+    * NOT Graphics2D scaling, whose interpolation is JVM-dependent),
+    * values in [0,1]; ready for the [[Similarity]] cosine/ANN ops.
+    */
+  def imageEmbedding(img: java.awt.image.BufferedImage, grid: Int = 8): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Float](grid * grid)
+    var gy = 0
+    while (gy < grid) {
+      val y0 = gy * h / grid; val y1 = math.max((gy + 1) * h / grid, y0 + 1)
+      var gx = 0
+      while (gx < grid) {
+        val x0 = gx * w / grid; val x1 = math.max((gx + 1) * w / grid, x0 + 1)
+        var s = 0L; var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            s += (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+              114 * (rgb & 0xFF)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        val cnt = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+        out(gy * grid + gx) = (s.toDouble / math.max(cnt, 1) / 255.0).toFloat
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** REAL PCM WAV audio features via javax.sound.sampled:
+    * [duration_ms, rms (0-1), zero-crossing rate per second, n_frames,
+    * sample_rate, channels, 0, 0] (8-dim, parallel to pixelFeatures).
+    * None for non-WAV / compressed payloads.
+    */
+  def wavFeatures(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return None
+      val bytes = in.readAllBytes()
+      val ch = fmt.getChannels
+      val bps = fmt.getSampleSizeInBits / 8
+      val frames = bytes.length / (ch * bps)
+      if (frames == 0) return None
+      var s2 = 0.0; var zc = 0L; var prev = 0
+      var f = 0
+      while (f < frames) {
+        val off = f * ch * bps // first channel only
+        val v =
+          if (bps == 2)
+            (if (fmt.isBigEndian) (bytes(off) << 8) | (bytes(off + 1) & 0xFF)
+             else (bytes(off + 1) << 8) | (bytes(off) & 0xFF)).toShort.toInt
+          else bytes(off).toInt
+        s2 += v.toDouble * v
+        if (f > 0 && ((v >= 0) != (prev >= 0))) zc += 1
+        prev = v
+        f += 1
+      }
+      val full = if (bps == 2) 32768.0 else 128.0
+      val durMs = frames * 1000.0 / fmt.getSampleRate
+      Some(Array(durMs.toFloat, (math.sqrt(s2 / frames) / full).toFloat,
+        (zc * fmt.getSampleRate / frames).toFloat, frames.toFloat,
+        fmt.getSampleRate, ch.toFloat, 0f, 0f))
+    } catch { case _: Throwable => None }
+
+  /** Batched per-partition feature extraction over media rows: images
+    * and PCM WAV decode for real (`decoded = true`); anything else
+    * falls back to the deterministic byte-fold. Narrow — payloads never
+    * shuffle.
+    */
   def extractFeatures(media: DataFrame): DataFrame = {
     val rows: Dataset[Row] = media.select("media_id", "kind", "payload")
     implicit val enc = org.apache.spark.sql.Encoders.row(FeatureSchema)
@@ -118,9 +240,28 @@ object Multimodal {
       it.map { r =>
         val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
         md.reset()
+        val real = decodeImage(payload).map(pixelFeatures)
+          .orElse(wavFeatures(payload))
         Row(r.getString(0), r.getString(1), payload.length.toLong,
           md.digest(payload).map(b => f"$b%02x").mkString,
-          stubDecode(payload))
+          real.isDefined, real.getOrElse(stubDecode(payload)))
+      }
+    }
+  }
+
+  /** Media table -> (media_id, embedding array<float>) for decodable
+    * images; rows whose payload is not an image are dropped. Compose
+    * with [[Similarity.cosineTopK]] / ANN buckets for visual near-dup.
+    */
+  def imageEmbeddings(media: DataFrame, grid: Int = 8): DataFrame = {
+    val rows: Dataset[Row] = media.select("media_id", "payload")
+    implicit val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", StringType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false))))
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+        decodeImage(payload).map(img => Row(r.getString(0), imageEmbedding(img, grid).toSeq))
       }
     }
   }

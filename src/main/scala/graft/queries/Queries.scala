@@ -1542,6 +1542,64 @@ object Queries {
       |  km.kept_md5
       |FROM km LEFT JOIN spanagg s USING (doc_id)""".stripMargin
 
+  /** Q50 — REAL image pixel decode end-to-end ([[graft.ops.Multimodal
+    * .decodeImage]], r5): each document gets a deterministic 24x16 RGB
+    * image (pixel = closed-form function of doc_id, x, y), the image is
+    * ENCODED to PNG and DECODED BACK via the JDK's ImageIO inside the
+    * distributed path, and integer channel sums are emitted. The DuckDB
+    * oracle never sees an image: it replays the pixel formula
+    * arithmetically — so a hash match proves the PNG encode/decode
+    * round-trip is pixel-exact at every row. All math integral (no
+    * float drift); payloads never shuffle (narrow mapPartitions).
+    */
+  def q50ImageStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val docs = s.read.parquet(p(dir, "documents")).select("doc_id")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("w", LongType, nullable = false),
+      StructField("h", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val k = (id % 1000).toInt
+        val img = new java.awt.image.BufferedImage(24, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 16; x <- 0 until 24) {
+          val r = (7 * k + 3 * x + 5 * y) % 256
+          val g = (11 * k + 5 * x + 7 * y) % 256
+          val b = (13 * k + 7 * x + 11 * y) % 256
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+        val o = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", o)
+        val back = graft.ops.Multimodal.decodeImage(o.toByteArray).get
+        var sr = 0L; var sg = 0L; var sb = 0L
+        for (y <- 0 until back.getHeight; x <- 0 until back.getWidth) {
+          val rgb = back.getRGB(x, y)
+          sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+        }
+        Row(id, back.getWidth.toLong, back.getHeight.toLong, sr, sg, sb)
+      }
+    }
+  }
+
+  val q50Sql: String =
+    """WITH px AS (
+      |  SELECT doc_id, u.x, v.y FROM documents,
+      |    LATERAL unnest(generate_series(0, 23)) u(x),
+      |    LATERAL unnest(generate_series(0, 15)) v(y))
+      |SELECT doc_id, CAST(24 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h,
+      |  CAST(sum((7 * (doc_id % 1000) + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((11 * (doc_id % 1000) + 5 * x + 7 * y) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((13 * (doc_id % 1000) + 7 * x + 11 * y) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY 1""".stripMargin
+
   // =============================================================== registry
 
   type Q = (SparkSession, String) => DataFrame
@@ -1595,7 +1653,8 @@ object Queries {
     ("q46_nfc_normalize", q46NfcNormalize _, Some(q46Sql)),
     ("q47_dedup_lines", q47DedupLines _, Some(q47Sql)),
     ("q48_excise_spans", q48ExciseSpans _, Some(q48Sql)),
-    ("q49_excise_var", q49ExciseVar _, Some(q49Sql)))
+    ("q49_excise_var", q49ExciseVar _, Some(q49Sql)),
+    ("q50_image_stats", q50ImageStats _, Some(q50Sql)))
 
   /** Oracles whose SQL depends on the verified sf dir (inlined VALUES
     * dicts derived from the data). Evaluated by Verify with the live

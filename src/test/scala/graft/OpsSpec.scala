@@ -53,6 +53,70 @@ class OpsSpec extends AnyFunSuite {
     assert(fo.select(expr("size(frame_offsets)")).head().getInt(0) == 4)
   }
 
+  test("REAL pixel decode: ImageIO stats exact vs direct pixel math; PNG == BMP; WAV features") {
+    import spark.implicits._
+    // deterministic 32x16 gradient; expected stats from the same
+    // integer math the operator uses
+    val (w, h) = (32, 16)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 7 + y * 3) % 256; val g = (x * 5 + y * 11) % 256; val b = (x * 13 + y) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      sr += r; sg += g; sb += b
+    }
+    val n = w * h
+    def png(i: java.awt.image.BufferedImage) = {
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", o); o.toByteArray
+    }
+    def bmp(i: java.awt.image.BufferedImage) = {
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "bmp", o); o.toByteArray
+    }
+    val fPng = Multimodal.pixelFeatures(Multimodal.decodeImage(png(img)).get)
+    val fBmp = Multimodal.pixelFeatures(Multimodal.decodeImage(bmp(img)).get)
+    assert(fPng.toSeq == fBmp.toSeq, "lossless formats must agree exactly")
+    assert(fPng(0) == w.toFloat && fPng(1) == h.toFloat)
+    assert(fPng(2) == (sr.toDouble / n).toFloat && fPng(3) == (sg.toDouble / n).toFloat &&
+      fPng(4) == (sb.toDouble / n).toFloat, fPng.toSeq.toString)
+    // embedding grid: left-black/right-white image -> 0s then ~1s
+    val bw = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) bw.setRGB(x, y, if (x < 8) 0 else 0xFFFFFF)
+    val emb = Multimodal.imageEmbedding(bw, grid = 4)
+    assert(emb.length == 16)
+    for (gy <- 0 until 4; gx <- 0 until 4) {
+      val v = emb(gy * 4 + gx)
+      if (gx < 2) assert(v == 0f, s"($gx,$gy)=$v") else assert(v > 0.99f, s"($gx,$gy)=$v")
+    }
+    // PCM WAV: 440 Hz sine, 0.5 s, 16-bit mono, amplitude 16384
+    val sr2 = 8000; val frames = 4000; val amp = 16384
+    val pcm = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(pcm)
+    def le32(v: Int) = { dos.write(v & 0xFF); dos.write((v >> 8) & 0xFF); dos.write((v >> 16) & 0xFF); dos.write((v >> 24) & 0xFF) }
+    def le16(v: Int) = { dos.write(v & 0xFF); dos.write((v >> 8) & 0xFF) }
+    dos.writeBytes("RIFF"); le32(36 + frames * 2); dos.writeBytes("WAVE")
+    dos.writeBytes("fmt "); le32(16); le16(1); le16(1); le32(sr2); le32(sr2 * 2); le16(2); le16(16)
+    dos.writeBytes("data"); le32(frames * 2)
+    for (f <- 0 until frames)
+      le16((amp * math.sin(2 * math.Pi * 440 * f / sr2)).toInt & 0xFFFF)
+    val wf = Multimodal.wavFeatures(pcm.toByteArray).get
+    assert(math.abs(wf(0) - 500f) < 1f, s"duration ${wf(0)}")
+    assert(math.abs(wf(1) - amp / math.sqrt(2) / 32768.0) < 0.01, s"rms ${wf(1)}")
+    assert(math.abs(wf(2) - 880f) < 20f, s"zcr ${wf(2)}")
+    assert(wf(4) == sr2.toFloat && wf(5) == 1f)
+    // end-to-end extractFeatures: image decodes for real, junk falls back
+    val rows = Seq(("m1", "image", png(img)), ("m2", "image", "not an image".getBytes("UTF-8")),
+      ("m3", "audio", pcm.toByteArray)).toDF("media_id", "kind", "payload")
+    val got = Multimodal.extractFeatures(rows).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(4), r.getSeq[Float](5)))).toMap
+    assert(got("m1")._1 && got("m1")._2 == fPng.toSeq)
+    assert(!got("m2")._1 && got("m2")._2.length == 8)
+    assert(got("m3")._1 && got("m3")._2(0) == wf(0))
+    // imageEmbeddings keeps only decodable rows
+    assert(Multimodal.imageEmbeddings(rows).collect().map(_.getString(0)).toSeq == Seq("m1"))
+  }
+
   test("media header decode: real PNG/GIF/JPEG/BMP layouts; Expression == scalar") {
     import spark.implicits._
     def hx(s: String): Array[Byte] = s.replaceAll("\\s", "")
