@@ -117,6 +117,34 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.imageEmbeddings(rows).collect().map(_.getString(0)).toSeq == Seq("m1"))
   }
 
+  test("visual near-dup: imageEmbeddings -> cosineTopK ranks the re-encoded image first") {
+    import spark.implicits._
+    def img(seed: Int, noise: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = ((x * seed + y * (seed + 3)) % 200 + noise) % 256
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, if (noise % 2 == 0) "png" else "bmp", o)
+      o.toByteArray
+    }
+    // m_query (png) and m_same (same pixels, BMP container) must be
+    // nearest; m_far is a different pattern
+    val media = Seq(
+      ("m_query", img(7, 0)), ("m_same", img(7, 0)),
+      ("m_near", img(7, 6)), ("m_far", img(91, 120)))
+      .toDF("media_id", "payload")
+    val emb = graft.ops.Multimodal.imageEmbeddings(media, grid = 8)
+    assert(emb.count() == 4)
+    val ranked = graft.ops.Similarity.cosineTopK(
+      emb.filter(col("media_id") =!= "m_query"), "media_id", "embedding",
+      emb.filter(col("media_id") === "m_query"), 3)
+      .collect().map(_.getString(0))
+    assert(ranked.head == "m_same", ranked.toSeq.toString)
+    assert(ranked.last == "m_far", ranked.toSeq.toString)
+  }
+
   test("media header decode: real PNG/GIF/JPEG/BMP layouts; Expression == scalar") {
     import spark.implicits._
     def hx(s: String): Array[Byte] = s.replaceAll("\\s", "")
