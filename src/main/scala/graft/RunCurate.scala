@@ -12,7 +12,10 @@ import org.apache.spark.sql.SparkSession
   * Flags (each maps 1:1 onto a [[graft.ops.Curation.CurateConfig]]
   * field): --keep-langs en,de  --lang-scorer stopwords|trigram
   * --min-words N  --max-words N  --fraction F  --line-min-len N
+  * --excise  --excise-min-len N  --decontam-ngram N
   * --no-normalize  --no-line-dedup  --no-gopher  --no-exact-dedup
+  * plus --decontam <benchParquet> (runtime data: enables stage 4b
+  * against that table's textCol)
   *
   * Scale shape: the whole pass is one lazy plan (see Curation); the
   * survivors write is the only action besides the funnel aggregate.
@@ -31,6 +34,10 @@ object RunCurate {
       case "--max-words" :: v :: t => cfg = cfg.copy(maxWords = v.toLong); rest = t
       case "--fraction" :: v :: t => cfg = cfg.copy(sampleFraction = v.toDouble); rest = t
       case "--line-min-len" :: v :: t => cfg = cfg.copy(lineMinLen = v.toInt); rest = t
+      case "--excise" :: t => cfg = cfg.copy(excise = true); rest = t
+      case "--excise-min-len" :: v :: t =>
+        cfg = cfg.copy(excise = true, exciseMinLen = v.toInt); rest = t
+      case "--decontam-ngram" :: v :: t => cfg = cfg.copy(decontamNgram = v.toInt); rest = t
       case "--no-normalize" :: t => cfg = cfg.copy(normalize = false); rest = t
       case "--no-line-dedup" :: t => cfg = cfg.copy(lineDedup = false); rest = t
       case "--no-gopher" :: t => cfg = cfg.copy(gopher = false); rest = t
@@ -46,7 +53,16 @@ object RunCurate {
     val positional = args.drop(2).takeWhile(!_.startsWith("--"))
     val idCol = if (positional.length > 0) positional(0) else "doc_id"
     val textCol = if (positional.length > 1) positional(1) else "text"
-    val cfg = parseConfig(args.drop(2 + positional.length).toSeq)
+    // --decontam <benchParquet> is runtime data, not config: strip it
+    // before the config parse
+    val flags0 = args.drop(2 + positional.length).toList
+    val (benchPath, flags) = flags0.indexOf("--decontam") match {
+      case -1 => (None, flags0)
+      case i =>
+        require(i + 1 < flags0.length, "--decontam needs a parquet path")
+        (Some(flags0(i + 1)), flags0.take(i) ++ flags0.drop(i + 2))
+    }
+    val cfg = parseConfig(flags)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,7 +75,8 @@ object RunCurate {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val docs = spark.read.parquet(in)
-      val report = graft.ops.Curation.curationReport(docs, idCol, textCol, cfg)
+      val bench = benchPath.map(spark.read.parquet(_))
+      val report = graft.ops.Curation.curationReport(docs, idCol, textCol, cfg, bench)
         .localCheckpoint() // one evaluation feeds both the write and the funnel
       report.filter(org.apache.spark.sql.functions.col("keep"))
         .select(idCol, "text_curated")
@@ -67,7 +84,8 @@ object RunCurate {
       val f = graft.ops.Curation.funnel(report).collect().head
       val json = s"""{"metric":"curate_funnel","n_docs":${f.getLong(0)},""" +
         s""""n_lang":${f.getLong(1)},"n_gopher":${f.getLong(2)},""" +
-        s""""n_exact":${f.getLong(3)},"n_kept":${f.getLong(4)},"out":"$out/curated"}"""
+        s""""n_decontam":${f.getLong(3)},"n_exact":${f.getLong(4)},""" +
+        s""""n_kept":${f.getLong(5)},"out":"$out/curated"}"""
       println(json)
     } finally spark.stop()
   }

@@ -10,8 +10,13 @@ import org.apache.spark.sql.functions._
   *
   *   1. Unicode NFC normalization     (graft_normalize, narrow)
   *   2. global line-level dedup       (CCNet boilerplate pass, 2 shuffles)
-  *   3. language ID on the survivors  (stopword vote, narrow)
+  *   2b. exact-substring excision     (optional; Lee et al. stage 2 —
+  *                                     variable-length dup spans cut out
+  *                                     of the text, q48/q49 skew-safe shape)
+  *   3. language ID on the survivors  (stopword vote or trigram, narrow)
   *   4. Gopher quality rules          (narrow)
+  *   4b. decontamination              (optional; benchmark n-grams
+  *                                     broadcast, GPT-3 appendix-C rule)
   *   5. exact-content dedup           (min-id ownership agg + join —
   *                                     the q48 skew-safe shape, 2 shuffles)
   *   6. deterministic id-hash sample  (narrow filter)
@@ -29,19 +34,27 @@ object Curation {
       normalize: Boolean = true,
       lineDedup: Boolean = true,
       lineMinLen: Int = 5,
+      excise: Boolean = false, // stage 2b: variable-length substring excision
+      exciseMinLen: Int = 50,  // Lee et al.'s published threshold (tokens)
       keepLangs: Set[String] = Set.empty, // empty = keep all languages
       langScorer: String = "stopwords", // or "trigram" (LangNgram profiles)
       gopher: Boolean = true,
       minWords: Long = 50,
       maxWords: Long = 100000,
+      decontamNgram: Int = 8, // stage 4b n-gram order (bench df enables it)
       exactDedup: Boolean = true,
       sampleFraction: Double = 1.0) {
     require(Set("stopwords", "trigram")(langScorer),
       s"langScorer must be stopwords|trigram, got $langScorer")
+    require(exciseMinLen >= 1 && decontamNgram >= 1)
   }
 
+  /** `bench`: optional benchmark (test-set) table with `textCol`;
+    * supplying it enables stage 4b (decontamination).
+    */
   def curationReport(docs: DataFrame, idCol: String, textCol: String,
-                     cfg: CurateConfig = CurateConfig()): DataFrame = {
+                     cfg: CurateConfig = CurateConfig(),
+                     bench: Option[DataFrame] = None): DataFrame = {
     // 1. normalize — null text flows through as '' so every input doc is
     // counted by the funnel (and then filtered by word count), instead
     // of vanishing in the line-dedup posexplode
@@ -51,13 +64,25 @@ object Curation {
        else t0).as("_t0"))
 
     // 2. line dedup -> curated text (kept lines rejoined in order)
-    val curated =
+    val lineDeduped =
       if (!cfg.lineDedup) normed.withColumn("text_curated", col("_t0"))
       else Dedup.markDupLines(normed, idCol, "_t0", cfg.lineMinLen)
         .groupBy(col(idCol))
         .agg(concat_ws("\n", expr(
           "transform(array_sort(collect_list(case when keep then struct(idx, line) end)), x -> x.line)"))
           .as("text_curated"))
+
+    // 2b. optional variable-length exact-substring excision on the
+    // curated text (Lee et al. stage 2; the q49 ownership shape —
+    // tokens are whitespace-split, so excision flattens newlines into
+    // the space-rejoined survivor text exactly as the operator defines)
+    val curated =
+      if (!cfg.excise) lineDeduped
+      else lineDeduped
+        .join(Dedup.exciseRebuild(lineDeduped, idCol, "text_curated",
+          cfg.exciseMinLen), Seq(idCol))
+        .drop("text_curated")
+        .withColumnRenamed("text_excised", "text_curated")
 
     // 3. language ID — scorer is pluggable: the 7-stopword vote (cheap,
     // whole-word) or the Cavnar–Trenkle trigram profiles (codegen
@@ -84,6 +109,26 @@ object Curation {
         .drop("keep", "flag_word_count", "flag_mean_word_len",
           "flag_symbol_ratio", "flag_stopwords")
 
+    // 4b. optional decontamination: docs sharing any lowered token
+    // n-gram with the benchmark table are flagged out. The bench side
+    // broadcasts; the corpus side is the one narrow n-gram projection
+    // (TextAnalysis.decontaminate), and the join back is keyed by id —
+    // output volume O(contaminated docs)
+    val withDecontam = bench match {
+      case None => withGopher.withColumn("keep_decontam", lit(true))
+      case Some(b) =>
+        // the bench table's text rides under the DOCS' textCol name;
+        // align it to the curated column for the shared n-gram helper
+        val hits = TextAnalysis.decontaminate(
+          withGopher.select(col(idCol), col("text_curated")),
+          b.select(col(textCol).as("text_curated")),
+          idCol, "text_curated", cfg.decontamNgram)
+          .withColumnRenamed("n_hits", "_nh")
+        withGopher.join(hits, Seq(idCol), "left")
+          .withColumn("keep_decontam", col("_nh").isNull)
+          .drop("_nh")
+    }
+
     // 5. exact dedup on the CURATED text: min-id ownership aggregation
     // (map-side combinable; the hot all-identical key AQE-splits).
     // Sequential-stage semantics: ownership is computed over the
@@ -93,13 +138,13 @@ object Curation {
     // passing copy of a text). Non-survivors get keep_exact=false
     // (irrelevant to `keep`, which already requires stages 3–4).
     val withExact =
-      if (!cfg.exactDedup) withGopher.withColumn("keep_exact", lit(true))
+      if (!cfg.exactDedup) withDecontam.withColumn("keep_exact", lit(true))
       else {
-        val owners = withGopher
-          .filter(col("keep_lang") && col("keep_gopher"))
+        val owners = withDecontam
+          .filter(col("keep_lang") && col("keep_gopher") && col("keep_decontam"))
           .select(col(idCol), md5(col("text_curated")).as("_h"))
           .groupBy("_h").agg(min(col(idCol)).as("_owner"))
-        withGopher.withColumn("_h", md5(col("text_curated")))
+        withDecontam.withColumn("_h", md5(col("text_curated")))
           .join(owners, Seq("_h"), "left")
           .withColumn("keep_exact",
             coalesce(col(idCol) === col("_owner"), lit(false)))
@@ -113,14 +158,15 @@ object Curation {
         < lit(TextAnalysis.hexThreshold(cfg.sampleFraction)))
 
     sampled.withColumn("keep",
-      col("keep_lang") && col("keep_gopher") &&
+      col("keep_lang") && col("keep_gopher") && col("keep_decontam") &&
         col("keep_exact") && col("keep_sample"))
   }
 
   /** Survivors only: (idCol, text_curated). */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-             cfg: CurateConfig = CurateConfig()): DataFrame =
-    curationReport(docs, idCol, textCol, cfg)
+             cfg: CurateConfig = CurateConfig(),
+             bench: Option[DataFrame] = None): DataFrame =
+    curationReport(docs, idCol, textCol, cfg, bench)
       .filter(col("keep")).select(col(idCol), col("text_curated"))
 
   /** One-aggregation loss accounting over a report: docs surviving each
@@ -132,7 +178,9 @@ object Curation {
       sum(when(col("keep_lang"), 1L).otherwise(0L)).as("n_lang"),
       sum(when(col("keep_lang") && col("keep_gopher"), 1L).otherwise(0L))
         .as("n_gopher"),
-      sum(when(col("keep_lang") && col("keep_gopher") && col("keep_exact"), 1L)
-        .otherwise(0L)).as("n_exact"),
+      sum(when(col("keep_lang") && col("keep_gopher") && col("keep_decontam"),
+        1L).otherwise(0L)).as("n_decontam"),
+      sum(when(col("keep_lang") && col("keep_gopher") && col("keep_decontam") &&
+        col("keep_exact"), 1L).otherwise(0L)).as("n_exact"),
       sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
 }

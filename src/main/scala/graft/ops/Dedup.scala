@@ -141,31 +141,7 @@ object Dedup {
     require(minLen >= 1)
     val n = minLen
     val toks = df.select(col(idCol), split(col(textCol), "\\s+").as("_ts"))
-    val occ = toks.select(col(idCol), posexplode(expr(
-        s"""case when size(_ts) >= $n
-           |  then transform(sequence(1, size(_ts) - ${n - 1}),
-           |         i -> concat_ws(' ', slice(_ts, i, $n)))
-           |  else array() end""".stripMargin)).as(Seq("i", "ng")))
-    val first = occ.groupBy("ng")
-      .agg(min(struct(col(idCol), col("i"))).as("_f"))
-    val dup = occ.join(first, "ng")
-      .filter(!(col(idCol) === col(s"_f.$idCol") && col("i") === col("_f.i")))
-    // merge the sorted dup starts into maximal spans: starts s ascending
-    // each contribute [s, s+n); s <= last.en merges (overlap OR abutting
-    // coverage — contiguous excised positions are one span, exactly the
-    // union-of-repeats the suffix-array formulation excises)
-    val spans = dup
-      .groupBy(col(idCol)).agg(sort_array(collect_set("i")).as("_st"))
-      .withColumn("spans", expr(
-        s"""aggregate(_st, cast(array() as array<struct<st:int,en:int>>),
-           |  (acc, s) -> case
-           |    when size(acc) > 0 and s <= element_at(acc, -1).en
-           |      then concat(slice(acc, 1, size(acc) - 1),
-           |             array(struct(element_at(acc, -1).st as st,
-           |                          s + $n as en)))
-           |    else concat(acc, array(struct(s as st, s + $n as en)))
-           |  end)""".stripMargin))
-      .select(col(idCol), col("spans"))
+    val spans = dupSpanSets(toks, idCol, n)
     toks.join(spans, Seq(idCol), "left")
       .select(col(idCol),
         size(col("_ts")).cast("long").as("n_tokens"),
@@ -182,6 +158,58 @@ object Dedup {
             |         s -> spans is null or
             |              not exists(spans, sp -> s.j >= sp.st and s.j < sp.en)),
             |  x -> x.t)""".stripMargin))).as("kept_md5"))
+  }
+
+  /** Merged maximal dup-span sets per doc over tokenized input
+    * (idCol, _ts): (idCol, spans array<struct<st,en>>). The shared
+    * core of [[exciseDupSpansVar]] and [[exciseRebuild]] — ownership
+    * min-aggregation, dup-only coverage, narrow merge fold (see
+    * exciseDupSpansVar's scale notes).
+    */
+  private[graft] def dupSpanSets(toks: DataFrame, idCol: String, n: Int): DataFrame = {
+    val occ = toks.select(col(idCol), posexplode(expr(
+        s"""case when size(_ts) >= $n
+           |  then transform(sequence(1, size(_ts) - ${n - 1}),
+           |         i -> concat_ws(' ', slice(_ts, i, $n)))
+           |  else array() end""".stripMargin)).as(Seq("i", "ng")))
+    val first = occ.groupBy("ng")
+      .agg(min(struct(col(idCol), col("i"))).as("_f"))
+    val dup = occ.join(first, "ng")
+      .filter(!(col(idCol) === col(s"_f.$idCol") && col("i") === col("_f.i")))
+    // merge the sorted dup starts into maximal spans: starts s ascending
+    // each contribute [s, s+n); s <= last.en merges (overlap OR abutting
+    // coverage — contiguous excised positions are one span, exactly the
+    // union-of-repeats the suffix-array formulation excises)
+    dup.groupBy(col(idCol)).agg(sort_array(collect_set("i")).as("_st"))
+      .withColumn("spans", expr(
+        s"""aggregate(_st, cast(array() as array<struct<st:int,en:int>>),
+           |  (acc, s) -> case
+           |    when size(acc) > 0 and s <= element_at(acc, -1).en
+           |      then concat(slice(acc, 1, size(acc) - 1),
+           |             array(struct(element_at(acc, -1).st as st,
+           |                          s + $n as en)))
+           |    else concat(acc, array(struct(s as st, s + $n as en)))
+           |  end)""".stripMargin))
+      .select(col(idCol), col("spans"))
+  }
+
+  /** [[exciseDupSpansVar]]'s rebuild as TEXT — the composable form the
+    * curation funnel's optional excision stage uses: (idCol,
+    * text_excised) with every non-first duplicated span >= minLen
+    * tokens removed (space-rejoined survivors, matching kept_md5).
+    */
+  def exciseRebuild(df: DataFrame, idCol: String, textCol: String,
+                    minLen: Int = 50): DataFrame = {
+    require(minLen >= 1)
+    val toks = df.select(col(idCol), split(col(textCol), "\\s+").as("_ts"))
+    toks.join(dupSpanSets(toks, idCol, minLen), Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(" ", expr(
+          """transform(
+            |  filter(transform(_ts, (t, j) -> struct(j, t)),
+            |         s -> spans is null or
+            |              not exists(spans, sp -> s.j >= sp.st and s.j < sp.en)),
+            |  x -> x.t)""".stripMargin)).as("text_excised"))
   }
 
   /** Exact content dedup: groupBy md5(content), keep the smallest id. */

@@ -46,6 +46,9 @@ object StreamingCuration {
   def processBatch(batch: DataFrame, batchId: Long, outDir: String,
                    idCol: String, textCol: String,
                    cfg: CurateConfig): Unit = {
+    require(!cfg.excise,
+      "streaming funnel does not implement stage 2b (excision) — " +
+        "use StreamingExcision separately or the batch funnel")
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return

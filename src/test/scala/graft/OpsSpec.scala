@@ -629,8 +629,8 @@ class OpsSpec extends AnyFunSuite {
     assert(flags(3L)._1 == false && flags(3L)._4 == false)
     assert(flags(4L)._1 == true && flags(4L)._2 == false && flags(4L)._4 == false)
     val f = Curation.funnel(rep).collect().head
-    assert((f.getLong(0), f.getLong(1), f.getLong(2), f.getLong(3), f.getLong(4))
-      == ((4L, 3L, 2L, 1L, 1L)), f.toString)
+    assert((f.getLong(0), f.getLong(1), f.getLong(2), f.getLong(3), f.getLong(4), f.getLong(5))
+      == ((4L, 3L, 2L, 2L, 1L, 1L)), f.toString)
     val kept = Curation.curate(dfA, "doc_id", "text", cfgA)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(kept.toSeq == Seq((1L, en)))
@@ -656,7 +656,7 @@ class OpsSpec extends AnyFunSuite {
     val f = Curation.funnel(rep).collect().head
     // all three docs counted; null/empty fail Gopher word count, doc 1 survives
     assert(f.getLong(0) == 3L, s"n_docs must count null-text docs: $f")
-    assert(f.getLong(4) == 1L, f.toString)
+    assert(f.getLong(5) == 1L, f.toString)
     val flags = rep.select("doc_id", "keep").collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(flags == Map(1L -> true, 2L -> false, 3L -> false), flags.toString)
@@ -679,7 +679,7 @@ class OpsSpec extends AnyFunSuite {
     assert(flags(2L) == ((false, false, false)), flags.toString)
     assert(flags(3L) == ((true, true, true)), flags.toString)
     val f = Curation.funnel(rep).collect().head
-    assert((f.getLong(0), f.getLong(4)) == ((3L, 1L)), f.toString)
+    assert((f.getLong(0), f.getLong(5)) == ((3L, 1L)), f.toString)
   }
 
   test("curation: trigram scorer classifies short stopword-free text") {
@@ -705,14 +705,62 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curation: optional excision and decontamination stages") {
+    import spark.implicits._
+    val boiler = "all rights reserved by this site owner please contact us"
+    val bodyA = "the first document talks about mountains rivers and ancient " +
+      "forests that we have explored together with great care"
+    val bodyB = "another page describes cooking recipes using fresh tomatoes " +
+      "garlic and olive oil that the chef prepared for the evening meal"
+    // excision: the 10-token boilerplate tail repeats across otherwise
+    // DISTINCT docs; with excise on, the non-first copy loses exactly
+    // the tail BEFORE Gopher/dedup
+    val dfA = Seq((1L, bodyA + " " + boiler), (2L, bodyB + " " + boiler))
+      .toDF("doc_id", "text")
+    val repA = Curation.curationReport(dfA, "doc_id", "text",
+      Curation.CurateConfig(lineDedup = false, excise = true,
+        exciseMinLen = 10, minWords = 10))
+    val texts = repA.select("doc_id", "text_curated", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(texts(1L)._1.endsWith(boiler) && texts(1L)._2)
+    assert(!texts(2L)._1.contains("rights reserved") && texts(2L)._2,
+      texts(2L).toString)
+    // decontamination: doc sharing an 8-gram with the bench table drops
+    val leak = "the quick brown fox jumps over the lazy dog"
+    val dfB = Seq((1L, bodyA), (2L, bodyB + " " + leak)).toDF("doc_id", "text")
+    val benchDf = Seq(("b1", s"benchmark question text contains $leak indeed"))
+      .toDF("bid", "text")
+    val repB = Curation.curationReport(dfB, "doc_id", "text",
+      Curation.CurateConfig(lineDedup = false, minWords = 10),
+      bench = Some(benchDf))
+    val flagsB = repB.select("doc_id", "keep_decontam", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(flagsB(1L) == ((true, true)))
+    assert(flagsB(2L) == ((false, false)), flagsB.toString)
+    val fB = Curation.funnel(repB).collect().head
+    assert((fB.getLong(0), fB.getLong(3), fB.getLong(5)) == ((2L, 1L, 1L)), fB.toString)
+    // dedup ownership respects decontamination (sequential semantics):
+    // if the min-id copy of a text is contaminated, the clean copy survives
+    val dfC = Seq((1L, bodyA + " " + leak), (2L, bodyA + " " + leak), (3L, bodyB))
+      .toDF("doc_id", "text")
+    val repC = Curation.curationReport(dfC, "doc_id", "text",
+      Curation.CurateConfig(lineDedup = false, minWords = 10),
+      bench = Some(benchDf))
+    val keptC = repC.filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(keptC == Set(3L), keptC.toString)
+  }
+
   test("RunCurate.parseConfig: every flag maps onto CurateConfig") {
     val cfg = graft.RunCurate.parseConfig(Seq(
       "--keep-langs", "en,de", "--lang-scorer", "trigram",
       "--min-words", "10", "--max-words", "5000", "--fraction", "0.5",
-      "--line-min-len", "3", "--no-normalize", "--no-exact-dedup"))
+      "--line-min-len", "3", "--excise-min-len", "25",
+      "--decontam-ngram", "13", "--no-normalize", "--no-exact-dedup"))
     assert(cfg == Curation.CurateConfig(normalize = false, lineDedup = true,
-      lineMinLen = 3, keepLangs = Set("en", "de"), langScorer = "trigram",
-      minWords = 10, maxWords = 5000, exactDedup = false, sampleFraction = 0.5))
+      lineMinLen = 3, excise = true, exciseMinLen = 25,
+      keepLangs = Set("en", "de"), langScorer = "trigram",
+      minWords = 10, maxWords = 5000, decontamNgram = 13,
+      exactDedup = false, sampleFraction = 0.5))
     assert(graft.RunCurate.parseConfig(Nil) == Curation.CurateConfig())
     intercept[IllegalArgumentException] {
       graft.RunCurate.parseConfig(Seq("--bogus"))
