@@ -131,7 +131,8 @@ object DedupBench {
     * share a text; every doc carries one boilerplate line). One lazy
     * plan, one job.
     */
-  def runCurate(cpus: Int, nDocs: Long, dupGroup: Int): (Double, Long) = {
+  def runCurate(cpus: Int, nDocs: Long, dupGroup: Int,
+                full: Boolean = false): (Double, Long) = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-curate-$cpus")
@@ -148,15 +149,28 @@ object DedupBench {
       // the boilerplate header. Expected survivors ~ nDocs/dupGroup.
       val docs = spark.range(nDocs).map { i =>
         val k = i - i % dupGroup
+        // k*37+j UNBOUNDED: a modulus here makes the filler value cycle,
+        // and at 400k docs the 22 tokens between the K_j markers then
+        // genuinely repeat across k ~ k+9000 — which variable-length
+        // excision correctly strips, gutting the corpus (observed: the
+        // r5 --curate-full debug). Unique values keep every repeat run
+        // under any excision threshold by construction.
         val body = (0 until 3).map(j =>
           s"the measurement run number ${k}_$j was completed and the result " +
-            s"of the test is ${(k * 37 + j) % 9000} units that we have " +
+            s"of the test is ${k * 37 + j} units that we have " +
             "recorded with great care").mkString("\n")
         (f"doc-$i%012d", "shared boilerplate navigation header\n" + body)
       }.toDF("doc_id", "text").localCheckpoint()
+      // --curate-full adds stage 2b (variable-length excision over the
+      // whole corpus — the one corpus-sized n-gram shuffle) and stage
+      // 4b (decontamination vs a small synthetic bench set)
+      val cfg = graft.ops.Curation.CurateConfig(minWords = 5,
+        excise = full, exciseMinLen = 20)
+      val bench = if (!full) None else Some(spark.range(100).map(i =>
+        s"benchmark question number $i asks about the measurement run " +
+          s"number ${i * 977}_1 was completed and the result").toDF("text"))
       val t0 = System.nanoTime()
-      val kept = graft.ops.Curation.curate(docs, "doc_id", "text",
-        graft.ops.Curation.CurateConfig(minWords = 5)).count()
+      val kept = graft.ops.Curation.curate(docs, "doc_id", "text", cfg, bench).count()
       ((System.nanoTime() - t0) / 1e9, kept)
     } finally {
       spark.stop()
@@ -166,13 +180,15 @@ object DedupBench {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("--curate")) {
+    if (args.headOption.exists(a => a == "--curate" || a == "--curate-full")) {
+      val full = args.head == "--curate-full"
       val nDocs = if (args.length > 1) args(1).toLong else 400000L
       val cpus = if (args.length > 2) args(2).toInt else 32
       val dupGroup = if (args.length > 3) args(3).toInt else 5
-      runCurate(cpus, 5000, dupGroup) // warmup
-      val (t, kept) = runCurate(cpus, nDocs, dupGroup)
-      println(f"""{"metric":"curate_docs_per_sec","value":${nDocs / t}%.1f,"unit":"docs/sec","docs":$nDocs,"cpus":$cpus,"dup_group":$dupGroup,"t_sec":$t%.1f,"kept":$kept}""")
+      runCurate(cpus, 5000, dupGroup, full) // warmup
+      val (t, kept) = runCurate(cpus, nDocs, dupGroup, full)
+      val metric = if (full) "curate_full_docs_per_sec" else "curate_docs_per_sec"
+      println(f"""{"metric":"$metric%s","value":${nDocs / t}%.1f,"unit":"docs/sec","docs":$nDocs,"cpus":$cpus,"dup_group":$dupGroup,"t_sec":$t%.1f,"kept":$kept}""")
       return
     }
     if (args.headOption.contains("--lines")) {

@@ -210,6 +210,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!fin2.contains("Join"), fin2.take(2000))
   }
 
+  test("curation with decontam: bench n-grams broadcast, no sort-merge on the hit join") {
+    import spark.implicits._
+    val docs = Seq(("a", "x\ny"), ("b", "y\nz")).toDF("doc_id", "text")
+    val bench = Seq(("b1", "some benchmark text rides here ok fine right now"))
+      .toDF("bid", "text")
+    val o = graft.ops.Curation.curationReport(docs, "doc_id", "text",
+        graft.ops.Curation.CurateConfig(exactDedup = false), bench = Some(bench))
+      .queryExecution.executedPlan.toString
+    assert(o.contains("BroadcastHashJoin") || o.contains("BroadcastExchange"),
+      o.take(2000))
+    assert(!o.contains("SortMergeJoin"), "bench side must broadcast")
+  }
+
   test("verifyPairs: corpus semi-joined to referenced ids BEFORE shingling") {
     import spark.implicits._
     val d = spark.read.parquet(s"$dir/documents.parquet")

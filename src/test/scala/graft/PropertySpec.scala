@@ -134,6 +134,13 @@ class PropertySpec extends AnyFunSuite {
           md5(ts.zipWithIndex.collect { case (t, j) if !exc(j) => t }.mkString(" "))))
       }.toMap
       assert(got == want, s"n=$n rows=$rows")
+      // exciseRebuild's TEXT output hashes to exciseDupSpansVar's
+      // kept_md5 (and thus, via the coverage identity, to the fixed-n
+      // result above) on the same corpus
+      val reb = graft.ops.Dedup.exciseRebuild(
+          rows.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> md5(r.getString(1))).toMap
+      assert(reb == want.map { case (k, v) => k -> v._3 }, s"rebuild n=$n rows=$rows")
     }
   }
 
