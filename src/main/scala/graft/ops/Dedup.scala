@@ -166,21 +166,23 @@ object Dedup {
     * min-aggregation, dup-only coverage, narrow merge fold (see
     * exciseDupSpansVar's scale notes).
     */
-  private[graft] def dupSpanSets(toks: DataFrame, idCol: String, n: Int): DataFrame = {
-    val occ = toks.select(col(idCol), posexplode(expr(
-        s"""case when size(_ts) >= $n
-           |  then transform(sequence(1, size(_ts) - ${n - 1}),
-           |         i -> concat_ws(' ', slice(_ts, i, $n)))
-           |  else array() end""".stripMargin)).as(Seq("i", "ng")))
-    val first = occ.groupBy("ng")
-      .agg(min(struct(col(idCol), col("i"))).as("_f"))
-    val dup = occ.join(first, "ng")
-      .filter(!(col(idCol) === col(s"_f.$idCol") && col("i") === col("_f.i")))
-    // merge the sorted dup starts into maximal spans: starts s ascending
-    // each contribute [s, s+n); s <= last.en merges (overlap OR abutting
-    // coverage — contiguous excised positions are one span, exactly the
-    // union-of-repeats the suffix-array formulation excises)
-    dup.groupBy(col(idCol)).agg(sort_array(collect_set("i")).as("_st"))
+  /** Token n-gram occurrences of tokenized input (idCol, _ts):
+    * (idCol, i, ng) with 0-based start i.
+    */
+  private[graft] def ngramOccurrences(toks: DataFrame, idCol: String, n: Int): DataFrame =
+    toks.select(col(idCol), posexplode(expr(
+      s"""case when size(_ts) >= $n
+         |  then transform(sequence(1, size(_ts) - ${n - 1}),
+         |         i -> concat_ws(' ', slice(_ts, i, $n)))
+         |  else array() end""".stripMargin)).as(Seq("i", "ng")))
+
+  /** Merge dup occurrence starts (idCol, i) into maximal spans: starts
+    * s ascending each contribute [s, s+n); s <= last.en merges (overlap
+    * OR abutting coverage — contiguous excised positions are one span,
+    * exactly the union-of-repeats the suffix-array formulation excises).
+    */
+  private[graft] def mergeSpans(dupStarts: DataFrame, idCol: String, n: Int): DataFrame =
+    dupStarts.groupBy(col(idCol)).agg(sort_array(collect_set("i")).as("_st"))
       .withColumn("spans", expr(
         s"""aggregate(_st, cast(array() as array<struct<st:int,en:int>>),
            |  (acc, s) -> case
@@ -191,6 +193,14 @@ object Dedup {
            |    else concat(acc, array(struct(s as st, s + $n as en)))
            |  end)""".stripMargin))
       .select(col(idCol), col("spans"))
+
+  private[graft] def dupSpanSets(toks: DataFrame, idCol: String, n: Int): DataFrame = {
+    val occ = ngramOccurrences(toks, idCol, n)
+    val first = occ.groupBy("ng")
+      .agg(min(struct(col(idCol), col("i"))).as("_f"))
+    val dup = occ.join(first, "ng")
+      .filter(!(col(idCol) === col(s"_f.$idCol") && col("i") === col("_f.i")))
+    mergeSpans(dup, idCol, n)
   }
 
   /** [[exciseDupSpansVar]]'s rebuild as TEXT — the composable form the

@@ -11,13 +11,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * `outDir/curated/batch=N`.
   *
   * Why foreachBatch + parquet sidecars, not chained stateful
-  * operators: the funnel needs TWO first-seen state domains (line
-  * hashes, then curated-text hashes) keyed differently, and Structured
+  * operators: the funnel needs up to THREE first-seen state domains
+  * (line hashes, n-gram claims when cfg.excise is on, curated-text
+  * hashes) keyed differently, and Structured
   * Streaming does not support two `flatMapGroupsWithState` operators
   * in one query. The deployable shape is the [[graft.Pipeline]]
   * `startBucketed` resume pattern: cross-batch claims live in
   * batch-partitioned parquet sidecars under the OUTPUT directory
-  * (`_lines_seen/batch=N`, `_texts_seen/batch=N`), each batch
+  * (`_lines_seen/batch=N`, `_ngrams_seen/batch=N`,
+  * `_texts_seen/batch=N`), each batch
   * anti-joins them and appends only its NEW claims. A replayed batch
   * (crash between sidecar write and commit) OVERWRITES its own
   * `batch=N` partitions — idempotent by construction, pinned by
@@ -46,9 +48,6 @@ object StreamingCuration {
   def processBatch(batch: DataFrame, batchId: Long, outDir: String,
                    idCol: String, textCol: String,
                    cfg: CurateConfig): Unit = {
-    require(!cfg.excise,
-      "streaming funnel does not implement stage 2b (excision) — " +
-        "use StreamingExcision separately or the batch funnel")
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
@@ -112,11 +111,54 @@ object StreamingCuration {
             .as("text_curated"))
       }
 
+    // stage 2b (optional): variable-length excision with cross-batch
+    // n-gram claims in a third sidecar (_ngrams_seen, md5 of the
+    // n-gram). Coverage = in-batch non-first occurrences (the batch
+    // operator's rule) UNION occurrences of n-grams claimed by earlier
+    // batches; over doc-ordered batches the union reproduces the batch
+    // exciseRebuild exactly (same first-global-occurrence argument).
+    val excised =
+      if (!cfg.excise) curated
+      else {
+        val n = cfg.exciseMinLen
+        val toks = curated.select(col(idCol),
+          split(col("text_curated"), "\\s+").as("_ts"))
+        val occ = graft.ops.Dedup.ngramOccurrences(toks, idCol, n)
+          .withColumn("_nh", md5(col("ng")))
+        val first = occ.groupBy("ng")
+          .agg(min(struct(col(idCol), col("i"))).as("_f"))
+        val dupIn = occ.join(first, "ng")
+          .filter(!(col(idCol) === col(s"_f.$idCol") && col("i") === col("_f.i")))
+          .select(col(idCol), col("i"))
+        val seenNg = sidecar("_ngrams_seen")
+          .map(s => earlier(s).select(col("nh")).distinct())
+        val dupSeen = seenNg match {
+          case Some(s) => occ.join(s.withColumnRenamed("nh", "_nh"), Seq("_nh"))
+            .select(col(idCol), col("i"))
+          case None => dupIn.limit(0)
+        }
+        val newNg = occ.select(col("_nh").as("nh")).distinct()
+        val toWriteNg = seenNg match {
+          case Some(s) => newNg.join(s, newNg("nh") === s("nh"), "left_anti")
+          case None => newNg
+        }
+        writePart(toWriteNg, "_ngrams_seen")
+        val spans = graft.ops.Dedup.mergeSpans(
+          dupIn.union(dupSeen.select(col(idCol), col("i"))), idCol, n)
+        toks.join(spans, Seq(idCol), "left")
+          .select(col(idCol), concat_ws(" ", expr(
+            """transform(
+              |  filter(transform(_ts, (t, j) -> struct(j, t)),
+              |         s -> spans is null or
+              |              not exists(spans, sp -> s.j >= sp.st and s.j < sp.en)),
+              |  x -> x.t)""".stripMargin)).as("text_curated"))
+      }
+
     // stages 3-4: language + Gopher (narrow, identical to batch)
     val scored = cfg.langScorer match {
-      case "trigram" => graft.ops.LangNgram.langIdNgram(curated, "text_curated")
+      case "trigram" => graft.ops.LangNgram.langIdNgram(excised, "text_curated")
         .drop(graft.ops.LangNgram.Langs.map(l => s"s_$l"): _*)
-      case _ => graft.ops.TextAnalysis.langId(curated, "text_curated")
+      case _ => graft.ops.TextAnalysis.langId(excised, "text_curated")
         .drop(graft.ops.TextAnalysis.Stopwords.keys.toSeq.map(l => s"hits_$l"): _*)
     }
     val withLang = scored.withColumn("keep_lang",

@@ -545,6 +545,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed2 == batch)
   }
 
+  test("streaming curation with excision == batch: cross-batch span claims via sidecar") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("scurex").toString
+    val boiler = "all rights reserved by this site owner please contact us soon"
+    val bodies = Vector(
+      "the first story tells about mountains rivers and ancient forests that we explored with care",
+      "another page describes cooking recipes using fresh tomatoes garlic and olive oil for the meal",
+      "a third entry covers railway engines their wheels boilers and the people who maintain them",
+      "the fourth text discusses music theory chords scales and the way melodies resolve over time",
+      "a fifth piece reviews garden tools spades rakes and the compost that feeds the spring beds",
+      "the sixth note explains chess openings gambits and the long endgames that decide matches")
+    // every doc: distinct body + the shared 11-token boilerplate tail.
+    // batch 1 = ids 0-2, batch 2 = ids 3-5: the tail's first occurrence
+    // is doc 0; docs 3-5 can only learn that through the sidecar
+    def df(ids: Range) = ids.map(i => (i.toLong, bodies(i) + " " + boiler))
+      .toDF("doc_id", "text")
+    val cfg = graft.ops.Curation.CurateConfig(lineDedup = false,
+      excise = true, exciseMinLen = 11, minWords = 10)
+    df(0 until 3).write.parquet(s"$base/docs")
+    graft.streaming.StreamingCuration.start(spark, s"$base/docs", s"$base/out",
+      cfg = cfg).awaitTermination()
+    df(3 until 6).write.mode("append").parquet(s"$base/docs")
+    graft.streaming.StreamingCuration.start(spark, s"$base/docs", s"$base/out",
+      cfg = cfg).awaitTermination()
+    val streamed = spark.read.parquet(s"$base/out/curated")
+      .select("doc_id", "text_curated").as[(Long, String)].collect().toMap
+    val batch = graft.ops.Curation.curate(df(0 until 6), "doc_id", "text", cfg)
+      .as[(Long, String)].collect().toMap
+    assert(streamed == batch,
+      s"missing=${batch.keySet -- streamed.keySet} extra=${streamed.keySet -- batch.keySet} " +
+        s"diff=${streamed.filter { case (k, v) => batch.get(k).exists(_ != v) }.keys}")
+    // doc 0 keeps the tail; every later doc (both batches) loses it
+    assert(batch(0L).endsWith(boiler))
+    for (i <- 1L to 5L) assert(!batch(i).contains("rights reserved"), s"doc $i")
+    assert(batch.size == 6)
+  }
+
   test("TTL'd streaming excision: an n-gram claim expires and re-admits") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
