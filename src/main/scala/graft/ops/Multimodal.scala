@@ -255,13 +255,15 @@ object Multimodal {
     */
   def imageEmbeddings(media: DataFrame, grid: Int = 8): DataFrame = {
     val rows: Dataset[Row] = media.select("media_id", "payload")
+    // media_id keeps its INPUT type (string, long, ...), so the output
+    // drops straight into the similarity/dedup ops' id conventions
     implicit val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
-      StructField("media_id", StringType, nullable = false),
+      media.schema("media_id").copy(name = "media_id"),
       StructField("embedding", ArrayType(FloatType), nullable = false))))
     rows.mapPartitions { it =>
       it.flatMap { r =>
         val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
-        decodeImage(payload).map(img => Row(r.getString(0), imageEmbedding(img, grid).toSeq))
+        decodeImage(payload).map(img => Row(r.get(0), imageEmbedding(img, grid).toSeq))
       }
     }
   }

@@ -47,7 +47,8 @@ object StreamingCuration {
     */
   def processBatch(batch: DataFrame, batchId: Long, outDir: String,
                    idCol: String, textCol: String,
-                   cfg: CurateConfig): Unit = {
+                   cfg: CurateConfig,
+                   bench: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
@@ -172,12 +173,29 @@ object StreamingCuration {
         .drop("keep", "flag_word_count", "flag_mean_word_len",
           "flag_symbol_ratio", "flag_stopwords")
 
+    // stage 4b (optional): decontamination is STATELESS (the bench
+    // n-gram set is static and broadcasts) — per-batch application IS
+    // the batch rule, no sidecar needed
+    val withDecontam = bench match {
+      case None => withGopher.withColumn("keep_decontam", lit(true))
+      case Some(b) =>
+        val hits = graft.ops.TextAnalysis.decontaminate(
+          withGopher.select(col(idCol), col("text_curated")),
+          b.select(col(textCol).as("text_curated")),
+          idCol, "text_curated", cfg.decontamNgram)
+          .withColumnRenamed("n_hits", "_nh")
+        withGopher.join(hits, Seq(idCol), "left")
+          .withColumn("keep_decontam", col("_nh").isNull)
+          .drop("_nh")
+    }
+
     // stage 5: exact dedup — in-batch ownership over survivors +
     // cross-batch anti-join on earlier batches' surviving hashes
     val withExact =
-      if (!cfg.exactDedup) withGopher.withColumn("keep_exact", lit(true))
+      if (!cfg.exactDedup) withDecontam.withColumn("keep_exact", lit(true))
       else {
-        val survivors = withGopher.filter(col("keep_lang") && col("keep_gopher"))
+        val survivors = withDecontam
+          .filter(col("keep_lang") && col("keep_gopher") && col("keep_decontam"))
           .withColumn("_h", md5(col("text_curated")))
         val owners = survivors.groupBy("_h").agg(min(col(idCol)).as("_owner"))
         val seen = sidecar("_texts_seen")
@@ -197,7 +215,7 @@ object StreamingCuration {
           case None => newHashes
         }
         writePart(toWrite, "_texts_seen")
-        withGopher.withColumn("_h", md5(col("text_curated")))
+        withDecontam.withColumn("_h", md5(col("text_curated")))
           .join(ownersUnseen, Seq("_h"), "left")
           .withColumn("keep_exact",
             coalesce(col(idCol) === col("_owner"), lit(false)))
@@ -210,7 +228,7 @@ object StreamingCuration {
         if (cfg.sampleFraction >= 1.0) lit(true)
         else md5(concat(lit("sample:"), col(idCol).cast("string")))
           < lit(graft.ops.TextAnalysis.hexThreshold(cfg.sampleFraction)))
-      .filter(col("keep_lang") && col("keep_gopher") &&
+      .filter(col("keep_lang") && col("keep_gopher") && col("keep_decontam") &&
         col("keep_exact") && col("keep_sample"))
       .select(col(idCol), col("text_curated"))
     writePart(kept, "curated")
@@ -223,6 +241,7 @@ object StreamingCuration {
   def start(spark: SparkSession, docsDir: String, outDir: String,
             idCol: String = "doc_id", textCol: String = "text",
             cfg: CurateConfig = CurateConfig(),
+            bench: Option[DataFrame] = None,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val schema = spark.read.parquet(docsDir).schema
     spark.readStream.schema(schema).parquet(docsDir)
@@ -230,7 +249,7 @@ object StreamingCuration {
       .option("checkpointLocation", s"$outDir/ckpt")
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        processBatch(b, id, outDir, idCol, textCol, cfg)
+        processBatch(b, id, outDir, idCol, textCol, cfg, bench)
       }
       .start()
   }

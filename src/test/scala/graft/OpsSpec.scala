@@ -145,6 +145,41 @@ class OpsSpec extends AnyFunSuite {
     assert(ranked.last == "m_far", ranked.toSeq.toString)
   }
 
+  test("image near-dup at bucket scale: imageEmbeddings -> LSH buckets -> pair verify") {
+    import spark.implicits._
+    // 40 images in 8 visual families (same pattern, tiny noise) + PNG/BMP
+    // container variety; near-dup pairs must land within families only
+    def img(fam: Int, variant: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(24, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 24) {
+        val v = ((x * (fam * 2 + 3) + y * (fam + 7)) % 220 + variant) % 256
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, if (variant % 2 == 0) "png" else "bmp", o)
+      o.toByteArray
+    }
+    // numeric media ids (annBuckets draws its projection planes from
+    // the rows with ids planeFrom..planeFrom+nPlanes-1 by convention):
+    // id = fam * 5 + variant + 1
+    val media = (for (f <- 0 until 8; v <- 0 until 5)
+      yield ((f * 5 + v + 1).toLong, img(f, v))).toDF("media_id", "payload")
+    val emb = graft.ops.Multimodal.imageEmbeddings(media, grid = 8)
+    assert(emb.count() == 40)
+    val pairs = graft.ops.Dedup.embeddingNearDups(
+        emb, "media_id", "embedding", nPlanes = 6, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def fam(id: Long) = (id - 1) / 5
+    def isPng(id: Long) = ((id - 1) % 5) % 2 == 0
+    assert(pairs.nonEmpty, "families must produce near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(fam(a) == fam(b), s"cross-family pair $a / $b")
+    }
+    // and at least one pair crosses the PNG/BMP container split
+    assert(pairs.exists { case (a, b) => isPng(a) != isPng(b) },
+      pairs.take(10).toSeq.toString)
+  }
+
   test("media header decode: real PNG/GIF/JPEG/BMP layouts; Expression == scalar") {
     import spark.implicits._
     def hx(s: String): Array[Byte] = s.replaceAll("\\s", "")

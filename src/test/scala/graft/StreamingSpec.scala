@@ -564,23 +564,31 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val cfg = graft.ops.Curation.CurateConfig(lineDedup = false,
       excise = true, exciseMinLen = 11, minWords = 10)
+    // stage 4b rides along statelessly: doc 4's body shares an 8-gram
+    // with the bench table and must drop in BOTH engines
+    val bench = Some(Seq(("b1",
+      "quiz asks about railway engines their wheels boilers and the people involved"))
+      .toDF("bid", "text"))
     df(0 until 3).write.parquet(s"$base/docs")
     graft.streaming.StreamingCuration.start(spark, s"$base/docs", s"$base/out",
-      cfg = cfg).awaitTermination()
+      cfg = cfg, bench = bench).awaitTermination()
     df(3 until 6).write.mode("append").parquet(s"$base/docs")
     graft.streaming.StreamingCuration.start(spark, s"$base/docs", s"$base/out",
-      cfg = cfg).awaitTermination()
+      cfg = cfg, bench = bench).awaitTermination()
     val streamed = spark.read.parquet(s"$base/out/curated")
       .select("doc_id", "text_curated").as[(Long, String)].collect().toMap
-    val batch = graft.ops.Curation.curate(df(0 until 6), "doc_id", "text", cfg)
+    val batch = graft.ops.Curation.curate(df(0 until 6), "doc_id", "text", cfg, bench)
       .as[(Long, String)].collect().toMap
     assert(streamed == batch,
       s"missing=${batch.keySet -- streamed.keySet} extra=${streamed.keySet -- batch.keySet} " +
         s"diff=${streamed.filter { case (k, v) => batch.get(k).exists(_ != v) }.keys}")
-    // doc 0 keeps the tail; every later doc (both batches) loses it
+    // doc 0 keeps the tail; every later surviving doc loses it; the
+    // contaminated doc 2 (railway 8-gram) is gone entirely
     assert(batch(0L).endsWith(boiler))
-    for (i <- 1L to 5L) assert(!batch(i).contains("rights reserved"), s"doc $i")
-    assert(batch.size == 6)
+    assert(!batch.contains(2L), batch.keySet.toString)
+    for (i <- Seq(1L, 3L, 4L, 5L))
+      assert(!batch(i).contains("rights reserved"), s"doc $i")
+    assert(batch.size == 5)
   }
 
   test("TTL'd streaming excision: an n-gram claim expires and re-admits") {
