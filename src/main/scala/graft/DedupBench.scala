@@ -179,7 +179,76 @@ object DedupBench {
     }
   }
 
+  /** Streaming-funnel throughput: the same curate corpus written as
+    * `batches` parquet chunks, consumed by [[graft.streaming
+    * .StreamingCuration]] with maxFilesPerTrigger pacing — measures the
+    * sustained micro-batch rate INCLUDING the sidecar reads/writes, and
+    * checks the survivor count equals the batch funnel's.
+    */
+  def runCurateStream(cpus: Int, nDocs: Long, dupGroup: Int,
+                      batches: Int): (Double, Long, Long) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-curate-stream-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("curstream").toString
+      val docs = spark.range(nDocs).map { i =>
+        val k = i - i % dupGroup
+        val body = (0 until 3).map(j =>
+          s"the measurement run number ${k}_$j was completed and the result " +
+            s"of the test is ${k * 37 + j} units that we have " +
+            "recorded with great care").mkString("\n")
+        (f"doc-$i%012d", "shared boilerplate navigation header\n" + body)
+      }.toDF("doc_id", "text").localCheckpoint()
+      // doc-ordered chunks, one file each -> maxFilesPerTrigger=1 makes
+      // each chunk one micro-batch
+      val span = (nDocs + batches - 1) / batches
+      for (b <- 0 until batches)
+        docs.filter(col("doc_id") >= f"doc-${b * span}%012d" &&
+            col("doc_id") < f"doc-${(b + 1) * span}%012d")
+          .coalesce(1).write.mode("append").parquet(s"$base/docs")
+      val cfg = graft.ops.Curation.CurateConfig(minWords = 5)
+      val t0 = System.nanoTime()
+      val schema = docs.schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/docs")
+        .writeStream
+        .option("checkpointLocation", s"$base/out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.streaming.StreamingCuration.processBatch(
+            b, id, s"$base/out", "doc_id", "text", cfg)
+        }
+        .start()
+      q.awaitTermination()
+      val t = (System.nanoTime() - t0) / 1e9
+      val kept = spark.read.parquet(s"$base/out/curated").count()
+      val keptBatch = graft.ops.Curation.curate(docs, "doc_id", "text", cfg).count()
+      (t, kept, keptBatch)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--curate-stream")) {
+      val nDocs = if (args.length > 1) args(1).toLong else 200000L
+      val cpus = if (args.length > 2) args(2).toInt else 32
+      val dupGroup = if (args.length > 3) args(3).toInt else 5
+      val batches = if (args.length > 4) args(4).toInt else 10
+      runCurateStream(cpus, 5000, dupGroup, 2) // warmup
+      val (t, kept, keptBatch) = runCurateStream(cpus, nDocs, dupGroup, batches)
+      println(f"""{"metric":"curate_stream_docs_per_sec","value":${nDocs / t}%.1f,"unit":"docs/sec","docs":$nDocs,"cpus":$cpus,"batches":$batches,"t_sec":$t%.1f,"kept":$kept,"kept_batch":$keptBatch,"parity":${kept == keptBatch}}""")
+      return
+    }
     if (args.headOption.exists(a => a == "--curate" || a == "--curate-full")) {
       val full = args.head == "--curate-full"
       val nDocs = if (args.length > 1) args(1).toLong else 400000L
