@@ -16,10 +16,13 @@ import org.apache.spark.sql.types._
   * feeds the [[Similarity]] ANN ops) and [[extractFeatures]]'s decoded
   * path compute from actual pixels. AUDIO is real for PCM WAV via
   * `javax.sound.sampled` ([[wavFeatures]]: duration/RMS/zero-crossing
-  * rate). VIDEO remains the one honest stub (no container/codec
-  * libraries exist in the JDK). At 100 TB the shape matters: payloads
-  * never pass through a shuffle (all transforms narrow), and feature
-  * extraction cost is bounded per batch.
+  * rate). VIDEO is real for the MJPEG-in-AVI class ([[aviMjpegFrames]]:
+  * RIFF container walk + per-frame ImageIO; [[videoFeatures]],
+  * frame-accurate [[frameOffsets]]); compressed codecs (H.264 etc.)
+  * remain the honest stub — no such codec exists in the JDK. At 100 TB
+  * the shape matters: payloads never pass through a shuffle (all
+  * transforms narrow), and feature extraction cost is bounded per
+  * batch.
   */
 object Multimodal {
 
@@ -44,10 +47,10 @@ object Multimodal {
   /** REAL header decode — pure-JVM parse of the PNG / GIF / JPEG / BMP
     * container headers (magic, dimensions, bit depth) straight from the
     * payload bytes; no codecs needed. Returns None for unrecognized or
-    * truncated payloads. This is the actual metadata-extraction step of
-    * the multimodal column; only the pixel-level FEATURE stage below
-    * ([[stubDecode]]) remains a deterministic fake (no codec libraries
-    * in this environment).
+    * truncated payloads. This is the metadata-extraction step of the
+    * multimodal column; pixel/audio/MJPEG-frame FEATURES are real too
+    * (see the decode-status note on the object), with [[stubDecode]]
+    * the fallback for codec classes the JDK cannot parse.
     *
     * Formats: PNG (8-byte signature + IHDR: big-endian w/h, depth byte);
     * GIF87a/89a (little-endian w/h, depth = (packed & 7) + 1); JPEG
@@ -227,10 +230,65 @@ object Multimodal {
         fmt.getSampleRate, ch.toFloat, 0f, 0f))
     } catch { case _: Throwable => None }
 
-  /** Batched per-partition feature extraction over media rows: images
-    * and PCM WAV decode for real (`decoded = true`); anything else
-    * falls back to the deterministic byte-fold. Narrow — payloads never
-    * shuffle.
+  /** MJPEG-in-AVI frame extraction — the one VIDEO class decodable with
+    * pure JDK: a RIFF container walk to the 'movi' LIST, collecting the
+    * '##dc'/'##db' stream chunks whose payload is a JPEG (FFD8), each
+    * then decodable by ImageIO. Returns (frame byte offset, JPEG bytes)
+    * per frame; empty for non-AVI / non-MJPEG payloads.
+    */
+  def aviMjpegFrames(b: Array[Byte]): Seq[(Long, Array[Byte])] = {
+    def le32(i: Int) = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+    def fourcc(i: Int) = new String(b, i, 4, "US-ASCII")
+    val n = b.length
+    if (n < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Nil
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    // walk chunks; recurse into LIST chunks, harvest stream-data chunks
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val cc = fourcc(i)
+        val sz = le32(i + 4)
+        if (sz < 0 || i + 8 + sz > end) return // truncated/corrupt: stop
+        if (cc == "LIST" && sz >= 4) walk(i + 12, i + 8 + sz)
+        else if (cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
+            (cc.substring(2) == "dc" || cc.substring(2) == "db") && sz >= 2 &&
+            (b(i + 8) & 0xFF) == 0xFF && (b(i + 9) & 0xFF) == 0xD8)
+          frames += ((i + 8).toLong -> java.util.Arrays.copyOfRange(b, i + 8, i + 8 + sz))
+        i += 8 + sz + (sz & 1) // chunks pad to even
+      }
+    }
+    walk(12, n)
+    frames.toVector
+  }
+
+  /** REAL video features for the MJPEG/AVI class: [n_frames, w, h,
+    * mean luminance over up to `sampleK` evenly spaced frames,
+    * mean |inter-frame luminance delta| (motion proxy), 0, 0, 0].
+    * None when the payload has no decodable MJPEG frames.
+    */
+  def videoFeatures(payload: Array[Byte], sampleK: Int = 4): Option[Array[Float]] = {
+    val frames = aviMjpegFrames(payload)
+    if (frames.isEmpty) return None
+    val idx =
+      if (frames.size <= sampleK) frames.indices.toVector
+      else (0 until sampleK).map(k => k * frames.size / sampleK).toVector
+    val decoded = idx.flatMap(i => decodeImage(frames(i)._2))
+    if (decoded.isEmpty) return None
+    val lums = decoded.map(img => pixelFeatures(img)(5))
+    val motion =
+      if (lums.size < 2) 0f
+      else (lums.sliding(2).map { case Seq(a, c) => math.abs(c - a) }.sum /
+        (lums.size - 1)).toFloat
+    Some(Array(frames.size.toFloat, decoded.head.getWidth.toFloat,
+      decoded.head.getHeight.toFloat, (lums.sum / lums.size).toFloat,
+      motion, 0f, 0f, 0f))
+  }
+
+  /** Batched per-partition feature extraction over media rows: images,
+    * PCM WAV, and MJPEG/AVI video decode for real (`decoded = true`);
+    * anything else falls back to the deterministic byte-fold. Narrow —
+    * payloads never shuffle.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val rows: Dataset[Row] = media.select("media_id", "kind", "payload")
@@ -242,6 +300,7 @@ object Multimodal {
         md.reset()
         val real = decodeImage(payload).map(pixelFeatures)
           .orElse(wavFeatures(payload))
+          .orElse(videoFeatures(payload))
         Row(r.getString(0), r.getString(1), payload.length.toLong,
           md.digest(payload).map(b => f"$b%02x").mkString,
           real.isDefined, real.getOrElse(stubDecode(payload)))
@@ -268,12 +327,31 @@ object Multimodal {
     }
   }
 
-  /** Deterministic frame sampling for video payloads: byte offsets of k
-    * evenly spaced "frames" (stub for a real frame decoder).
+  /** Deterministic frame sampling for video payloads: for MJPEG/AVI the
+    * offsets are the REAL '##dc' chunk positions from the container walk
+    * (sampled evenly when more than k frames exist); other payloads fall
+    * back to evenly spaced byte offsets (the honest stub for codec
+    * classes the JDK cannot parse).
     */
-  def frameOffsets(media: DataFrame, k: Int): DataFrame =
-    media.withColumn("frame_offsets",
-      expr(s"transform(sequence(0, ${k - 1}), i -> cast(i * length(payload) / $k as bigint))"))
+  def frameOffsets(media: DataFrame, k: Int): DataFrame = {
+    val rows: Dataset[Row] = media
+    val schema = media.schema.add(StructField("frame_offsets",
+      ArrayType(LongType), nullable = false))
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val payload = Option(r.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
+        val real = aviMjpegFrames(payload).map(_._1)
+        val offs: Seq[Long] =
+          if (real.nonEmpty) {
+            if (real.size <= k) real
+            else (0 until k).map(i => real(i * real.size / k))
+          } else (0 until k).map(i => i.toLong * payload.length / k)
+        Row.fromSeq(r.toSeq :+ offs)
+      }
+    }
+  }
 
   /** Build a media table from the docs table's media spans. */
   def fromMediaSpans(docs: DataFrame): DataFrame =

@@ -145,6 +145,67 @@ class OpsSpec extends AnyFunSuite {
     assert(ranked.last == "m_far", ranked.toSeq.toString)
   }
 
+  test("REAL video decode: MJPEG-in-AVI frames, motion features, frame-accurate offsets") {
+    import spark.implicits._
+    // three JPEG frames of rising brightness via ImageIO
+    def jpegFrame(bright: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16)
+        im.setRGB(x, y, (bright << 16) | (bright << 8) | bright)
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", o); o.toByteArray
+    }
+    val frames = Seq(jpegFrame(40), jpegFrame(120), jpegFrame(200))
+    // assemble a spec-shaped AVI: RIFF('AVI ' LIST('hdrl' avih)
+    // LIST('movi' 00dc...)) with even-padded chunks
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(cc: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+      cc.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+    }
+    def list(subtype: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", subtype.getBytes("US-ASCII") ++ body)
+    val avih = chunk("avih", Array.fill[Byte](56)(0))
+    val movi = list("movi", frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ list("hdrl", avih) ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+
+    val got = Multimodal.aviMjpegFrames(avi)
+    assert(got.size == 3, got.size.toString)
+    got.zip(frames).foreach { case ((off, fb), orig) =>
+      assert(fb.sameElements(orig))
+      assert(avi(off.toInt) == 0xFF.toByte && avi(off.toInt + 1) == 0xD8.toByte)
+      val img = Multimodal.decodeImage(fb).get
+      assert(img.getWidth == 16 && img.getHeight == 12)
+    }
+    val vf = Multimodal.videoFeatures(avi).get
+    assert(vf(0) == 3f && vf(1) == 16f && vf(2) == 12f)
+    assert(vf(4) > 30f, s"rising brightness must register as motion: ${vf(4)}")
+    // still frames (identical) -> zero motion
+    val still = "RIFF".getBytes("US-ASCII") ++ {
+      val b = "AVI ".getBytes("US-ASCII") ++ list("hdrl", avih) ++
+        list("movi", Seq.fill(2)(chunk("00dc", jpegFrame(99))).reduce(_ ++ _))
+      le32(b.length) ++ b
+    }
+    assert(Multimodal.videoFeatures(still).get(4) == 0f)
+    // junk and imageless AVIs stay undecoded
+    assert(Multimodal.videoFeatures("RIFFxxxx".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.aviMjpegFrames(jpegFrame(10)).isEmpty)
+    // end-to-end: extractFeatures marks the AVI decoded; frameOffsets
+    // returns the REAL chunk positions for AVI, even-spaced bytes else
+    val media = Seq(("v1", "video", avi), ("x1", "video", "zzz".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(feats == Map("v1" -> true, "x1" -> false))
+    val offs = Multimodal.frameOffsets(media, 2).collect()
+      .map(r => r.getAs[String]("media_id") -> r.getAs[scala.collection.Seq[Long]]("frame_offsets")).toMap
+    assert(offs("v1").size == 2 &&
+      offs("v1").forall(o => avi(o.toInt) == 0xFF.toByte), offs("v1").toString)
+    assert(offs("x1") == Seq(0L, 1L))
+  }
+
   test("image near-dup at bucket scale: imageEmbeddings -> LSH buckets -> pair verify") {
     import spark.implicits._
     // 40 images in 8 visual families (same pattern, tiny noise) + PNG/BMP
