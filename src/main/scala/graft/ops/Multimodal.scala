@@ -88,7 +88,41 @@ object Multimodal {
       None
     } else if (n >= 30 && b(0) == 'B' && b(1) == 'M')
       Some(("bmp", le32(18), math.abs(le32(22)), le16(28)))
-    else None
+    else if (n >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+         (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))) {
+      // TIFF: endian-tagged IFD walk for ImageWidth(256) /
+      // ImageLength(257) / BitsPerSample(258). Entry values are
+      // left-justified in the 4-byte value field; SHORT under MM sits
+      // in the high half. Multi-count BitsPerSample lives at an offset
+      // (read first sample when in bounds; default 8).
+      val le = b(0) == 'I'
+      def u16(i: Int) = if (le) le16(i) else be16(i)
+      def u32(i: Int) = if (le) le32(i) else be32(i)
+      val ifd = u32(4)
+      if (ifd < 0 || ifd + 2 > n) return None
+      val cnt = u16(ifd)
+      var w = -1; var h = -1; var d = 8
+      var e = 0
+      while (e < cnt) {
+        val off = ifd + 2 + e * 12
+        if (off + 12 > n) return None
+        val tag = u16(off); val typ = u16(off + 2); val vc = u32(off + 4)
+        def inlineVal =
+          if (typ == 3) u16(off + 8) // SHORT, left-justified
+          else u32(off + 8) // LONG
+        tag match {
+          case 256 => w = inlineVal
+          case 257 => h = inlineVal
+          case 258 =>
+            if (vc == 1) d = inlineVal
+            else { val p = u32(off + 8); if (p >= 0 && p + 2 <= n) d = u16(p) }
+          case _ => ()
+        }
+        e += 1
+      }
+      if (w > 0 && h > 0) Some(("tiff", w, h, d)) else None
+    } else None
   }
 
   /** [[headerDecode]] as a Catalyst InternalRow (null when unrecognized)

@@ -257,10 +257,25 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.headerDecode(gif3x2).contains(("gif", 3, 2, 8)))
     assert(Multimodal.headerDecode(jpegApp0).contains(("jpeg", 3, 2, 8)))
     assert(Multimodal.headerDecode(bmp).contains(("bmp", 5, 4, 24)))
+    // TIFF, both byte orders: ImageIO-written (real container, LE or BE
+    // per writer default) and a hand-assembled big-endian IFD
+    val timg = new java.awt.image.BufferedImage(7, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val to = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(timg, "tiff", to)
+    val realTiff = Multimodal.headerDecode(to.toByteArray)
+    assert(realTiff.exists(t => t._1 == "tiff" && t._2 == 7 && t._3 == 4), realTiff.toString)
+    val tiffBE = hx("4D4D 002A 00000008" + // MM, 42, IFD at 8
+      " 0003" + // 3 entries
+      " 0100 0003 00000001 00050000" + // ImageWidth SHORT 5 (high half)
+      " 0101 0004 00000001 00000003" + // ImageLength LONG 3
+      " 0102 0003 00000001 00100000" + // BitsPerSample SHORT 16
+      " 00000000")
+    assert(Multimodal.headerDecode(tiffBE).contains(("tiff", 5, 3, 16)))
     // unrecognized / truncated -> None (and null through the Expression)
     assert(Multimodal.headerDecode("not an image".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.headerDecode(hx("89504E47")).isEmpty)
     assert(Multimodal.headerDecode(hx("FFD8FFC0")).isEmpty)
+    assert(Multimodal.headerDecode(hx("49492A00 10000000")).isEmpty) // IFD out of range
     val rows = Seq(("png", png1x1), ("gif", gif3x2), ("jpeg", jpegApp0),
       ("bmp", bmp), ("junk", "zzz".getBytes("UTF-8")))
     val got = rows.toDF("name", "payload")
