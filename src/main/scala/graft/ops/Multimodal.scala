@@ -57,7 +57,12 @@ object Multimodal {
     * (segment scan to the first SOFn marker: big-endian h/w, precision
     * byte); BMP (BITMAPINFOHEADER little-endian w/h, bpp).
     */
-  def headerDecode(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+  def headerDecode(b: Array[Byte]): Option[(String, Int, Int, Int)] =
+    // belt-and-braces: the walkers bound every read in Long math, but the
+    // contract is None-on-corrupt, never an executor-killing throw
+    try headerDecodeImpl(b) catch { case _: RuntimeException => None }
+
+  private def headerDecodeImpl(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
     def be16(i: Int) = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
     def be32(i: Int) = ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
       ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
@@ -99,14 +104,19 @@ object Multimodal {
       val le = b(0) == 'I'
       def u16(i: Int) = if (le) le16(i) else be16(i)
       def u32(i: Int) = if (le) le32(i) else be32(i)
-      val ifd = u32(4)
-      if (ifd < 0 || ifd + 2 > n) return None
+      // All bounds math in Long: u32 values are UNTRUSTED and may sit
+      // anywhere in [0, 2^32); Int arithmetic like `ifd + 2 > n`
+      // overflows for offsets near Int.MaxValue and lets a corrupt
+      // 8-byte payload reach an out-of-bounds read (ADVICE r5 high).
+      val ifdL = u32(4) & 0xFFFFFFFFL
+      if (ifdL + 2 > n) return None
+      val ifd = ifdL.toInt
       val cnt = u16(ifd)
       var w = -1; var h = -1; var d = 8
       var e = 0
       while (e < cnt) {
-        val off = ifd + 2 + e * 12
-        if (off + 12 > n) return None
+        val off = ifd + 2 + e * 12 // ifd <= n-2 and cnt < 2^16, no overflow
+        if (off + 12L > n) return None
         val tag = u16(off); val typ = u16(off + 2); val vc = u32(off + 4)
         def inlineVal =
           if (typ == 3) u16(off + 8) // SHORT, left-justified
@@ -116,7 +126,10 @@ object Multimodal {
           case 257 => h = inlineVal
           case 258 =>
             if (vc == 1) d = inlineVal
-            else { val p = u32(off + 8); if (p >= 0 && p + 2 <= n) d = u16(p) }
+            else {
+              val p = u32(off + 8) & 0xFFFFFFFFL
+              if (p + 2 <= n) d = u16(p.toInt)
+            }
           case _ => ()
         }
         e += 1
@@ -282,8 +295,12 @@ object Multimodal {
       var i = start
       while (i + 8 <= end) {
         val cc = fourcc(i)
+        // chunk size is an UNTRUSTED le32: compare as unsigned in Long —
+        // Int math `i + 8 + sz` overflows for sizes near 2^31 and lets a
+        // crafted 24-byte AVI drive a negative index (ADVICE r5 high).
+        // After the guard, i + 8 + sz <= end fits in Int.
         val sz = le32(i + 4)
-        if (sz < 0 || i + 8 + sz > end) return // truncated/corrupt: stop
+        if (i + 8L + (sz & 0xFFFFFFFFL) > end) return // truncated/corrupt: stop
         if (cc == "LIST" && sz >= 4) walk(i + 12, i + 8 + sz)
         else if (cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
             (cc.substring(2) == "dc" || cc.substring(2) == "db") && sz >= 2 &&
@@ -292,7 +309,9 @@ object Multimodal {
         i += 8 + sz + (sz & 1) // chunks pad to even
       }
     }
-    walk(12, n)
+    // defense in depth: never let a corrupt container kill the task —
+    // yield the frames collected before the walk went wrong
+    try walk(12, n) catch { case _: RuntimeException => () }
     frames.toVector
   }
 

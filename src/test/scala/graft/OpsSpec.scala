@@ -276,6 +276,31 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.headerDecode(hx("89504E47")).isEmpty)
     assert(Multimodal.headerDecode(hx("FFD8FFC0")).isEmpty)
     assert(Multimodal.headerDecode(hx("49492A00 10000000")).isEmpty) // IFD out of range
+    // adversarial untrusted offsets near Int.MaxValue: Int bounds math
+    // would overflow and index out of bounds (ADVICE r5 highs) — must
+    // return None / Nil, never throw
+    assert(Multimodal.headerDecode(hx("49492A00 FEFFFF7F")).isEmpty) // IFD 0x7FFFFFFE
+    assert(Multimodal.headerDecode(hx("49492A00 FFFFFFFF")).isEmpty) // IFD 2^32-1 (unsigned)
+    assert(Multimodal.headerDecode(hx("4D4D002A 7FFFFFFE")).isEmpty) // BE variant
+    // BitsPerSample count 2 -> value field is a POINTER, here 0x7FFFFFFE
+    val tiffBadBps = hx("49492A00 08000000" +
+      " 0300" +
+      " 0001 0300 01000000 05000000" + // ImageWidth 5
+      " 0101 0300 01000000 03000000" + // ImageLength 3
+      " 0201 0300 02000000 FEFFFF7F" + // BitsPerSample ptr near Int.MaxValue
+      " 00000000")
+    assert(Multimodal.headerDecode(tiffBadBps).contains(("tiff", 5, 3, 8)),
+      Multimodal.headerDecode(tiffBadBps).toString) // ptr ignored, depth defaults
+    // crafted 24-byte AVI whose chunk size is 0x7FFFFFFE: the walk must
+    // stop (truncated), not crash with a negative index
+    val badAvi = "RIFF".getBytes("US-ASCII") ++ hx("10000000") ++
+      "AVI ".getBytes("US-ASCII") ++ "00dc".getBytes("US-ASCII") ++
+      hx("FEFFFF7F") ++ hx("FFD80000")
+    assert(badAvi.length == 24)
+    assert(Multimodal.aviMjpegFrames(badAvi).isEmpty)
+    assert(Multimodal.videoFeatures(badAvi).isEmpty)
+    assert(Multimodal.frameOffsets(Seq(("bad", "video", badAvi))
+      .toDF("media_id", "kind", "payload"), 2).count() == 1)
     val rows = Seq(("png", png1x1), ("gif", gif3x2), ("jpeg", jpegApp0),
       ("bmp", bmp), ("junk", "zzz".getBytes("UTF-8")))
     val got = rows.toDF("name", "payload")
