@@ -186,7 +186,7 @@ object DedupBench {
     * checks the survivor count equals the batch funnel's.
     */
   def runCurateStream(cpus: Int, nDocs: Long, dupGroup: Int,
-                      batches: Int): (Double, Long, Long) = {
+                      batches: Int, compactEvery: Int = 0): (Double, Long, Long) = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-curate-stream-$cpus")
@@ -223,7 +223,8 @@ object DedupBench {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
           graft.streaming.StreamingCuration.processBatch(
-            b, id, s"$base/out", "doc_id", "text", cfg)
+            b, id, s"$base/out", "doc_id", "text", cfg,
+            compactEvery = compactEvery)
         }
         .start()
       q.awaitTermination()
@@ -244,9 +245,11 @@ object DedupBench {
       val cpus = if (args.length > 2) args(2).toInt else 32
       val dupGroup = if (args.length > 3) args(3).toInt else 5
       val batches = if (args.length > 4) args(4).toInt else 10
-      runCurateStream(cpus, 5000, dupGroup, 2) // warmup
-      val (t, kept, keptBatch) = runCurateStream(cpus, nDocs, dupGroup, batches)
-      println(f"""{"metric":"curate_stream_docs_per_sec","value":${nDocs / t}%.1f,"unit":"docs/sec","docs":$nDocs,"cpus":$cpus,"batches":$batches,"t_sec":$t%.1f,"kept":$kept,"kept_batch":$keptBatch,"parity":${kept == keptBatch}}""")
+      val compactEvery = if (args.length > 5) args(5).toInt else 0
+      runCurateStream(cpus, 5000, dupGroup, 2, compactEvery) // warmup
+      val (t, kept, keptBatch) =
+        runCurateStream(cpus, nDocs, dupGroup, batches, compactEvery)
+      println(f"""{"metric":"curate_stream_docs_per_sec","value":${nDocs / t}%.1f,"unit":"docs/sec","docs":$nDocs,"cpus":$cpus,"batches":$batches,"compact_every":$compactEvery,"t_sec":$t%.1f,"kept":$kept,"kept_batch":$keptBatch,"parity":${kept == keptBatch}}""")
       return
     }
     if (args.headOption.exists(a => a == "--curate" || a == "--curate-full")) {

@@ -51,6 +51,9 @@ object RunCurate {
     require(args.length >= 2, "usage: RunCurate <docsParquet> <outDir> [idCol] [textCol] [flags...]")
     val (in, out) = (args(0), args(1))
     val positional = args.drop(2).takeWhile(!_.startsWith("--"))
+    require(positional.length <= 2,
+      s"unexpected positional args ${positional.drop(2).mkString(" ")} — " +
+        "usage: RunCurate <docsParquet> <outDir> [idCol] [textCol] [flags...]")
     val idCol = if (positional.length > 0) positional(0) else "doc_id"
     val textCol = if (positional.length > 1) positional(1) else "text"
     // --decontam <benchParquet> is runtime data, not config: strip it

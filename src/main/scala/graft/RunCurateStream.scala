@@ -14,7 +14,12 @@ import org.apache.spark.sql.SparkSession
   * --min-words --max-words --fraction --line-min-len --excise
   * --excise-min-len --decontam <benchParquet> --decontam-ngram
   * --no-*) plus --continuous <intervalMs> to keep watching instead of
-  * the default AvailableNow backfill-and-exit.
+  * the default AvailableNow backfill-and-exit, --compact-every <K>
+  * to fold the claim sidecars into their sorted base every K batches
+  * (keeps per-batch sidecar reads bounded on a long run), and
+  * --max-files <N> to pace the backfill N files per micro-batch
+  * (without it AvailableNow takes the whole backlog as one batch and
+  * compaction never engages).
   */
 object RunCurateStream {
   def main(args: Array[String]): Unit = {
@@ -32,10 +37,21 @@ object RunCurateStream {
           require(i + 1 < flags.length, s"$name needs a value")
           (Some(flags(i + 1)), flags.take(i) ++ flags.drop(i + 2))
       }
+    require(positional.length <= 2,
+      s"unexpected positional args ${positional.drop(2).mkString(" ")} — " +
+        "usage: RunCurateStream <docsDir> <outDir> [idCol] [textCol] [flags...]")
     val (benchPath, flags1) = strip(flags0, "--decontam")
-    val (intervalMs, flags) = strip(flags1, "--continuous")
+    val (intervalMs, flags2) = strip(flags1, "--continuous")
+    val (compactEvery, flags3) = strip(flags2, "--compact-every")
+    val (maxFiles, flags) = strip(flags3, "--max-files")
     val cfg = RunCurate.parseConfig(flags)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // readStream needs a DIRECTORY as its basePath; a single parquet
+    // file fails deep inside the source with an obscure error, so catch
+    // the ergonomics trap here
+    require(!java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(in)),
+      s"docsDir must be a directory of parquet files, got a single file: $in — " +
+        "pass its parent directory (readStream watches a basePath)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-curate-stream")
@@ -53,7 +69,9 @@ object RunCurateStream {
         case None => org.apache.spark.sql.streaming.Trigger.AvailableNow()
       }
       val q = graft.streaming.StreamingCuration.start(
-        spark, in, out, idCol, textCol, cfg, bench, trigger)
+        spark, in, out, idCol, textCol, cfg, bench, trigger,
+        compactEvery.map(_.toInt).getOrElse(0),
+        maxFiles.map(_.toInt).getOrElse(0))
       q.awaitTermination()
       val kept = spark.read.parquet(s"$out/curated").count()
       println(s"""{"metric":"curate_stream","n_kept":$kept,"out":"$out/curated"}""")

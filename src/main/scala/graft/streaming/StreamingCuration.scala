@@ -36,10 +36,99 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * line-hash shuffle, one ownership shuffle) plus two sidecar
   * anti-joins that read only hash columns; sidecar volume is the
   * distinct-hash stream, append-only, prunable by batch partition.
+  * Without maintenance each batch would re-list and re-read EVERY
+  * earlier batch's claim partitions — O(batches · corpus) over a run —
+  * so [[compactSidecars]] periodically folds committed partitions into
+  * a sorted base partition (`batch=-1`), keeping the per-batch read at
+  * base + recent batches (the [[graft.Pipeline.compactCommits]]
+  * pattern applied to all three claim domains). Wire it in with
+  * `compactEvery` on [[start]]/[[processBatch]].
   */
 object StreamingCuration {
 
   import graft.ops.Curation.CurateConfig
+
+  /** (sidecar dir name, its hash column) for the three claim domains. */
+  private val Sidecars =
+    Seq("_lines_seen" -> "lh", "_ngrams_seen" -> "nh", "_texts_seen" -> "th")
+
+  /** Fold the claim partitions of batches `0..upToBatch` (plus any
+    * existing base) into ONE sorted base partition `batch=-1` per
+    * sidecar, then delete the folded originals. `batch=-1` sorts below
+    * every real batch id, so the read path's `batch < batchId` replay
+    * guard includes the base unchanged.
+    *
+    * Safety contract (mirrors [[graft.Pipeline.compactCommits]]):
+    *  - ONLY COMMITTED batches may be folded: callers pass
+    *    `upToBatch = currentBatchId - 1` — in Structured Streaming the
+    *    engine has committed every batch below the one being processed,
+    *    so no folded batch can ever replay. The in-flight batch's own
+    *    partition is never touched, so ITS replay guard (own claims
+    *    excluded via `batch < batchId`) is preserved. Rewinding the
+    *    checkpoint behind a completed compaction is out of contract
+    *    (exactly as for the doc-commit sidecar).
+    *  - Crash-safe by superset: write the compacted copy to a temp dir,
+    *    move it INTO `batch=-1`, and only then delete the snapshotted
+    *    originals. After any prefix of those steps the sidecar holds a
+    *    superset (possibly duplicated) of the folded claims — harmless,
+    *    because every reader `.distinct()`s the claim set — and a rerun
+    *    of compaction converges it back to exactly-once rows.
+    *
+    * At 10^12 docs this is the difference between a bounded read
+    * (sorted base + a handful of recent partitions) and an unbounded
+    * O(batches) listing; run it every K batches (`compactEvery`).
+    */
+  def compactSidecars(spark: SparkSession, outDir: String, upToBatch: Long,
+                      targetBytesPerFile: Long = 64L * 1024 * 1024): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (upToBatch < 0) return
+    for ((name, hashCol) <- Sidecars) {
+      val root = new Path(s"$outDir/$name")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) {
+        def isData(p: Path) = !p.getName.startsWith("_") && !p.getName.startsWith(".")
+        val baseDir = new Path(root, "batch=-1")
+        // snapshot exactly what this run reads, replaces, and deletes
+        val foldDirs = fs.listStatus(root).filter { s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch=") && {
+            val b = s.getPath.getName.stripPrefix("batch=").toLong
+            b >= 0 && b <= upToBatch
+          }
+        }.map(_.getPath)
+        val baseFiles =
+          if (fs.exists(baseDir))
+            fs.listStatus(baseDir).filter(f => f.isFile && isData(f.getPath)).map(_.getPath)
+          else Array.empty[Path]
+        val foldFiles = foldDirs.flatMap(d =>
+          fs.listStatus(d).filter(f => f.isFile && isData(f.getPath)))
+        if (foldFiles.isEmpty) // nothing to fold; drop any empty partitions
+          foldDirs.foreach(d => fs.delete(d, true))
+        else {
+          val bytes = foldFiles.map(_.getLen).sum +
+            baseFiles.map(fs.getFileStatus(_).getLen).sum
+          val nOut = math.max(1L, bytes / targetBytesPerFile).toInt
+          val claims = spark.read.parquet(
+            (foldFiles.map(_.getPath) ++ baseFiles).map(_.toString).toIndexedSeq: _*)
+            .select(hashCol).distinct()
+          val stamp = java.util.UUID.randomUUID().toString.take(8)
+          val tmp = new Path(s"$outDir/.${name}_compact_tmp-$stamp")
+          fs.delete(tmp, true)
+          claims.repartitionByRange(nOut, col(hashCol)).sortWithinPartitions(hashCol)
+            .write.mode("overwrite").parquet(tmp.toString)
+          fs.mkdirs(baseDir)
+          fs.listStatus(tmp).filter(f => f.isFile && isData(f.getPath))
+            .zipWithIndex.foreach { case (f, i) =>
+              require(fs.rename(f.getPath, new Path(baseDir, s"compact-$stamp-$i.parquet")),
+                s"compactSidecars: cannot move in ${f.getPath}")
+            }
+          // delete ONLY the snapshotted originals (move-in completed)
+          baseFiles.foreach(p => fs.delete(p, false))
+          foldDirs.foreach(d => fs.delete(d, true))
+          fs.delete(tmp, true)
+        }
+      }
+    }
+  }
 
   /** One micro-batch through the funnel with sidecar state under
     * `outDir`. Exposed (not private) so the idempotency property is
@@ -48,10 +137,37 @@ object StreamingCuration {
   def processBatch(batch: DataFrame, batchId: Long, outDir: String,
                    idCol: String, textCol: String,
                    cfg: CurateConfig,
-                   bench: Option[DataFrame] = None): Unit = {
+                   bench: Option[DataFrame] = None,
+                   compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
+    // Each sidecar write plus the final curated write is its own action;
+    // pin the frames shared between them so the heavy shuffles (line
+    // dedup, n-gram excision, decontam join) execute once per batch, not
+    // once per action (RunCurate's localCheckpoint pattern, with an
+    // explicit unpersist so a long-running stream holds no cache across
+    // batches).
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += p
+      p
+    }
+    try {
+      processBatchImpl(batch, batchId, outDir, idCol, textCol, cfg, bench, pin)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        compactSidecars(spark, outDir, batchId - 1) // only committed batches
+    } finally pinned.foreach(_.unpersist(false))
+  }
+
+  private def processBatchImpl(batch: DataFrame, batchId: Long, outDir: String,
+                               idCol: String, textCol: String,
+                               cfg: CurateConfig,
+                               bench: Option[DataFrame],
+                               pin: DataFrame => DataFrame): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
 
     def sidecar(name: String): Option[DataFrame] = {
       val path = s"$outDir/$name"
@@ -91,14 +207,14 @@ object StreamingCuration {
         // NO broadcast hint on the seen side: it grows with the corpus
         // (AQE picks the strategy; at 10^12 docs this is a shuffled
         // left join keyed by the 16-byte hash)
-        val keepDf = seenSet match {
+        val keepDf = pin(seenSet match {
           case Some(s) => marked.join(s.withColumnRenamed("lh", "_lh")
               .withColumn("_seen", lit(true)), Seq("_lh"), "left")
             .withColumn("keep",
               col("keep") && !(col("elig") && coalesce(col("_seen"), lit(false))))
             .drop("_seen")
           case None => marked
-        }
+        })
         // record this batch's newly-claimed eligible line hashes
         val newClaims = keepDf.filter(col("elig")).select(col("_lh").as("lh")).distinct()
         val toWrite = seenSet match {
@@ -122,7 +238,8 @@ object StreamingCuration {
       if (!cfg.excise) curated
       else {
         val n = cfg.exciseMinLen
-        val toks = curated.select(col(idCol),
+        val curatedP = pin(curated) // the line groupBy feeds occ AND the rebuild
+        val toks = curatedP.select(col(idCol),
           split(col("text_curated"), "\\s+").as("_ts"))
         val occ = graft.ops.Dedup.ngramOccurrences(toks, idCol, n)
           .withColumn("_nh", md5(col("ng")))
@@ -176,7 +293,7 @@ object StreamingCuration {
     // stage 4b (optional): decontamination is STATELESS (the bench
     // n-gram set is static and broadcasts) — per-batch application IS
     // the batch rule, no sidecar needed
-    val withDecontam = bench match {
+    val withDecontam = pin(bench match {
       case None => withGopher.withColumn("keep_decontam", lit(true))
       case Some(b) =>
         val hits = graft.ops.TextAnalysis.decontaminate(
@@ -187,7 +304,7 @@ object StreamingCuration {
         withGopher.join(hits, Seq(idCol), "left")
           .withColumn("keep_decontam", col("_nh").isNull)
           .drop("_nh")
-    }
+    })
 
     // stage 5: exact dedup — in-batch ownership over survivors +
     // cross-batch anti-join on earlier batches' surviving hashes
@@ -242,14 +359,22 @@ object StreamingCuration {
             idCol: String = "doc_id", textCol: String = "text",
             cfg: CurateConfig = CurateConfig(),
             bench: Option[DataFrame] = None,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            compactEvery: Int = 0,
+            maxFilesPerTrigger: Int = 0): StreamingQuery = {
     val schema = spark.read.parquet(docsDir).schema
-    spark.readStream.schema(schema).parquet(docsDir)
+    val reader = spark.readStream.schema(schema)
+    // pacing: without it AvailableNow takes the whole backlog as ONE
+    // micro-batch — fine for parity, but periodic compaction and bounded
+    // per-batch memory need the backfill chunked
+    val paced = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else reader
+    paced.parquet(docsDir)
       .writeStream
       .option("checkpointLocation", s"$outDir/ckpt")
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        processBatch(b, id, outDir, idCol, textCol, cfg, bench)
+        processBatch(b, id, outDir, idCol, textCol, cfg, bench, compactEvery)
       }
       .start()
   }

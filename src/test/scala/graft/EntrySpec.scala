@@ -33,4 +33,21 @@ class EntrySpec extends AnyFunSuite {
       assert(m("q26_make_id").contains("VALUES") && m("q27_ivf_kmeans").contains("VALUES"))
     } finally graft.queries.Queries.oracleSfDir = None
   }
+
+  test("entry-point arg guards fail fast: stray positionals, single-file docs path") {
+    // a single parquet FILE is not a valid readStream basePath — the
+    // entry must say so instead of failing deep inside the source
+    val f = java.nio.file.Files.createTempFile("docs", ".parquet")
+    val ex = intercept[IllegalArgumentException] {
+      RunCurateStream.main(Array(f.toString, "/tmp/out_nope"))
+    }
+    assert(ex.getMessage.contains("directory"), ex.getMessage)
+    // a typo'd flag without leading dashes must error, not be swallowed
+    intercept[IllegalArgumentException] {
+      RunCurateStream.main(Array("/tmp/in", "/tmp/out", "id", "text", "stray"))
+    }
+    intercept[IllegalArgumentException] {
+      RunCurate.main(Array("/tmp/in", "/tmp/out", "id", "text", "no-gopher"))
+    }
+  }
 }

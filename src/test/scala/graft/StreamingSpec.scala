@@ -591,6 +591,118 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size == 5)
   }
 
+  test("sidecar compaction: parity + replay idempotency preserved, folded partitions gone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("scurcomp").toString
+    val de = "der hund und die katze ist nicht ein freund aber das wetter ist gut und alle sind froh heute"
+    def enDoc(i: Long) =
+      s"the measurement number $i of this series has finished and the result " +
+        "of all tests is good so we have recorded it with great care today"
+    def text(i: Long): String = i match {
+      case 4L => enDoc(3)      // in-batch dup (batch 0)
+      case 21L => enDoc(5)     // cross-batch dup whose claim gets COMPACTED
+      case 35L => enDoc(8)     // dup across a later compaction boundary
+      case 7L | 27L => de
+      case 9L => null
+      case _ => enDoc(i)
+    }
+    def df(ids: Range) = ids.map(i => (i.toLong, {
+      val t = text(i); if (t == null) null else "SHARED BOILERPLATE NAVIGATION LINE\n" + t
+    })).toDF("doc_id", "text")
+    val cfg = graft.ops.Curation.CurateConfig(
+      keepLangs = Set("en"), minWords = 10, sampleFraction = 0.8)
+    // four doc-ordered micro-batches with compaction after every one:
+    // by the end each sidecar holds base (batch=-1) + the latest batch
+    for (b <- 0 until 4) {
+      df(b * 10 until (b + 1) * 10).write.mode("append").parquet(s"$base/docs")
+      graft.streaming.StreamingCuration.start(spark, s"$base/docs", s"$base/out",
+        cfg = cfg, compactEvery = 1).awaitTermination()
+    }
+    val streamed = spark.read.parquet(s"$base/out/curated")
+      .select("doc_id", "text_curated").as[(Long, String)].collect().toMap
+    val batch = graft.ops.Curation.curate(df(0 until 40), "doc_id", "text", cfg)
+      .as[(Long, String)].collect().toMap
+    assert(streamed == batch,
+      s"missing=${batch.keySet -- streamed.keySet} extra=${streamed.keySet -- batch.keySet}")
+    // the cross-compaction dedup decisions really happened through the
+    // base: the later copies lose to claims that were folded into it
+    // (the winners 5 and 8 may themselves be sampled out — stage 6 —
+    // but their line claims precede sampling, so the losers always drop)
+    assert(!batch.contains(21L) && !batch.contains(35L))
+    // folded: each sidecar holds only batch=-1 and the latest partition
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    for (name <- Seq("_lines_seen", "_texts_seen")) {
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/out/$name"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      assert(parts.contains("batch=-1"), s"$name: $parts")
+      assert(!parts.exists(p => p.startsWith("batch=") &&
+        p.stripPrefix("batch=").toLong >= 0 &&
+        p.stripPrefix("batch=").toLong < 3), s"$name not folded: $parts")
+    }
+    // replaying the newest (possibly-uncommitted) batch AFTER compaction
+    // stays idempotent: its own partition was never folded
+    val before = spark.read.parquet(s"$base/out/curated").count()
+    val linesBefore = spark.read.parquet(s"$base/out/_lines_seen").count()
+    graft.streaming.StreamingCuration.processBatch(
+      df(30 until 40), 3L, s"$base/out", "doc_id", "text", cfg,
+      compactEvery = 1)
+    assert(spark.read.parquet(s"$base/out/curated").count() == before)
+    assert(spark.read.parquet(s"$base/out/_lines_seen").count() == linesBefore)
+    assert(spark.read.parquet(s"$base/out/curated")
+      .select("doc_id", "text_curated").as[(Long, String)].collect().toMap == batch)
+    // compaction is rerunnable and converges: claims stay exactly-once
+    graft.streaming.StreamingCuration.compactSidecars(spark, s"$base/out", 2L)
+    val lh = spark.read.parquet(s"$base/out/_lines_seen").select("lh")
+    assert(lh.count() == lh.distinct().count())
+  }
+
+  test("out-of-order batches: first-seen-by-arrival, one survivor per class, replay idempotent") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("scurooo").toString
+    def enDoc(i: Long) =
+      s"the measurement number $i of this series has finished and the result " +
+        "of all tests is good so we have recorded it with great care today"
+    def text(i: Long): String = i match {
+      case 4L => enDoc(3)   // in-batch dup, both in the LATER-arriving batch
+      case 21L => enDoc(5)  // dup class split across batches
+      case _ => enDoc(i)
+    }
+    def df(ids: Range) = ids.map(i =>
+      (i.toLong, "SHARED BOILERPLATE NAVIGATION LINE\n" + text(i)))
+      .toDF("doc_id", "text")
+    val cfg = graft.ops.Curation.CurateConfig(minWords = 10)
+    // ARRIVAL order inverts doc order: ids 20-39 land as batch 0,
+    // ids 0-19 as batch 1
+    df(20 until 40).write.parquet(s"$base/docs")
+    graft.streaming.StreamingCuration.start(spark, s"$base/docs", s"$base/out",
+      cfg = cfg).awaitTermination()
+    df(0 until 20).write.mode("append").parquet(s"$base/docs")
+    graft.streaming.StreamingCuration.start(spark, s"$base/docs", s"$base/out",
+      cfg = cfg).awaitTermination()
+    val streamed = spark.read.parquet(s"$base/out/curated")
+      .select("doc_id", "text_curated").as[(Long, String)].collect().toMap
+    // DIVERGES from the batch rule (DIVERGENCES.md): the batch operator's
+    // global min-id owner would keep 5 and drop 21; under out-of-order
+    // arrival the FIRST-ARRIVING copy owns the class
+    assert(streamed.contains(21L) && !streamed.contains(5L), streamed.keySet.toString)
+    // within one batch the batch rule still applies: 3 beats 4
+    assert(streamed.contains(3L) && !streamed.contains(4L))
+    // exactly one survivor per content class (no class lost, none doubled)
+    assert(streamed.values.toSeq.distinct.size == streamed.size)
+    assert(streamed.size == 38, streamed.size.toString) // 40 - one per dup class
+    // the boilerplate line is owned by the first ARRIVING batch's min (id,idx)
+    assert(streamed(20L).contains("BOILERPLATE"))
+    assert(Seq(0L, 1L, 21L, 30L).forall(i => !streamed(i).contains("BOILERPLATE")))
+    // replay of either batch is still idempotent
+    graft.streaming.StreamingCuration.processBatch(
+      df(0 until 20), 1L, s"$base/out", "doc_id", "text", cfg)
+    val streamed2 = spark.read.parquet(s"$base/out/curated")
+      .select("doc_id", "text_curated").as[(Long, String)].collect().toMap
+    assert(streamed2 == streamed)
+  }
+
   test("TTL'd streaming excision: an n-gram claim expires and re-admits") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
