@@ -216,21 +216,40 @@ object DedupBench {
       val cfg = graft.ops.Curation.CurateConfig(minWords = 5)
       val t0 = System.nanoTime()
       val schema = docs.schema
+      // per-batch wall times: the honest flatness evidence is the
+      // TRAJECTORY at constant batch size — late batches carry the full
+      // claim history, so late/early per-batch time isolates the
+      // history-growth term from the fixed micro-batch floor
+      val perBatch = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/docs")
         .writeStream
         .option("checkpointLocation", s"$base/out/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val s0 = System.nanoTime()
           graft.streaming.StreamingCuration.processBatch(
             b, id, s"$base/out", "doc_id", "text", cfg,
             compactEvery = compactEvery)
+          perBatch.add(id -> (System.nanoTime() - s0) / 1e9)
+          ()
         }
         .start()
       q.awaitTermination()
       val t = (System.nanoTime() - t0) / 1e9
       val kept = spark.read.parquet(s"$base/out/curated").count()
       val keptBatch = graft.ops.Curation.curate(docs, "doc_id", "text", cfg).count()
+      val times = perBatch.toArray(Array.empty[(Long, Double)]).sortBy(_._1).map(_._2)
+      val k = math.min(10, times.length / 2)
+      if (k > 0) {
+        // medians: robust to host noise and to the periodic fold batch
+        def med(xs: Array[Double]) = {
+          val s = xs.sorted; s(s.length / 2)
+        }
+        val early = med(times.slice(1, 1 + k)) // skip batch 0 (JIT/warm)
+        val late = med(times.takeRight(k))
+        println(f"""{"metric":"curate_stream_per_batch","early$k%d_med_sec":$early%.2f,"late$k%d_med_sec":$late%.2f,"late_over_early":${late / early}%.2f,"batches":${times.length}}""")
+      }
       (t, kept, keptBatch)
     } finally {
       spark.stop()

@@ -555,6 +555,41 @@ object StreamingPipeline {
     * append path for single-run bounded backfills where replays are
     * acceptable or impossible.
     */
+  /** Streaming triples into a [[graft.table.SnapTable]] with the micro-
+    * batch id as the snapshot watermark: one manifest commit makes DATA
+    * and PROGRESS atomic, so a batch replayed after a crash (sink ahead
+    * of the checkpoint) is detected by watermark comparison and skipped
+    * WHOLE — exactly-once without [[startBucketed]]'s per-batch
+    * doc-commit anti-join. This is the north star's "resumable from
+    * snapshot checkpoints" shape realized on the engine's own
+    * snapshot-manifest layer: restart cost is one manifest read (not a
+    * table scan), per-file `pred` bounds land in the manifest for
+    * predicate-pruned reads, and [[graft.table.SnapTable.rewrite]]
+    * compacts the accumulated small files with snapshot isolation.
+    */
+  def startSnap(spark: SparkSession, docsDir: String, tableRoot: String,
+                checkpointDir: String,
+                dict: org.apache.spark.broadcast.Broadcast[graft.link.UnitDict]): StreamingQuery = {
+    implicit val docEnc = Encoders.product[graft.ingest.Doc]
+    val docSchema = Encoders.product[graft.ingest.Doc].schema
+    val docs: Dataset[graft.ingest.Doc] = spark.readStream
+      .schema(docSchema).parquet(docsDir).as[graft.ingest.Doc]
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[graft.ingest.Doc], id: Long) =>
+        val committed = graft.table.SnapTable
+          .lastWatermark(spark, tableRoot).map(_.toLong)
+        if (!committed.exists(_ >= id)) {
+          val ts = Pipeline.triples(batch, dict).toDF()
+          graft.table.SnapTable.append(spark, tableRoot, ts,
+            watermark = Some(id.toString), statsCol = Some("pred"))
+        } // else: a replay of an already-committed batch — skip whole
+        ()
+      }
+      .start()
+  }
+
   def startBucketed(spark: SparkSession, docsDir: String, outDir: String,
                     checkpointDir: String,
                     dict: org.apache.spark.broadcast.Broadcast[graft.link.UnitDict],

@@ -886,6 +886,44 @@ class OpsSpec extends AnyFunSuite {
     assert(keptC == Set(3L), keptC.toString)
   }
 
+  test("approxPercentiles: within the published rank-error bound of the exact form") {
+    import spark.implicits._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ps = Seq(0.5, 0.9, 0.99)
+    val approx = graft.ops.Stats.approxPercentiles(
+      li, Seq("l_returnflag"), "l_quantity", ps, accuracy = 1000)
+    assert(approx.columns.toSeq == Seq("l_returnflag", "p50", "p90", "p99"))
+    val exact = li.groupBy("l_returnflag").agg(
+      expr("percentile(l_quantity, 0.5)").as("e50"),
+      expr("percentile(l_quantity, 0.9)").as("e90"),
+      expr("percentile(l_quantity, 0.99)").as("e99"),
+      count(lit(1)).as("n"))
+    // GK guarantee: the approx value's RANK is within n/accuracy of the
+    // target rank — verify via the group's empirical CDF, not the value
+    val joined = approx.join(exact, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    val vals = li.select(col("l_returnflag"), col("l_quantity").cast("double"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2).sorted }
+    for (r <- joined; (p, c) <- ps.zip(Seq("p50", "p90", "p99"))) {
+      val flag = r.getAs[String]("l_returnflag")
+      val sortedVals = vals(flag)
+      val n = sortedVals.length
+      val a = r.getAs[Double](c)
+      // ties: a repeated value occupies the rank interval
+      // [count(<a), count(<=a)]; GK guarantees the target rank is
+      // within n/accuracy of SOME rank in that interval
+      val rankLo = sortedVals.count(_ < a)
+      val rankHi = sortedVals.count(_ <= a)
+      val target = p * n
+      val err = n / 1000.0 + 1
+      assert(target >= rankLo - err && target <= rankHi + err,
+        s"$flag $c: rank interval [$rankLo,$rankHi] vs target $target (n=$n)")
+    }
+    // and the name mapping covers the fractional case
+    assert(graft.ops.Stats.pName(0.999) == "p99_9")
+  }
+
   test("RunCurate.parseConfig: every flag maps onto CurateConfig") {
     val cfg = graft.RunCurate.parseConfig(Seq(
       "--keep-langs", "en,de", "--lang-scorer", "trigram",

@@ -1,0 +1,183 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.table.SnapTable
+
+class SnapTableSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/tbl"
+
+  test("append/read roundtrip, lineage, and watermark resume") {
+    import spark.implicits._
+    val root = tmp("snap1")
+    val s1 = SnapTable.append(spark, root,
+      (1 to 100).map(i => (i.toLong, s"row$i")).toDF("id", "v"),
+      watermark = Some("batch-0"))
+    assert(s1.id == 1L && s1.op == "append" && s1.removed.isEmpty)
+    assert(s1.files.map(_.rows).sum == 100)
+    val s2 = SnapTable.append(spark, root,
+      (101 to 150).map(i => (i.toLong, s"row$i")).toDF("id", "v"),
+      watermark = Some("batch-1"))
+    assert(s2.id == 2L && s2.files.map(_.rows).sum == 150)
+    assert(s2.added.nonEmpty && s2.added.toSet.intersect(s1.added.toSet).isEmpty)
+    // the resume point is the last COMMITTED watermark
+    assert(SnapTable.lastWatermark(spark, root).contains("batch-1"))
+    val got = SnapTable.read(spark, root).select("id").as[Long].collect().toSet
+    assert(got == (1L to 150L).toSet)
+    // append without a watermark inherits the parent's
+    SnapTable.append(spark, root, Seq((151L, "x")).toDF("id", "v"))
+    assert(SnapTable.lastWatermark(spark, root).contains("batch-1"))
+  }
+
+  test("time travel: every snapshot stays readable until expired") {
+    import spark.implicits._
+    val root = tmp("snap2")
+    SnapTable.append(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    SnapTable.append(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    SnapTable.overwrite(spark, root, Seq((9L, "z")).toDF("id", "v"))
+    assert(SnapTable.snapshotIds(spark, root) == Seq(1L, 2L, 3L))
+    def ids(asOf: Long) = SnapTable.read(spark, root, Some(asOf))
+      .select("id").as[Long].collect().toSet
+    assert(ids(1) == Set(1L))
+    assert(ids(2) == Set(1L, 2L))
+    assert(ids(3) == Set(9L))
+    intercept[IllegalArgumentException] { SnapTable.read(spark, root, Some(7L)) }
+  }
+
+  test("rewrite: snapshot-isolated compaction — old readers consistent, data identical") {
+    import spark.implicits._
+    val root = tmp("snap3")
+    for (b <- 0 until 6)
+      SnapTable.append(spark, root,
+        (0 until 50).map(i => ((b * 50 + i).toLong, s"v$b-$i")).toDF("id", "v"),
+        statsCol = Some("id"))
+    val before = SnapTable.snapshot(spark, root).get
+    assert(before.id == 6L)
+    val nFilesBefore = before.files.length
+    // a reader resolved BEFORE the rewrite...
+    val oldView = SnapTable.read(spark, root, Some(before.id))
+    val compacted = SnapTable.rewrite(spark, root,
+      pick = _ => true,
+      rewriteAs = _.repartition(1).sortWithinPartitions("id"),
+      statsCol = Some("id")).get
+    assert(compacted.op == "rewrite" && compacted.files.length == 1)
+    assert(compacted.removed.length == nFilesBefore)
+    // ...still sees its full consistent state (old files live until expire)
+    assert(oldView.count() == 300)
+    assert(SnapTable.read(spark, root, Some(before.id)).count() == 300)
+    // and the compacted head holds exactly the same rows
+    val now = SnapTable.read(spark, root).select("id").as[Long].collect().toSet
+    assert(now == (0L until 300L).toSet)
+    assert(SnapTable.read(spark, root).inputFiles.length == 1)
+  }
+
+  test("bounds pruning: manifest-side file skipping with parsed numeric bounds") {
+    import spark.implicits._
+    val root = tmp("snap4")
+    // range-clustered on id -> per-file bounds are tight and disjoint
+    SnapTable.append(spark, root,
+      (0 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      statsCol = Some("id"), clusterFiles = 4)
+    val snap = SnapTable.snapshot(spark, root).get
+    assert(snap.files.forall(f => f.lo.isDefined && f.hi.isDefined))
+    assert(snap.files.length > 1, "need multiple files for a pruning test")
+    // numeric parse in the prune callback (lexicographic would be wrong)
+    val pruned = SnapTable.read(spark, root,
+      prune = Some((lo, hi) => lo.toLong <= 10L && 10L <= hi.toLong))
+    assert(pruned.inputFiles.length < snap.files.length)
+    assert(pruned.filter(col("id") === 10L).count() == 1)
+    // pruning is only a file skip, never a row filter
+    assert(pruned.count() >= 1)
+  }
+
+  test("optimistic concurrency: racing committers all land, nothing lost") {
+    import spark.implicits._
+    val root = tmp("snap5")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContextExecutor =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val futures = (0 until 8).map { k =>
+      Future {
+        SnapTable.append(spark, root,
+          Seq((k.toLong, s"writer$k")).toDF("id", "v"))
+      }
+    }
+    val snaps = Await.result(Future.sequence(futures), 120.seconds)
+    pool.shutdown()
+    // dense ids 1..8, every writer's commit retained
+    assert(snaps.map(_.id).sorted == (1L to 8L))
+    val ids = SnapTable.read(spark, root).select("id").as[Long].collect().toSet
+    assert(ids == (0L until 8L).toSet)
+    assert(SnapTable.snapshot(spark, root).get.files.map(_.rows).sum == 8)
+  }
+
+  test("rewrite conflict: aborts cleanly instead of resurrecting removed files") {
+    import spark.implicits._
+    val root = tmp("snap6")
+    SnapTable.append(spark, root, (0 until 10).map(i => (i.toLong, "a")).toDF("id", "v"))
+    // the conflicting overwrite lands while the rewrite is staging
+    val res = SnapTable.rewrite(spark, root,
+      pick = _ => true,
+      rewriteAs = { df =>
+        val materialized = df.collect() // read victims BEFORE they are dropped
+        SnapTable.overwrite(spark, root,
+          Seq((99L, "new")).toDF("id", "v"))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(materialized.toIndexedSeq), df.schema)
+      })
+    assert(res.isEmpty, "conflicting rewrite must abort")
+    // the overwrite won; the aborted rewrite resurrected nothing
+    val ids = SnapTable.read(spark, root).select("id").as[Long].collect().toSet
+    assert(ids == Set(99L))
+    assert(SnapTable.snapshot(spark, root).get.op == "overwrite")
+  }
+
+  test("torn state is invisible: tmp manifests and stage orphans are ignored") {
+    import spark.implicits._
+    val root = tmp("snap7")
+    SnapTable.append(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    // simulate a crash mid-commit: a leftover manifest tmp...
+    val torn = new java.io.File(s"$root/meta/snap-00000002.json.tmp-deadbeef")
+    java.nio.file.Files.writeString(torn.toPath, "{\"id\":2,TRUNCATED")
+    // ...and an abandoned stage directory
+    new java.io.File(s"$root/.stage-crashed").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/.stage-crashed/part-0.parquet"), "junk")
+    assert(SnapTable.snapshotIds(spark, root) == Seq(1L))
+    assert(SnapTable.read(spark, root).count() == 1)
+    // the next commit proceeds normally at v2
+    val s2 = SnapTable.append(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    assert(s2.id == 2L)
+    assert(SnapTable.read(spark, root).count() == 2)
+  }
+
+  test("expire: drops old manifests, GCs orphan data, keeps live files") {
+    import spark.implicits._
+    val root = tmp("snap8")
+    SnapTable.append(spark, root, (0 until 20).map(i => (i.toLong, "a")).toDF("id", "v"))
+    SnapTable.append(spark, root, (20 until 40).map(i => (i.toLong, "b")).toDF("id", "v"))
+    SnapTable.rewrite(spark, root, _ => true, _.repartition(1))
+    assert(SnapTable.snapshotIds(spark, root) == Seq(1L, 2L, 3L))
+    val liveFiles = SnapTable.snapshot(spark, root).get.files.map(_.path).toSet
+    SnapTable.expire(spark, root, keepLast = 1)
+    assert(SnapTable.snapshotIds(spark, root) == Seq(3L))
+    // pre-rewrite data files are gone, live ones intact, reads still work
+    val dataFiles = new java.io.File(s"$root/data").listFiles()
+      .map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    assert(dataFiles == liveFiles.map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath))
+    assert(SnapTable.read(spark, root).count() == 40)
+    intercept[IllegalArgumentException] { SnapTable.read(spark, root, Some(1L)) }
+  }
+}

@@ -29,6 +29,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("startSnap: snapshot-watermark sink == batch triples; checkpoint-loss replay appends nothing") {
+    import spark.implicits._
+    import graft.table.SnapTable
+    val base = java.nio.file.Files.createTempDirectory("ssnap").toString
+    val docs = SynthCorpus.corpus(spark, 24)
+    docs.write.parquet(s"$base/docs")
+    val dict = Pipeline.broadcastDict(spark)
+    StreamingPipeline.startSnap(spark, s"$base/docs", s"$base/tbl", s"$base/ckpt", dict)
+      .awaitTermination()
+    def rows() = SnapTable.read(spark, s"$base/tbl")
+      .select("doc_id", "subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sorted.toVector
+    val batch = Pipeline.triples(docs, dict).collect()
+      .map(t => (t.doc_id, t.subj, t.pred, t.obj)).sorted.toVector
+    assert(rows() == batch && batch.nonEmpty)
+    val snapBefore = SnapTable.snapshot(spark, s"$base/tbl").get
+    assert(snapBefore.watermark.contains("0")) // batch 0 committed atomically with its data
+    // FORCED full replay: lose the checkpoint entirely — the watermark
+    // comparison skips the replayed batch whole, nothing re-appends
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$base/ckpt"))
+    StreamingPipeline.startSnap(spark, s"$base/docs", s"$base/tbl", s"$base/ckpt", dict)
+      .awaitTermination()
+    assert(SnapTable.snapshot(spark, s"$base/tbl").get.id == snapBefore.id,
+      "replayed batch must not commit a new snapshot")
+    assert(rows() == batch)
+    // NEW data after the replay still lands (watermark advances)
+    SynthCorpus.corpus(spark, 30).filter($"doc_id" > docs.agg(
+      org.apache.spark.sql.functions.max($"doc_id")).as[String].head)
+      .write.mode("append").parquet(s"$base/docs")
+    StreamingPipeline.startSnap(spark, s"$base/docs", s"$base/tbl", s"$base/ckpt", dict)
+      .awaitTermination()
+    assert(rows().length > batch.length)
+    // manifest-side pred pruning really skips files: prune to a single
+    // predicate's bound-window and check the rows survive intact
+    val somePred = batch.head._3
+    val pruned = SnapTable.read(spark, s"$base/tbl",
+      prune = Some((lo, hi) => lo <= somePred && somePred <= hi))
+      .filter($"pred" === somePred).count()
+    val full = SnapTable.read(spark, s"$base/tbl")
+      .filter($"pred" === somePred).count()
+    assert(pruned == full && full > 0)
+  }
+
   test("streaming foreachBatch into the bucketed table == batch layout; resume sees it") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("sbucket").toString
