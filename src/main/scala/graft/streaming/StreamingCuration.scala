@@ -52,11 +52,19 @@ object StreamingCuration {
   private val Sidecars =
     Seq("_lines_seen" -> "lh", "_ngrams_seen" -> "nh", "_texts_seen" -> "th")
 
-  /** Fold the claim partitions of batches `0..upToBatch` (plus any
-    * existing base) into ONE sorted base partition `batch=-1` per
-    * sidecar, then delete the folded originals. `batch=-1` sorts below
-    * every real batch id, so the read path's `batch < batchId` replay
-    * guard includes the base unchanged.
+  /** Fold the claim partitions of batches `0..upToBatch` into the base
+    * partition `batch=-1` (as a NEW sorted chunk of files), then delete
+    * the folded originals. `batch=-1` sorts below every real batch id,
+    * so the read path's `batch < batchId` replay guard includes the
+    * base unchanged.
+    *
+    * The fold NEVER reads or rewrites the existing base: every batch's
+    * claims were anti-joined against ALL earlier claims (base included)
+    * before being written, so partitions and base chunks are pairwise
+    * DISJOINT by construction — folded batches simply become one more
+    * disjoint chunk. Fold cost is therefore O(the K folded batches),
+    * not O(corpus): amortized per batch it is O(1) in history length
+    * (the LSM-append shape, not a full-base rewrite).
     *
     * Safety contract (mirrors [[graft.Pipeline.compactCommits]]):
     *  - ONLY COMMITTED batches may be folded: callers pass
@@ -67,16 +75,20 @@ object StreamingCuration {
     *    excluded via `batch < batchId`) is preserved. Rewinding the
     *    checkpoint behind a completed compaction is out of contract
     *    (exactly as for the doc-commit sidecar).
-    *  - Crash-safe by superset: write the compacted copy to a temp dir,
+    *  - Crash-safe by superset: write the folded chunk to a temp dir,
     *    move it INTO `batch=-1`, and only then delete the snapshotted
     *    originals. After any prefix of those steps the sidecar holds a
     *    superset (possibly duplicated) of the folded claims — harmless,
-    *    because every reader `.distinct()`s the claim set — and a rerun
-    *    of compaction converges it back to exactly-once rows.
+    *    because every reader `.distinct()`s the claim set. A crash
+    *    between move-in and partition delete can leave the interrupted
+    *    fold's claims duplicated across two base chunks permanently
+    *    (bounded by one fold's volume per crash; a set under distinct,
+    *    so correctness is unaffected).
     *
     * At 10^12 docs this is the difference between a bounded read
-    * (sorted base + a handful of recent partitions) and an unbounded
-    * O(batches) listing; run it every K batches (`compactEvery`).
+    * (sorted base chunks + a handful of recent partitions) and an
+    * unbounded O(batches) listing; run it every K batches
+    * (`compactEvery`).
     */
   def compactSidecars(spark: SparkSession, outDir: String, upToBatch: Long,
                       targetBytesPerFile: Long = 64L * 1024 * 1024): Unit = {
@@ -95,20 +107,18 @@ object StreamingCuration {
             b >= 0 && b <= upToBatch
           }
         }.map(_.getPath)
-        val baseFiles =
-          if (fs.exists(baseDir))
-            fs.listStatus(baseDir).filter(f => f.isFile && isData(f.getPath)).map(_.getPath)
-          else Array.empty[Path]
         val foldFiles = foldDirs.flatMap(d =>
           fs.listStatus(d).filter(f => f.isFile && isData(f.getPath)))
         if (foldFiles.isEmpty) // nothing to fold; drop any empty partitions
           foldDirs.foreach(d => fs.delete(d, true))
         else {
-          val bytes = foldFiles.map(_.getLen).sum +
-            baseFiles.map(fs.getFileStatus(_).getLen).sum
+          val bytes = foldFiles.map(_.getLen).sum
           val nOut = math.max(1L, bytes / targetBytesPerFile).toInt
+          // ONLY the folded partitions — never the base (disjoint by the
+          // write-path anti-join; the distinct covers crash-window
+          // duplicates among the folded partitions themselves)
           val claims = spark.read.parquet(
-            (foldFiles.map(_.getPath) ++ baseFiles).map(_.toString).toIndexedSeq: _*)
+            foldFiles.map(_.getPath.toString).toIndexedSeq: _*)
             .select(hashCol).distinct()
           val stamp = java.util.UUID.randomUUID().toString.take(8)
           val tmp = new Path(s"$outDir/.${name}_compact_tmp-$stamp")
@@ -122,7 +132,6 @@ object StreamingCuration {
                 s"compactSidecars: cannot move in ${f.getPath}")
             }
           // delete ONLY the snapshotted originals (move-in completed)
-          baseFiles.foreach(p => fs.delete(p, false))
           foldDirs.foreach(d => fs.delete(d, true))
           fs.delete(tmp, true)
         }
