@@ -163,6 +163,49 @@ class SnapTableSpec extends AnyFunSuite {
     assert(SnapTable.read(spark, root).count() == 2)
   }
 
+  test("model check: random append/overwrite/rewrite/expire sequences match a reference model") {
+    import spark.implicits._
+    for (trial <- 0 until 3) {
+      val rnd = new scala.util.Random(4242 + trial)
+      val root = tmp(s"snapm$trial")
+      var model = Set.empty[Long] // current table content (ids unique per insert)
+      var nextId = 0L
+      var history = Vector.empty[(Long, Set[Long])] // snapshot id -> content
+      def freshIds(n: Int): Seq[Long] = {
+        val ids = (nextId until nextId + n).toSeq; nextId += n; ids
+      }
+      def readIds(asOf: Option[Long]): Set[Long] =
+        SnapTable.read(spark, root, asOf).select("id").as[Long].collect().toSet
+      for (_ <- 0 until 10) {
+        rnd.nextInt(4) match {
+          case 0 =>
+            val ids = freshIds(1 + rnd.nextInt(5))
+            val s = SnapTable.append(spark, root, ids.toDF("id"))
+            model ++= ids; history :+= (s.id -> model)
+          case 1 =>
+            val ids = freshIds(1 + rnd.nextInt(3))
+            val s = SnapTable.overwrite(spark, root, ids.toDF("id"))
+            model = ids.toSet; history :+= (s.id -> model)
+          case 2 => // compaction must never change content
+            SnapTable.rewrite(spark, root, _ => true, _.repartition(1))
+              .foreach(s => history :+= (s.id -> model))
+          case 3 if history.size > 2 =>
+            val keep = 1 + rnd.nextInt(history.size)
+            SnapTable.expire(spark, root, keep)
+            history = history.takeRight(keep)
+          case _ => ()
+        }
+        // invariants: head matches the model; ALL retained history is
+        // still exactly readable (snapshot isolation + GC safety)
+        if (history.nonEmpty) {
+          assert(readIds(None) == model, s"head mismatch at trial $trial")
+          for ((sid, ids) <- history)
+            assert(readIds(Some(sid)) == ids, s"snapshot $sid mismatch at trial $trial")
+        }
+      }
+    }
+  }
+
   test("expire: drops old manifests, GCs orphan data, keeps live files") {
     import spark.implicits._
     val root = tmp("snap8")

@@ -702,6 +702,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(lh.count() == lh.distinct().count())
   }
 
+  test("sidecar compaction with excision: _ngrams_seen folds and cross-fold span claims hold") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("scurexc").toString
+    val boiler = "all rights reserved by this site owner please contact us soon"
+    val bodies = Vector(
+      "the first story tells about mountains rivers and ancient forests that we explored with care",
+      "another page describes cooking recipes using fresh tomatoes garlic and olive oil for the meal",
+      "a third entry covers railway engines their wheels boilers and the people who maintain them",
+      "the fourth text discusses music theory chords scales and the way melodies resolve over time",
+      "a fifth piece reviews garden tools spades rakes and the compost that feeds the spring beds",
+      "the sixth note explains chess openings gambits and the long endgames that decide matches")
+    def df(ids: Range) = ids.map(i => (i.toLong, bodies(i) + " " + boiler))
+      .toDF("doc_id", "text")
+    val cfg = graft.ops.Curation.CurateConfig(lineDedup = false,
+      excise = true, exciseMinLen = 11, minWords = 10)
+    // three micro-batches, folding after each: by batch 2 the boiler
+    // tail's n-gram claims (owned by doc 0 in batch 0) live ONLY in the
+    // compacted base — docs 4-5 must still learn them through it
+    for (b <- 0 until 3) {
+      df(b * 2 until (b + 1) * 2).write.mode("append").parquet(s"$base/docs")
+      graft.streaming.StreamingCuration.start(spark, s"$base/docs", s"$base/out",
+        cfg = cfg, compactEvery = 1).awaitTermination()
+    }
+    val streamed = spark.read.parquet(s"$base/out/curated")
+      .select("doc_id", "text_curated").as[(Long, String)].collect().toMap
+    val batch = graft.ops.Curation.curate(df(0 until 6), "doc_id", "text", cfg)
+      .as[(Long, String)].collect().toMap
+    assert(streamed == batch,
+      s"missing=${batch.keySet -- streamed.keySet} extra=${streamed.keySet -- batch.keySet} " +
+        s"diff=${streamed.filter { case (k, v) => batch.get(k).exists(_ != v) }.keys}")
+    assert(batch(0L).endsWith(boiler))
+    for (i <- 1L until 6L) assert(!batch(i).contains("rights reserved"), s"doc $i")
+    // the n-gram sidecar really folded
+    val parts = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$base/out/_ngrams_seen"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(parts.contains("batch=-1") && !parts.contains("batch=0"), parts.toString)
+  }
+
   test("out-of-order batches: first-seen-by-arrival, one survivor per class, replay idempotent") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("scurooo").toString
