@@ -533,6 +533,78 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Streaming triples into a [[graft.table.SnapTable]]: one manifest
+    * commit per micro-batch makes DATA and PROGRESS atomic — the
+    * north star's "resumable from snapshot checkpoints" shape realized
+    * on the engine's own snapshot-manifest layer. Per-file `pred`
+    * bounds land in the manifest for predicate-pruned reads, and
+    * [[graft.table.SnapTable.rewrite]] compacts the accumulated small
+    * files with snapshot isolation.
+    *
+    * Exactly-once via an EPOCHED watermark `"epoch:batchId"`. Batch ids
+    * are only meaningful relative to one checkpoint: losing the
+    * checkpoint restarts numbering at 0 AND folds old+new files into
+    * one batch, so a bare batch-id comparison would either re-append or
+    * — worse — silently skip genuinely new documents that arrived after
+    * the crash. The epoch (bumped whenever the stream starts WITHOUT an
+    * existing checkpoint) disambiguates:
+    *  - same epoch, `id <=` committed batch -> pure engine replay of a
+    *    committed batch: skip whole. Restart cost = one manifest read.
+    *  - new epoch, first batch -> the one case needing doc-level truth:
+    *    anti-join the batch against the table's committed doc_ids (one
+    *    table doc_id scan, only ever paid on checkpoint loss), then
+    *    commit the survivors under the new epoch; subsequent batches of
+    *    the epoch take the fast path again.
+    */
+  def startSnap(spark: SparkSession, docsDir: String, tableRoot: String,
+                checkpointDir: String,
+                dict: org.apache.spark.broadcast.Broadcast[graft.link.UnitDict]): StreamingQuery = {
+    import graft.table.SnapTable
+    implicit val docEnc = Encoders.product[graft.ingest.Doc]
+    val docSchema = Encoders.product[graft.ingest.Doc].schema
+    def parseWm(wm: Option[String]): (Long, Long) = wm match {
+      case Some(s) => s.split(":", 2) match {
+        case Array(e, b) => (e.toLong, b.toLong)
+        case Array(b) => (0L, b.toLong) // pre-epoch watermark: epoch 0
+      }
+      case None => (0L, -1L)
+    }
+    // an existing offsets log means batch numbering continues this epoch;
+    // a fresh checkpoint starts a new one
+    val ckptOffsets = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+    val ckptExists = ckptOffsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(ckptOffsets)
+    val (priorEpoch, _) = parseWm(SnapTable.lastWatermark(spark, tableRoot))
+    val epoch = if (ckptExists) priorEpoch else priorEpoch + 1
+    val docs: Dataset[graft.ingest.Doc] = spark.readStream
+      .schema(docSchema).parquet(docsDir).as[graft.ingest.Doc]
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[graft.ingest.Doc], id: Long) =>
+        val (cEpoch, cBatch) = parseWm(SnapTable.lastWatermark(spark, tableRoot))
+        if (epoch == cEpoch && id <= cBatch) {
+          () // pure replay of a committed batch within this epoch
+        } else {
+          val todo: Dataset[graft.ingest.Doc] =
+            if (epoch > cEpoch && SnapTable.snapshot(spark, tableRoot).nonEmpty) {
+              // first batch of a fresh checkpoint: old AND new files fold
+              // into it — doc-level anti-join against the committed table
+              import org.apache.spark.sql.functions.col
+              val seen = SnapTable.read(spark, tableRoot)
+                .select(col("doc_id")).distinct()
+              batch.join(seen, batch("doc_id") === seen("doc_id"), "left_anti")
+                .as[graft.ingest.Doc]
+            } else batch
+          val ts = Pipeline.triples(todo, dict).toDF()
+          SnapTable.append(spark, tableRoot, ts,
+            watermark = Some(s"$epoch:$id"), statsCol = Some("pred"))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming into the SAME salted, pred-bucketed triples table layout
     * as the batch [[Pipeline.writeTriples]], via foreachBatch, with the
     * doc-commit sidecar appended per micro-batch — so a streaming
@@ -555,41 +627,6 @@ object StreamingPipeline {
     * append path for single-run bounded backfills where replays are
     * acceptable or impossible.
     */
-  /** Streaming triples into a [[graft.table.SnapTable]] with the micro-
-    * batch id as the snapshot watermark: one manifest commit makes DATA
-    * and PROGRESS atomic, so a batch replayed after a crash (sink ahead
-    * of the checkpoint) is detected by watermark comparison and skipped
-    * WHOLE — exactly-once without [[startBucketed]]'s per-batch
-    * doc-commit anti-join. This is the north star's "resumable from
-    * snapshot checkpoints" shape realized on the engine's own
-    * snapshot-manifest layer: restart cost is one manifest read (not a
-    * table scan), per-file `pred` bounds land in the manifest for
-    * predicate-pruned reads, and [[graft.table.SnapTable.rewrite]]
-    * compacts the accumulated small files with snapshot isolation.
-    */
-  def startSnap(spark: SparkSession, docsDir: String, tableRoot: String,
-                checkpointDir: String,
-                dict: org.apache.spark.broadcast.Broadcast[graft.link.UnitDict]): StreamingQuery = {
-    implicit val docEnc = Encoders.product[graft.ingest.Doc]
-    val docSchema = Encoders.product[graft.ingest.Doc].schema
-    val docs: Dataset[graft.ingest.Doc] = spark.readStream
-      .schema(docSchema).parquet(docsDir).as[graft.ingest.Doc]
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[graft.ingest.Doc], id: Long) =>
-        val committed = graft.table.SnapTable
-          .lastWatermark(spark, tableRoot).map(_.toLong)
-        if (!committed.exists(_ >= id)) {
-          val ts = Pipeline.triples(batch, dict).toDF()
-          graft.table.SnapTable.append(spark, tableRoot, ts,
-            watermark = Some(id.toString), statsCol = Some("pred"))
-        } // else: a replay of an already-committed batch — skip whole
-        ()
-      }
-      .start()
-  }
-
   def startBucketed(spark: SparkSession, docsDir: String, outDir: String,
                     checkpointDir: String,
                     dict: org.apache.spark.broadcast.Broadcast[graft.link.UnitDict],

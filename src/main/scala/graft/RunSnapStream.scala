@@ -20,16 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object RunSnapStream {
   def main(args: Array[String]): Unit = {
-    val positional = args.filterNot(_.startsWith("--"))
-    require(positional.length >= 2,
-      "usage: RunSnapStream <docsDir|synth:N> <tableRoot> [--compact] [--expire K]")
-    val (in, tableRoot) = (positional(0), positional(1))
-    val expireK = args.indexOf("--expire") match {
-      case -1 => None
+    val usage = "usage: RunSnapStream <docsDir|synth:N> <tableRoot> [--compact] [--expire K]"
+    // strip valued flags BEFORE deriving positionals, so `--expire 3`
+    // can never bind 3 as a path
+    val (expireK, rest) = args.indexOf("--expire") match {
+      case -1 => (None, args.toList)
       case i =>
-        require(i + 1 < args.length, "--expire needs a count")
-        Some(args(i + 1).toInt)
+        require(i + 1 < args.length, s"--expire needs a count — $usage")
+        (Some(args(i + 1).toInt), args.toList.take(i) ++ args.toList.drop(i + 2))
     }
+    val (flags, positional) = rest.partition(_.startsWith("--"))
+    flags.foreach(f => require(f == "--compact", s"unknown flag $f — $usage"))
+    require(positional.length == 2,
+      s"expected exactly 2 positional args, got ${positional.mkString(" ")} — $usage")
+    val (in, tableRoot) = (positional(0), positional(1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = RunPipeline.session(cpus)
     spark.sparkContext.setLogLevel("WARN")

@@ -291,7 +291,11 @@ object Multimodal {
     if (n < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Nil
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
     // walk chunks; recurse into LIST chunks, harvest stream-data chunks
-    def walk(start: Int, end: Int): Unit = {
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      // depth bound: real AVIs nest RIFF/LIST 3-4 deep; a crafted file
+      // of nested 12-byte LISTs would otherwise recurse to StackOverflow-
+      // Error, which is NOT a RuntimeException and escapes the fallback
+      if (depth > 32) return
       var i = start
       while (i + 8 <= end) {
         val cc = fourcc(i)
@@ -301,7 +305,7 @@ object Multimodal {
         // After the guard, i + 8 + sz <= end fits in Int.
         val sz = le32(i + 4)
         if (i + 8L + (sz & 0xFFFFFFFFL) > end) return // truncated/corrupt: stop
-        if (cc == "LIST" && sz >= 4) walk(i + 12, i + 8 + sz)
+        if (cc == "LIST" && sz >= 4) walk(i + 12, i + 8 + sz, depth + 1)
         else if (cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
             (cc.substring(2) == "dc" || cc.substring(2) == "db") && sz >= 2 &&
             (b(i + 8) & 0xFF) == 0xFF && (b(i + 9) & 0xFF) == 0xD8)
@@ -311,7 +315,7 @@ object Multimodal {
     }
     // defense in depth: never let a corrupt container kill the task —
     // yield the frames collected before the walk went wrong
-    try walk(12, n) catch { case _: RuntimeException => () }
+    try walk(12, n, 0) catch { case _: RuntimeException => () }
     frames.toVector
   }
 

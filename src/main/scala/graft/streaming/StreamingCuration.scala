@@ -179,12 +179,17 @@ object StreamingCuration {
     import spark.implicits._
 
     def sidecar(name: String): Option[DataFrame] = {
-      val path = s"$outDir/$name"
-      if (new org.apache.hadoop.fs.Path(path).getFileSystem(
-            spark.sparkContext.hadoopConfiguration)
-          .exists(new org.apache.hadoop.fs.Path(path)))
-        Some(spark.read.parquet(path))
-      else None
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a batch with ZERO new claims leaves the directory with only a
+      // _SUCCESS marker (dynamic partition overwrite writes no partition
+      // dirs) — schema inference would throw; require an actual data file
+      def hasParquet(d: org.apache.hadoop.fs.Path): Boolean =
+        fs.exists(d) && fs.listStatus(d).exists { s =>
+          (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
+            (s.isDirectory && !s.getPath.getName.startsWith(".") && hasParquet(s.getPath))
+        }
+      if (hasParquet(p)) Some(spark.read.parquet(p.toString)) else None
     }
     // replay guard half 1: a partitioned overwrite replaces this
     // batch's own earlier partial writes and nothing else

@@ -74,85 +74,40 @@ object SnapTable {
   private def snapPath(root: String, v: Long) =
     new Path(metaDir(root), f"snap-$v%08d.json")
 
-  // ---- manifest (de)serialization (flat JSON, dependency-free) -------
+  // ---- manifest (de)serialization (graft.json AST: arbitrary string
+  // content in paths/bounds/watermarks round-trips safely) -------------
 
-  private def esc(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-  private def unesc(s: String): String = {
-    val b = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      if (s(i) == '\\' && i + 1 < s.length) {
-        s(i + 1) match {
-          case 'u' => b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
-          case c => b.append(c); i += 2
-        }
-      } else { b.append(s(i)); i += 1 }
-    }
-    b.toString
-  }
-  private def strOpt(o: Option[String]) =
-    o.map(v => s""""${esc(v)}"""").getOrElse("null")
+  import graft.json.{JArr, JNull, JNum, JObj, JStr, JValue, Json}
 
-  private def render(s: Snapshot): String = {
-    val files = s.files.sortBy(_.path).map(f =>
-      s"""{"path":"${esc(f.path)}","rows":${f.rows},"bytes":${f.bytes},""" +
-        s""""lo":${strOpt(f.lo)},"hi":${strOpt(f.hi)}}""")
-      .mkString("[", ",", "]")
-    def arr(xs: Vector[String]) = xs.sorted.map(x => s""""${esc(x)}"""").mkString("[", ",", "]")
-    s"""{"id":${s.id},"op":"${esc(s.op)}","watermark":${strOpt(s.watermark)},""" +
-      s""""added":${arr(s.added)},"removed":${arr(s.removed)},"files":$files}"""
-  }
+  private def jOpt(o: Option[String]): JValue = o.map(JStr(_): JValue).getOrElse(JNull)
+  private def jStr(v: JValue): Option[String] =
+    v match { case JStr(x) => Some(x); case _ => None }
+  private def jNum(v: JValue): Long = v.asInstanceOf[JNum].literal.toLong
+
+  private def render(s: Snapshot): String =
+    JObj.of(
+      "id" -> Json.num(s.id),
+      "op" -> JStr(s.op),
+      "watermark" -> jOpt(s.watermark),
+      "added" -> JArr(s.added.sorted.map(JStr(_): JValue)),
+      "removed" -> JArr(s.removed.sorted.map(JStr(_): JValue)),
+      "files" -> JArr(s.files.sortBy(_.path).map(f => JObj.of(
+        "path" -> JStr(f.path), "rows" -> Json.num(f.rows),
+        "bytes" -> Json.num(f.bytes),
+        "lo" -> jOpt(f.lo), "hi" -> jOpt(f.hi)): JValue))
+    ).render
 
   private def parse(json: String): Snapshot = {
-    // minimal parser for exactly the shape `render` writes (paths must
-    // not contain the literal "},{" — uuid-named files never do)
-    def after(src: String, name: String): String = {
-      val k = s""""$name":"""
-      val i = src.indexOf(k)
-      require(i >= 0, s"manifest missing $name")
-      src.substring(i + k.length)
+    val o = Json.parse(json).asInstanceOf[JObj]
+    def arr(v: JValue): Vector[String] = v.asInstanceOf[JArr].items.flatMap(jStr)
+    val files = o("files").asInstanceOf[JArr].items.map { fv =>
+      val f = fv.asInstanceOf[JObj]
+      FileEntry(jStr(f("path")).getOrElse(
+          throw new IllegalArgumentException("manifest file entry missing path")),
+        jNum(f("rows")), jNum(f("bytes")), jStr(f("lo")), jStr(f("hi")))
     }
-    def str(src: String, name: String): Option[String] = {
-      val rest = after(src, name)
-      if (rest.startsWith("null")) None
-      else {
-        val b = new StringBuilder; var i = 1
-        while (rest(i) != '"') {
-          if (rest(i) == '\\') { b.append(rest(i)).append(rest(i + 1)); i += 2 }
-          else { b.append(rest(i)); i += 1 }
-        }
-        Some(unesc(b.toString))
-      }
-    }
-    def num(src: String, name: String): Long =
-      after(src, name).takeWhile(c => c.isDigit || c == '-').toLong
-    def arr(src: String, name: String): Vector[String] = {
-      val rest = after(src, name)
-      require(rest.startsWith("["), s"bad array $name")
-      val body = rest.substring(1, rest.indexOf(']'))
-      if (body.isEmpty) Vector.empty
-      else body.split(",").toVector.map(s => unesc(s.trim.stripPrefix("\"").stripSuffix("\"")))
-    }
-    val filesBody = {
-      val rest = after(json, "files")
-      require(rest.startsWith("["), "bad files array")
-      rest.substring(1, rest.lastIndexOf(']'))
-    }
-    val entries =
-      if (filesBody.isEmpty) Vector.empty[FileEntry]
-      else filesBody.split("""\},\{""").toVector.map { e0 =>
-        val e = (if (e0.startsWith("{")) "" else "{") + e0 + (if (e0.endsWith("}")) "" else "}")
-        FileEntry(str(e, "path").get, num(e, "rows"), num(e, "bytes"),
-          str(e, "lo"), str(e, "hi"))
-      }
-    Snapshot(num(json, "id"), str(json, "op").getOrElse(""), entries,
-      arr(json, "added"), arr(json, "removed"), str(json, "watermark"))
+    Snapshot(jNum(o("id")), jStr(o("op")).getOrElse(""), files,
+      arr(o("added")), arr(o("removed")), jStr(o("watermark")))
   }
 
   // ---- snapshot resolution -------------------------------------------
@@ -258,8 +213,12 @@ object SnapTable {
                 clusterFiles: Int = 0): Snapshot = {
     val staged = stageFiles(spark, root, df, statsCol, clusterFiles)
     commit(spark, root) { parent =>
+      // content is replaced, but the resume point persists unless the
+      // caller sets a new one — a manual overwrite must never silently
+      // reset a streaming writer's exactly-once watermark
       ("overwrite", staged, staged.map(_.path),
-        parent.map(_.files.map(_.path)).getOrElse(Vector.empty), watermark)
+        parent.map(_.files.map(_.path)).getOrElse(Vector.empty),
+        watermark.orElse(parent.flatMap(_.watermark)))
     }
   }
 
@@ -313,10 +272,13 @@ object SnapTable {
         (f.lo, f.hi) match { case (Some(l), Some(h)) => p(l, h); case _ => true })
       case None => snap.files
     }
-    if (files.isEmpty)
-      throw new IllegalArgumentException(
-        s"snapshot ${snap.id} of $root has no files after pruning")
-    spark.read.parquet(files.map(_.path): _*)
+    if (files.nonEmpty) spark.read.parquet(files.map(_.path): _*)
+    else if (snap.files.nonEmpty)
+      // everything pruned away — a valid empty result; keep the schema
+      // by reading one live file's footer with a false predicate
+      spark.read.parquet(snap.files.head.path).where(lit(false))
+    else throw new IllegalArgumentException(
+      s"snapshot ${snap.id} of $root has no data files (schema unknowable)")
   }
 
   /** Drop all but the newest `keepLast` manifests, then delete data
@@ -383,11 +345,15 @@ object SnapTable {
         lit(null).cast("string").as("_lo"), lit(null).cast("string").as("_hi"))
     }).collect().map(r => new Path(r.getString(0)).getName ->
       ((r.getLong(1), Option(r.getString(2)), Option(r.getString(3))))).toMap
-    entries.map { e =>
+    val (live, empty) = entries.map { e =>
       stats.get(new Path(e.path).getName) match {
         case Some((n, lo, hi)) => e.copy(rows = n, lo = lo, hi = hi)
         case None => e.copy(rows = 0L) // empty parquet file: no groups
       }
-    }
+    }.partition(_.rows > 0)
+    // zero-row files never enter a manifest (an empty append is a pure
+    // watermark bump, not a data-file add)
+    empty.foreach(e => f.delete(new Path(e.path), false))
+    live
   }
 }

@@ -298,6 +298,16 @@ class OpsSpec extends AnyFunSuite {
       hx("FEFFFF7F") ++ hx("FFD80000")
     assert(badAvi.length == 24)
     assert(Multimodal.aviMjpegFrames(badAvi).isEmpty)
+    // deeply nested LISTs: the walk must depth-bound, not StackOverflow
+    def le32b(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    var nested = "junk".getBytes("US-ASCII")
+    for (_ <- 0 until 100000)
+      nested = "LIST".getBytes("US-ASCII") ++ le32b(nested.length + 4) ++
+        "movi".getBytes("US-ASCII") ++ nested
+    val deepAvi = "RIFF".getBytes("US-ASCII") ++ le32b(nested.length + 4) ++
+      "AVI ".getBytes("US-ASCII") ++ nested
+    assert(Multimodal.aviMjpegFrames(deepAvi).isEmpty) // bounded, no SOE
     assert(Multimodal.videoFeatures(badAvi).isEmpty)
     assert(Multimodal.frameOffsets(Seq(("bad", "video", badAvi))
       .toDF("media_id", "kind", "payload"), 2).count() == 1)

@@ -46,22 +46,38 @@ class StreamingSpec extends AnyFunSuite {
       .map(t => (t.doc_id, t.subj, t.pred, t.obj)).sorted.toVector
     assert(rows() == batch && batch.nonEmpty)
     val snapBefore = SnapTable.snapshot(spark, s"$base/tbl").get
-    assert(snapBefore.watermark.contains("0")) // batch 0 committed atomically with its data
-    // FORCED full replay: lose the checkpoint entirely — the watermark
-    // comparison skips the replayed batch whole, nothing re-appends
+    assert(snapBefore.watermark.contains("1:0"), // epoch 1, batch 0, atomic with data
+      snapBefore.watermark.toString)
+    // FORCED full replay: lose the checkpoint entirely — the epoch bumps
+    // and the doc-level anti-join finds nothing new: content unchanged
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$base/ckpt"))
     StreamingPipeline.startSnap(spark, s"$base/docs", s"$base/tbl", s"$base/ckpt", dict)
       .awaitTermination()
-    assert(SnapTable.snapshot(spark, s"$base/tbl").get.id == snapBefore.id,
-      "replayed batch must not commit a new snapshot")
+    val snapReplay = SnapTable.snapshot(spark, s"$base/tbl").get
+    assert(snapReplay.added.isEmpty && snapReplay.watermark.contains("2:0"),
+      s"${snapReplay.added.length} added, wm=${snapReplay.watermark}")
     assert(rows() == batch)
-    // NEW data after the replay still lands (watermark advances)
-    SynthCorpus.corpus(spark, 30).filter($"doc_id" > docs.agg(
-      org.apache.spark.sql.functions.max($"doc_id")).as[String].head)
+    // the data-loss case: checkpoint lost AND new docs arrived — the
+    // replayed mega-batch (old+new files as batch 0) must append the
+    // new docs exactly once, never skip them on the watermark
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$base/ckpt"))
+    val maxId = docs.agg(org.apache.spark.sql.functions.max($"doc_id")).as[String].head
+    SynthCorpus.corpus(spark, 30).filter($"doc_id" > maxId)
       .write.mode("append").parquet(s"$base/docs")
     StreamingPipeline.startSnap(spark, s"$base/docs", s"$base/tbl", s"$base/ckpt", dict)
       .awaitTermination()
-    assert(rows().length > batch.length)
+    val withNew = rows()
+    val batchAll = Pipeline.triples(SynthCorpus.corpus(spark, 30), dict).collect()
+      .map(t => (t.doc_id, t.subj, t.pred, t.obj)).sorted.toVector
+    assert(withNew == batchAll, // old docs exactly once, new docs present
+      s"got ${withNew.length} vs ${batchAll.length}")
+    // with the checkpoint intact, later batches take the fast path
+    SynthCorpus.corpus(spark, 33).filter($"doc_id" > SynthCorpus.docId(29))
+      .write.mode("append").parquet(s"$base/docs")
+    StreamingPipeline.startSnap(spark, s"$base/docs", s"$base/tbl", s"$base/ckpt", dict)
+      .awaitTermination()
+    assert(rows().length > batchAll.length)
+    assert(SnapTable.snapshot(spark, s"$base/tbl").get.watermark.contains("3:1"))
     // manifest-side pred pruning really skips files: prune to a single
     // predicate's bound-window and check the rows survive intact
     val somePred = batch.head._3
@@ -740,6 +756,36 @@ class StreamingSpec extends AnyFunSuite {
       .listStatus(new org.apache.hadoop.fs.Path(s"$base/out/_ngrams_seen"))
       .filter(_.isDirectory).map(_.getPath.getName).toSet
     assert(parts.contains("batch=-1") && !parts.contains("batch=0"), parts.toString)
+  }
+
+  test("a zero-claim batch leaves an empty sidecar dir; the next batch survives it") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("scurempty").toString
+    val de = "der hund und die katze ist nicht ein freund aber das wetter " +
+      "ist gut und alle sind froh heute sagt man hier immer wieder gern"
+    def en(i: Long) =
+      s"the measurement number $i of this series has finished and the result " +
+        "of all tests is good so we have recorded it with great care today"
+    val cfg = graft.ops.Curation.CurateConfig(keepLangs = Set("en"), minWords = 10)
+    // batch 0: all German -> ZERO survivors -> _texts_seen exists but
+    // holds no parquet files (only _SUCCESS); the read path must treat
+    // it as empty instead of failing schema inference
+    Seq((0L, de), (1L, de + " und nochmal")).toDF("doc_id", "text")
+      .write.parquet(s"$base/docs")
+    graft.streaming.StreamingCuration.start(spark, s"$base/docs", s"$base/out",
+      cfg = cfg).awaitTermination()
+    val curDir = new java.io.File(s"$base/out/curated")
+    assert(!curDir.exists() ||
+      !curDir.listFiles().exists(_.isDirectory), // no batch= partitions yet
+      Option(curDir.listFiles()).map(_.mkString(",")).toString)
+    // batch 1: English docs + a dup pair — the funnel must run and dedup
+    Seq((2L, en(2)), (3L, en(2)), (4L, en(4))).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$base/docs")
+    graft.streaming.StreamingCuration.start(spark, s"$base/docs", s"$base/out",
+      cfg = cfg).awaitTermination()
+    val kept = spark.read.parquet(s"$base/out/curated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L), kept.toString)
   }
 
   test("out-of-order batches: first-seen-by-arrival, one survivor per class, replay idempotent") {
