@@ -125,25 +125,60 @@ object SnapTable {
       .sorted.toSeq
   }
 
+  /** Manifest file layout: line 1 = the snapshot JSON, line 2 =
+    * `crc:<crc32 of line 1>`. The CRC detects a torn write on
+    * filesystems whose rename is NOT atomic (S3-style): a reader that
+    * sees a partial manifest treats it as uncommitted instead of
+    * failing — the same stance Iceberg takes (its manifests are only
+    * valid once the catalog points at them).
+    */
+  private def renderFile(s: Snapshot): Array[Byte] = {
+    val json = render(s)
+    val crc = new java.util.zip.CRC32
+    crc.update(json.getBytes("UTF-8"))
+    s"$json\ncrc:${crc.getValue}\n".getBytes("UTF-8")
+  }
+
+  /** Parse a manifest if structurally sound AND its CRC (when present)
+    * matches; None for torn/corrupt content.
+    */
+  private def readSnap(spark: SparkSession, root: String, v: Long): Option[Snapshot] =
+    try {
+      val p = snapPath(root, v)
+      val in = fs(spark, p).open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = content.split("\n", -1)
+      val json = lines(0)
+      val ok = lines.find(_.startsWith("crc:")) match {
+        case Some(c) =>
+          val crc = new java.util.zip.CRC32
+          crc.update(json.getBytes("UTF-8"))
+          c.stripPrefix("crc:").trim == crc.getValue.toString
+        case None => true // pre-CRC manifest
+      }
+      if (ok) Some(parse(json)) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** The snapshot record for `asOf` (default: latest committed). None
     * for an empty/nonexistent table; IllegalArgumentException for an
     * explicit `asOf` that was never committed or has been expired.
+    * With no `asOf`, torn/corrupt manifests (non-atomic-rename
+    * filesystems) are skipped — the latest PARSEABLE snapshot is the
+    * committed state.
     */
   def snapshot(spark: SparkSession, root: String,
                asOf: Option[Long] = None): Option[Snapshot] = {
     val ids = snapshotIds(spark, root)
-    val pick = asOf match {
+    asOf match {
       case Some(v) =>
         require(ids.contains(v),
           s"no snapshot $v in $root (have ${ids.mkString(",")})")
-        Some(v)
-      case None => ids.lastOption
-    }
-    pick.map { v =>
-      val p = snapPath(root, v)
-      val in = fs(spark, p).open(p)
-      try parse(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-      finally in.close()
+        Some(readSnap(spark, root, v).getOrElse(
+          throw new IllegalArgumentException(s"snapshot $v in $root is corrupt")))
+      case None =>
+        ids.reverseIterator.flatMap(v => readSnap(spark, root, v)).nextOption()
     }
   }
 
@@ -172,13 +207,16 @@ object SnapTable {
       while (attempts < 100) {
         attempts += 1
         val parent = snapshot(spark, root)
-        val v = parent.map(_.id + 1).getOrElse(1L)
+        // version from the raw listing, not the parent: a torn manifest
+        // at the head (non-atomic rename) is a dead id to step OVER,
+        // never a slot to fight for — else the CAS would loop forever
+        val v = snapshotIds(spark, root).lastOption.getOrElse(0L) + 1
         val (op, files, added, removed, wm) = make(parent)
         val snap = Snapshot(v, op, files, added, removed, wm)
         val tmp = new Path(metaDir(root),
           f"snap-$v%08d.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
         val out = f.create(tmp, true)
-        try out.write(render(snap).getBytes("UTF-8")) finally out.close()
+        try out.write(renderFile(snap)) finally out.close()
         // the CAS: never clobber an existing snap-<v>.json (atomic on
         // HDFS rename semantics; same-JVM racers are serialized above)
         val won = !f.exists(snapPath(root, v)) && f.rename(tmp, snapPath(root, v))
@@ -290,11 +328,13 @@ object SnapTable {
     val ids = snapshotIds(spark, root)
     if (ids.length <= keepLast) return
     val (drop, keep) = ids.splitAt(ids.length - keepLast)
+    // torn manifests (readSnap None) contribute no files and are simply
+    // dropped with their id
     val live: Set[String] = keep.flatMap(v =>
-      snapshot(spark, root, Some(v)).get.files.map(_.path)).toSet
+      readSnap(spark, root, v).map(_.files.map(_.path)).getOrElse(Vector.empty)).toSet
     val f = fs(spark, dataDir(root))
     drop.foreach { v =>
-      snapshot(spark, root, Some(v)).get.files
+      readSnap(spark, root, v).map(_.files).getOrElse(Vector.empty)
         .filterNot(e => live(e.path))
         .foreach(e => f.delete(new Path(e.path), false))
       f.delete(snapPath(root, v), false)

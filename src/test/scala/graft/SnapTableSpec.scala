@@ -161,6 +161,25 @@ class SnapTableSpec extends AnyFunSuite {
     val s2 = SnapTable.append(spark, root, Seq((2L, "b")).toDF("id", "v"))
     assert(s2.id == 2L)
     assert(SnapTable.read(spark, root).count() == 2)
+    // torn manifests under their COMMITTED name (non-atomic rename fs):
+    // truncated json at v3, valid-json-wrong-crc at v4 — readers fall
+    // back to the last parseable snapshot, commits step OVER dead ids
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/meta/snap-00000003.json"), "{\"id\":3,TRUNC")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/meta/snap-00000004.json"),
+      "{\"id\":4,\"op\":\"append\",\"watermark\":null,\"added\":[]," +
+        "\"removed\":[],\"files\":[]}\ncrc:1\n")
+    assert(SnapTable.snapshot(spark, root).get.id == 2L)
+    assert(SnapTable.read(spark, root).count() == 2)
+    intercept[IllegalArgumentException] { SnapTable.read(spark, root, Some(3L)) }
+    val s5 = SnapTable.append(spark, root, Seq((3L, "c")).toDF("id", "v"))
+    assert(s5.id == 5L, s"commit must step over dead ids, got ${s5.id}")
+    assert(SnapTable.read(spark, root).count() == 3)
+    // expire sweeps the dead ids along with old snapshots
+    SnapTable.expire(spark, root, keepLast = 1)
+    assert(SnapTable.snapshotIds(spark, root) == Seq(5L))
+    assert(SnapTable.read(spark, root).count() == 3)
   }
 
   test("model check: random append/overwrite/rewrite/expire sequences match a reference model") {
