@@ -587,7 +587,8 @@ object StreamingPipeline {
           () // pure replay of a committed batch within this epoch
         } else {
           val todo: Dataset[graft.ingest.Doc] =
-            if (epoch > cEpoch && SnapTable.snapshot(spark, tableRoot).nonEmpty) {
+            if (epoch > cEpoch &&
+                SnapTable.snapshot(spark, tableRoot).exists(_.files.nonEmpty)) {
               // first batch of a fresh checkpoint: old AND new files fold
               // into it — doc-level anti-join against the committed table
               import org.apache.spark.sql.functions.col
