@@ -319,6 +319,37 @@ object SnapTable {
       s"snapshot ${snap.id} of $root has no data files (schema unknowable)")
   }
 
+  /** Incremental change capture: the rows ADDED by commits after
+    * snapshot `fromExclusive` (the consumer's cursor; pass 0 on first
+    * call, then the `Snapshot.id` it has processed up to — typically
+    * `snapshot(root).get.id` read BEFORE processing).
+    *
+    * Only `append`/`overwrite` commits contribute: a `rewrite`
+    * (compaction) adds files but no new rows, so its lineage is
+    * skipped — the incremental reader never double-counts compacted
+    * data. Files stay readable until [[expire]], so consumers must be
+    * within `keepLast` snapshots of the head; a cursor that has fallen
+    * behind an expired snapshot throws (re-sync via a full [[read]]).
+    * Returns None when nothing changed. This is the consumer half of
+    * the streaming story: [[graft.StreamingPipeline.startSnap]]
+    * commits a snapshot per micro-batch, a downstream job calls
+    * `changesSince(lastSeen)` per cycle and advances its cursor —
+    * incremental pipelines without a message bus.
+    */
+  def changesSince(spark: SparkSession, root: String,
+                   fromExclusive: Long): Option[DataFrame] = {
+    val ids = snapshotIds(spark, root)
+    require(fromExclusive == 0 || ids.contains(fromExclusive),
+      s"cursor $fromExclusive expired or unknown in $root (have ${ids.mkString(",")}) — " +
+        "re-sync with a full read()")
+    val added = ids.filter(_ > fromExclusive)
+      .flatMap(v => readSnap(spark, root, v))
+      .filter(s => s.op == "append" || s.op == "overwrite")
+      .flatMap(_.added)
+    if (added.isEmpty) None
+    else Some(spark.read.parquet(added: _*))
+  }
+
   /** Drop all but the newest `keepLast` manifests, then delete data
     * files no RETAINED snapshot references (safe orphan GC — a file
     * goes only when every retained manifest agrees it is dead).

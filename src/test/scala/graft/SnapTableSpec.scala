@@ -225,6 +225,31 @@ class SnapTableSpec extends AnyFunSuite {
     }
   }
 
+  test("changesSince: incremental capture, compaction invisible, expired cursor rejected") {
+    import spark.implicits._
+    val root = tmp("snap9")
+    def ids(df: Option[org.apache.spark.sql.DataFrame]): Set[Long] =
+      df.map(_.select("id").as[Long].collect().toSet).getOrElse(Set.empty)
+    SnapTable.append(spark, root, (0L until 10L).toDF("id"))
+    val s2 = SnapTable.append(spark, root, (10L until 20L).toDF("id"))
+    assert(ids(SnapTable.changesSince(spark, root, 0)) == (0L until 20L).toSet)
+    val cursor = s2.id
+    assert(SnapTable.changesSince(spark, root, cursor).isEmpty)
+    // compaction rewrites every file but adds NO rows — invisible to
+    // the incremental consumer (no double-count of compacted data)
+    SnapTable.rewrite(spark, root, _ => true, _.repartition(1))
+    assert(SnapTable.changesSince(spark, root, cursor).isEmpty)
+    SnapTable.append(spark, root, (20L until 25L).toDF("id"))
+    assert(ids(SnapTable.changesSince(spark, root, cursor)) == (20L until 25L).toSet)
+    // a cursor that fell behind expiry must fail loudly, not misread
+    SnapTable.expire(spark, root, keepLast = 2)
+    intercept[IllegalArgumentException] {
+      SnapTable.changesSince(spark, root, cursor)
+    }
+    // full-read re-sync still consistent
+    assert(SnapTable.read(spark, root).count() == 25)
+  }
+
   test("expire: drops old manifests, GCs orphan data, keeps live files") {
     import spark.implicits._
     val root = tmp("snap8")
