@@ -569,13 +569,41 @@ object StreamingPipeline {
       }
       case None => (0L, -1L)
     }
-    // an existing offsets log means batch numbering continues this epoch;
-    // a fresh checkpoint starts a new one
-    val ckptOffsets = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
-    val ckptExists = ckptOffsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(ckptOffsets)
+    // The epoch decision must be CRASH-SAFE: deriving it from "did the
+    // offsets log exist at process start" loses data if a run crashes
+    // after the engine creates the checkpoint but before the first
+    // commit of the new epoch (the restart would classify the folded
+    // mega-batch as a pure replay and skip it). So the chosen epoch is
+    // PERSISTED in a marker file inside the checkpoint dir — it shares
+    // the checkpoint's lifecycle exactly: deleting the checkpoint
+    // deletes the marker and forces a fresh epoch.
+    val hConf = spark.sparkContext.hadoopConfiguration
+    val ckptDir = new org.apache.hadoop.fs.Path(checkpointDir)
+    val ckptFs = ckptDir.getFileSystem(hConf)
+    val marker = new org.apache.hadoop.fs.Path(ckptDir, "graft-epoch")
+    val markerEpoch: Option[Long] =
+      if (!ckptFs.exists(marker)) None
+      else try {
+        val in = ckptFs.open(marker)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None } // torn marker
     val (priorEpoch, _) = parseWm(SnapTable.lastWatermark(spark, tableRoot))
-    val epoch = if (ckptExists) priorEpoch else priorEpoch + 1
+    val ckptOffsets = new org.apache.hadoop.fs.Path(ckptDir, "offsets")
+    val epoch = markerEpoch.getOrElse {
+      // no (valid) marker: a checkpoint WITH offsets predates the marker
+      // scheme (numbering continues the prior epoch); otherwise fresh
+      if (ckptFs.exists(ckptOffsets)) priorEpoch else priorEpoch + 1
+    }
+    if (!markerEpoch.contains(epoch)) {
+      ckptFs.mkdirs(ckptDir)
+      val tmp = new org.apache.hadoop.fs.Path(ckptDir,
+        s".graft-epoch.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = ckptFs.create(tmp, true)
+      try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+      ckptFs.delete(marker, false)
+      require(ckptFs.rename(tmp, marker), s"cannot persist epoch marker $marker")
+    }
     val docs: Dataset[graft.ingest.Doc] = spark.readStream
       .schema(docSchema).parquet(docsDir).as[graft.ingest.Doc]
     docs.writeStream

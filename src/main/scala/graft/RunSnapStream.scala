@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 /** spark-submit entry for the snapshot-table streaming materialization
   * ([[StreamingPipeline.startSnap]]): stream a parquet docs directory
   * through the KG pipeline into a [[graft.table.SnapTable]], one
-  * atomic manifest commit per micro-batch (batch id = snapshot
-  * watermark -> exactly-once under checkpoint loss).
+  * atomic manifest commit per micro-batch. The committed watermark is
+  * `"epoch:batchId"`: pure engine replays skip on it, and a
+  * checkpoint-loss restart bumps the epoch and doc-level anti-joins
+  * its first (folded) batch — exactly-once in both directions (see
+  * startSnap's scaladoc for the full argument).
   *
   *   runMain graft.RunSnapStream <docsDir|synth:N> <tableRoot> [--compact] [--expire K]
   *

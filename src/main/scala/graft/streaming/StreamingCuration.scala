@@ -184,10 +184,15 @@ object StreamingCuration {
       // a batch with ZERO new claims leaves the directory with only a
       // _SUCCESS marker (dynamic partition overwrite writes no partition
       // dirs) — schema inference would throw; require an actual data file
+      // mirror Hadoop's hidden-file convention ('.' AND '_' prefixes):
+      // a crashed write's _temporary attempt files must not count —
+      // spark.read would ignore them and still fail schema inference
+      def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
       def hasParquet(d: org.apache.hadoop.fs.Path): Boolean =
         fs.exists(d) && fs.listStatus(d).exists { s =>
-          (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
-            (s.isDirectory && !s.getPath.getName.startsWith(".") && hasParquet(s.getPath))
+          (s.isFile && visible(s.getPath.getName) &&
+            s.getPath.getName.endsWith(".parquet")) ||
+            (s.isDirectory && visible(s.getPath.getName) && hasParquet(s.getPath))
         }
       if (hasParquet(p)) Some(spark.read.parquet(p.toString)) else None
     }

@@ -206,11 +206,17 @@ object SnapTable {
       var attempts = 0
       while (attempts < 100) {
         attempts += 1
-        val parent = snapshot(spark, root)
-        // version from the raw listing, not the parent: a torn manifest
-        // at the head (non-atomic rename) is a dead id to step OVER,
-        // never a slot to fight for — else the CAS would loop forever
-        val v = snapshotIds(spark, root).lastOption.getOrElse(0L) + 1
+        // parent and version from ONE listing — reading them separately
+        // opens a lost-update window (a commit landing between the two
+        // reads would win a fresh slot with a stale parent). The head
+        // of the SAME listing also lets a torn manifest (non-atomic
+        // rename) be stepped over instead of CAS-looped on; any commit
+        // racing past this listing still collides on the no-clobber
+        // rename at the same v and forces a retry.
+        val idsNow = snapshotIds(spark, root)
+        val parent = idsNow.reverseIterator
+          .flatMap(i => readSnap(spark, root, i)).nextOption()
+        val v = idsNow.lastOption.getOrElse(0L) + 1
         val (op, files, added, removed, wm) = make(parent)
         val snap = Snapshot(v, op, files, added, removed, wm)
         val tmp = new Path(metaDir(root),
@@ -339,7 +345,13 @@ object SnapTable {
   def changesSince(spark: SparkSession, root: String,
                    fromExclusive: Long): Option[DataFrame] = {
     val ids = snapshotIds(spark, root)
-    require(fromExclusive == 0 || ids.contains(fromExclusive),
+    // a cursor must point INSIDE retained history; 0 ("from the very
+    // beginning") additionally requires that history actually starts at
+    // snapshot 1 — on an expired table the early `added` lineage is
+    // gone and a silent partial result would masquerade as a full one
+    require(
+      if (fromExclusive == 0) ids.isEmpty || ids.head == 1L
+      else ids.contains(fromExclusive),
       s"cursor $fromExclusive expired or unknown in $root (have ${ids.mkString(",")}) — " +
         "re-sync with a full read()")
     val added = ids.filter(_ > fromExclusive)
@@ -356,11 +368,16 @@ object SnapTable {
     */
   def expire(spark: SparkSession, root: String, keepLast: Int): Unit = {
     require(keepLast >= 1, "keepLast must be >= 1")
-    val ids = snapshotIds(spark, root)
-    if (ids.length <= keepLast) return
-    val (drop, keep) = ids.splitAt(ids.length - keepLast)
-    // torn manifests (readSnap None) contribute no files and are simply
-    // dropped with their id
+    // Retention counts PARSEABLE snapshots only. A torn manifest must
+    // never occupy a keep slot — counting it would let its empty file
+    // list shadow real data below it and GC live files. Torn ids are
+    // left entirely alone (they may be a slow in-flight writer on a
+    // non-atomic-rename filesystem): not counted, not deleted, and
+    // contributing nothing to the live set.
+    val parseable = snapshotIds(spark, root)
+      .filter(v => readSnap(spark, root, v).isDefined)
+    if (parseable.length <= keepLast) return
+    val (drop, keep) = parseable.splitAt(parseable.length - keepLast)
     val live: Set[String] = keep.flatMap(v =>
       readSnap(spark, root, v).map(_.files.map(_.path)).getOrElse(Vector.empty)).toSet
     val f = fs(spark, dataDir(root))
@@ -370,6 +387,12 @@ object SnapTable {
         .foreach(e => f.delete(new Path(e.path), false))
       f.delete(snapPath(root, v), false)
     }
+    // torn ids BELOW the oldest retained parseable snapshot are provably
+    // dead (their slot lost to a newer committed head): sweep just the
+    // manifest — they reference no known files
+    snapshotIds(spark, root)
+      .filter(v => v < keep.head && !parseable.contains(v))
+      .foreach(v => f.delete(snapPath(root, v), false))
   }
 
   // ---- data file staging ---------------------------------------------

@@ -302,7 +302,7 @@ class OpsSpec extends AnyFunSuite {
     def le32b(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
       ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
     var nested = "junk".getBytes("US-ASCII")
-    for (_ <- 0 until 100000)
+    for (_ <- 0 until 1000) // >> the depth-32 bound; O(n^2) build stays tiny
       nested = "LIST".getBytes("US-ASCII") ++ le32b(nested.length + 4) ++
         "movi".getBytes("US-ASCII") ++ nested
     val deepAvi = "RIFF".getBytes("US-ASCII") ++ le32b(nested.length + 4) ++

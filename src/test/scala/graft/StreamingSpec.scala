@@ -76,8 +76,29 @@ class StreamingSpec extends AnyFunSuite {
       .write.mode("append").parquet(s"$base/docs")
     StreamingPipeline.startSnap(spark, s"$base/docs", s"$base/tbl", s"$base/ckpt", dict)
       .awaitTermination()
-    assert(rows().length > batchAll.length)
+    val rows33 = rows()
+    assert(rows33.length > batchAll.length)
     assert(SnapTable.snapshot(spark, s"$base/tbl").get.watermark.contains("3:1"))
+    // epoch crash-safety: a run that decided a fresh epoch, persisted
+    // the marker, let the engine create the checkpoint, then CRASHED
+    // before its first table commit. The restart must honor the MARKER
+    // (epoch 4), not infer "same epoch" from the existing offsets dir —
+    // the old inference skipped the folded batch whole and lost the
+    // new docs
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$base/ckpt"))
+    new java.io.File(s"$base/ckpt/offsets").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/ckpt/graft-epoch"), "4")
+    SynthCorpus.corpus(spark, 36).filter($"doc_id" > SynthCorpus.docId(32))
+      .write.mode("append").parquet(s"$base/docs")
+    StreamingPipeline.startSnap(spark, s"$base/docs", s"$base/tbl", s"$base/ckpt", dict)
+      .awaitTermination()
+    val finalRows = rows()
+    val batch36 = Pipeline.triples(SynthCorpus.corpus(spark, 36), dict).collect()
+      .map(t => (t.doc_id, t.subj, t.pred, t.obj)).sorted.toVector
+    assert(finalRows == batch36, // new docs landed exactly once, old not duplicated
+      s"got ${finalRows.length} vs ${batch36.length}")
+    assert(SnapTable.snapshot(spark, s"$base/tbl").get.watermark.contains("4:0"))
     // manifest-side pred pruning really skips files: prune to a single
     // predicate's bound-window and check the rows survive intact
     val somePred = batch.head._3
