@@ -581,19 +581,28 @@ object StreamingPipeline {
     val ckptDir = new org.apache.hadoop.fs.Path(checkpointDir)
     val ckptFs = ckptDir.getFileSystem(hConf)
     val marker = new org.apache.hadoop.fs.Path(ckptDir, "graft-epoch")
+    val markerExists = ckptFs.exists(marker)
+    // IO errors while READING an existing marker must propagate (fail
+    // the start loudly) — guessing the epoch on a transient failure is
+    // exactly the stale-epoch data loss the marker prevents. Only TORN
+    // CONTENT (non-numeric) maps to None.
     val markerEpoch: Option[Long] =
-      if (!ckptFs.exists(marker)) None
-      else try {
+      if (!markerExists) None
+      else {
         val in = ckptFs.open(marker)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => None } // torn marker
+        txt.toLongOption
+      }
     val (priorEpoch, _) = parseWm(SnapTable.lastWatermark(spark, tableRoot))
     val ckptOffsets = new org.apache.hadoop.fs.Path(ckptDir, "offsets")
     val epoch = markerEpoch.getOrElse {
-      // no (valid) marker: a checkpoint WITH offsets predates the marker
-      // scheme (numbering continues the prior epoch); otherwise fresh
-      if (ckptFs.exists(ckptOffsets)) priorEpoch else priorEpoch + 1
+      // torn marker content -> the safe direction is a FRESH epoch (at
+      // worst one unnecessary anti-join batch). No marker at all: a
+      // checkpoint WITH offsets predates the marker scheme (numbering
+      // continues the prior epoch); otherwise fresh.
+      if (!markerExists && ckptFs.exists(ckptOffsets)) priorEpoch
+      else priorEpoch + 1
     }
     if (!markerEpoch.contains(epoch)) {
       ckptFs.mkdirs(ckptDir)
@@ -611,6 +620,12 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[graft.ingest.Doc], id: Long) =>
         val (cEpoch, cBatch) = parseWm(SnapTable.lastWatermark(spark, tableRoot))
+        // an epoch BEHIND the table means this checkpoint belongs to the
+        // table's past (restored backup / wrong dir): appending raw
+        // would duplicate the whole table — refuse loudly instead
+        require(epoch >= cEpoch,
+          s"checkpoint epoch $epoch is behind table epoch $cEpoch for $tableRoot — " +
+            "this checkpoint does not belong to this table; use a fresh checkpointDir")
         if (epoch == cEpoch && id <= cBatch) {
           () // pure replay of a committed batch within this epoch
         } else {

@@ -177,10 +177,17 @@ object SnapTable {
           s"no snapshot $v in $root (have ${ids.mkString(",")})")
         Some(readSnap(spark, root, v).getOrElse(
           throw new IllegalArgumentException(s"snapshot $v in $root is corrupt")))
-      case None =>
-        ids.reverseIterator.flatMap(v => readSnap(spark, root, v)).nextOption()
+      case None => latestParseable(spark, root, ids)
     }
   }
+
+  /** The newest parseable snapshot in `ids` — the single definition of
+    * "the committed head steps over torn manifests", shared by reads
+    * and the commit protocol.
+    */
+  private def latestParseable(spark: SparkSession, root: String,
+                              ids: Seq[Long]): Option[Snapshot] =
+    ids.reverseIterator.flatMap(v => readSnap(spark, root, v)).nextOption()
 
   /** The application watermark of the latest committed snapshot — a
     * restarting writer's resume point.
@@ -214,8 +221,7 @@ object SnapTable {
         // racing past this listing still collides on the no-clobber
         // rename at the same v and forces a retry.
         val idsNow = snapshotIds(spark, root)
-        val parent = idsNow.reverseIterator
-          .flatMap(i => readSnap(spark, root, i)).nextOption()
+        val parent = latestParseable(spark, root, idsNow)
         val v = idsNow.lastOption.getOrElse(0L) + 1
         val (op, files, added, removed, wm) = make(parent)
         val snap = Snapshot(v, op, files, added, removed, wm)
@@ -354,8 +360,16 @@ object SnapTable {
       else ids.contains(fromExclusive),
       s"cursor $fromExclusive expired or unknown in $root (have ${ids.mkString(",")}) — " +
         "re-sync with a full read()")
-    val added = ids.filter(_ > fromExclusive)
-      .flatMap(v => readSnap(spark, root, v))
+    // every manifest INSIDE the range must parse — silently skipping a
+    // torn/corrupt one would hand the consumer a partial result that
+    // looks complete (same invariant as the cursor guard above)
+    val range = ids.filter(_ > fromExclusive)
+      .map(v => v -> readSnap(spark, root, v))
+    val corrupt = range.collect { case (v, None) => v }
+    require(corrupt.isEmpty,
+      s"corrupt manifest(s) ${corrupt.mkString(",")} inside the change range of $root — " +
+        "re-sync with a full read()")
+    val added = range.flatMap(_._2)
       .filter(s => s.op == "append" || s.op == "overwrite")
       .flatMap(_.added)
     if (added.isEmpty) None
@@ -374,24 +388,30 @@ object SnapTable {
     // left entirely alone (they may be a slow in-flight writer on a
     // non-atomic-rename filesystem): not counted, not deleted, and
     // contributing nothing to the live set.
-    val parseable = snapshotIds(spark, root)
-      .filter(v => readSnap(spark, root, v).isDefined)
+    val allIds = snapshotIds(spark, root)
+    // parse each manifest ONCE (remote filesystems pay per round-trip)
+    val byId: Map[Long, Snapshot] =
+      allIds.flatMap(v => readSnap(spark, root, v).map(v -> _)).toMap
+    val parseable = allIds.filter(byId.contains)
     if (parseable.length <= keepLast) return
     val (drop, keep) = parseable.splitAt(parseable.length - keepLast)
-    val live: Set[String] = keep.flatMap(v =>
-      readSnap(spark, root, v).map(_.files.map(_.path)).getOrElse(Vector.empty)).toSet
+    val live: Set[String] = keep.flatMap(v => byId(v).files.map(_.path)).toSet
     val f = fs(spark, dataDir(root))
     drop.foreach { v =>
-      readSnap(spark, root, v).map(_.files).getOrElse(Vector.empty)
+      byId(v).files
         .filterNot(e => live(e.path))
         .foreach(e => f.delete(new Path(e.path), false))
       f.delete(snapPath(root, v), false)
     }
-    // torn ids BELOW the oldest retained parseable snapshot are provably
-    // dead (their slot lost to a newer committed head): sweep just the
-    // manifest — they reference no known files
-    snapshotIds(spark, root)
-      .filter(v => v < keep.head && !parseable.contains(v))
+    // Torn ids BELOW the oldest retained parseable snapshot lost their
+    // slot to a newer committed head: sweep just the manifest (they
+    // reference no known files). A mid-copy writer racing this delete
+    // on a non-atomic-rename filesystem may resurrect the file as a
+    // parseable orphan — harmless to readers (never the latest) and
+    // swept by the NEXT expire, which then sees it as an old parseable
+    // id in `drop`.
+    allIds
+      .filter(v => v < keep.head && !byId.contains(v))
       .foreach(v => f.delete(snapPath(root, v), false))
   }
 
