@@ -187,17 +187,33 @@ object TextAnalysis {
            |         i -> concat_ws(' ', slice(_ts, i, $n)))
            |  else array() end""".stripMargin))
 
-  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
-                    textCol: String, n: Int = 8): DataFrame = {
+  /** The distinct benchmark n-gram set `decontaminate` joins against —
+    * exposed so a STATIC bench can compute (and persist) it ONCE and
+    * reuse it across streaming micro-batches instead of re-deriving it
+    * per batch.
+    */
+  def benchNgramSet(bench: DataFrame, textCol: String, n: Int = 8): DataFrame = {
     require(n >= 1, s"n-gram order $n")
-    def withNgrams(df: DataFrame): DataFrame = withTokenNgrams(df, textCol, n)
-    val benchNg = withNgrams(bench).select(explode(col("_ng")).as("ng")).distinct()
+    withTokenNgrams(bench, textCol, n).select(explode(col("_ng")).as("ng")).distinct()
+  }
+
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame =
+    decontaminateNg(corpus, benchNgramSet(bench, textCol, n), idCol, textCol, n)
+
+  /** [[decontaminate]] against a precomputed [[benchNgramSet]] (one
+    * `ng` column).
+    */
+  def decontaminateNg(corpus: DataFrame, benchNg: DataFrame, idCol: String,
+                      textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram order $n")
     // explode_OUTER on the corpus side: a plain explode makes Catalyst
     // infer a size(_ng) > 0 filter and push it below the projections,
     // re-deriving the whole n-gram array a second time per row on the
     // 100 TB hot path. Outer generate skips that rule; the empty-array
     // rows surface as null ng, which the inner join drops for free.
-    withNgrams(corpus).select(col(idCol), explode_outer(col("_ng")).as("ng"))
+    withTokenNgrams(corpus, textCol, n)
+      .select(col(idCol), explode_outer(col("_ng")).as("ng"))
       .join(broadcast(benchNg), "ng")
       .groupBy(col(idCol))
       .agg(countDistinct(col("ng")).cast("long").as("n_hits"))

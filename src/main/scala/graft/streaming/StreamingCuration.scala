@@ -94,6 +94,20 @@ object StreamingCuration {
                       targetBytesPerFile: Long = 64L * 1024 * 1024): Unit = {
     import org.apache.hadoop.fs.Path
     if (upToBatch < 0) return
+    // sweep tmp dirs any EARLIER fold left behind by crashing between
+    // its chunk write and its own cleanup — each later fold stamps a
+    // fresh tmp, so without this the orphans accumulate forever
+    {
+      val out = new Path(outDir)
+      val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (ofs.exists(out))
+        ofs.listStatus(out).foreach { s =>
+          val n = s.getPath.getName
+          if (s.isDirectory && Sidecars.exists { case (sc, _) =>
+              n.startsWith(s".${sc}_compact_tmp-") })
+            ofs.delete(s.getPath, true)
+        }
+    }
     for ((name, hashCol) <- Sidecars) {
       val root = new Path(s"$outDir/$name")
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -147,7 +161,8 @@ object StreamingCuration {
                    idCol: String, textCol: String,
                    cfg: CurateConfig,
                    bench: Option[DataFrame] = None,
-                   compactEvery: Int = 0): Unit = {
+                   compactEvery: Int = 0,
+                   benchNg: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
@@ -164,7 +179,8 @@ object StreamingCuration {
       p
     }
     try {
-      processBatchImpl(batch, batchId, outDir, idCol, textCol, cfg, bench, pin)
+      processBatchImpl(batch, batchId, outDir, idCol, textCol, cfg, bench,
+        benchNg, pin)
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
         compactSidecars(spark, outDir, batchId - 1) // only committed batches
     } finally pinned.foreach(_.unpersist(false))
@@ -174,6 +190,7 @@ object StreamingCuration {
                                idCol: String, textCol: String,
                                cfg: CurateConfig,
                                bench: Option[DataFrame],
+                               benchNg: Option[DataFrame],
                                pin: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
@@ -274,7 +291,10 @@ object StreamingCuration {
             .select(col(idCol), col("i"))
           case None => dupIn.limit(0)
         }
-        val newNg = occ.select(col("_nh").as("nh")).distinct()
+        // `first` (the ownership groupBy) already materializes exactly
+        // the distinct n-gram set — hashing its key avoids a SECOND
+        // full shuffle of every occurrence for the claims write
+        val newNg = first.select(md5(col("ng")).as("nh"))
         val toWriteNg = seenNg match {
           case Some(s) => newNg.join(s, newNg("nh") === s("nh"), "left_anti")
           case None => newNg
@@ -312,13 +332,19 @@ object StreamingCuration {
     // stage 4b (optional): decontamination is STATELESS (the bench
     // n-gram set is static and broadcasts) — per-batch application IS
     // the batch rule, no sidecar needed
-    val withDecontam = pin(bench match {
+    // the bench n-gram set is STATIC across the stream: use the
+    // precomputed (persisted) set when the caller supplies one instead
+    // of re-deriving it every micro-batch
+    val ngSet: Option[DataFrame] = benchNg.orElse(bench.map(b =>
+      graft.ops.TextAnalysis.benchNgramSet(
+        b.select(col(textCol).as("text_curated")), "text_curated",
+        cfg.decontamNgram)))
+    val withDecontam = pin(ngSet match {
       case None => withGopher.withColumn("keep_decontam", lit(true))
-      case Some(b) =>
-        val hits = graft.ops.TextAnalysis.decontaminate(
+      case Some(ngs) =>
+        val hits = graft.ops.TextAnalysis.decontaminateNg(
           withGopher.select(col(idCol), col("text_curated")),
-          b.select(col(textCol).as("text_curated")),
-          idCol, "text_curated", cfg.decontamNgram)
+          ngs, idCol, "text_curated", cfg.decontamNgram)
           .withColumnRenamed("n_hits", "_nh")
         withGopher.join(hits, Seq(idCol), "left")
           .withColumn("keep_decontam", col("_nh").isNull)
@@ -382,6 +408,11 @@ object StreamingCuration {
             compactEvery: Int = 0,
             maxFilesPerTrigger: Int = 0): StreamingQuery = {
     val schema = spark.read.parquet(docsDir).schema
+    // static bench -> its n-gram set is computed and persisted ONCE for
+    // the stream's lifetime instead of per micro-batch
+    val benchNg = bench.map(b => graft.ops.TextAnalysis.benchNgramSet(
+      b.select(col(textCol).as("text_curated")), "text_curated",
+      cfg.decontamNgram).persist())
     val reader = spark.readStream.schema(schema)
     // pacing: without it AvailableNow takes the whole backlog as ONE
     // micro-batch — fine for parity, but periodic compaction and bounded
@@ -393,7 +424,8 @@ object StreamingCuration {
       .option("checkpointLocation", s"$outDir/ckpt")
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        processBatch(b, id, outDir, idCol, textCol, cfg, bench, compactEvery)
+        processBatch(b, id, outDir, idCol, textCol, cfg, bench, compactEvery,
+          benchNg)
       }
       .start()
   }

@@ -20,10 +20,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingDedup {
 
-  private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+  private def md5hex(s: String): String = StreamingUtil.md5hex(s)
 
   def contentKey(d: Doc): String =
     md5hex(graft.ingest.SpanCodec.reconstruct(d.spans))

@@ -31,23 +31,15 @@ object StreamingExcision {
   case class OccRow(doc_id: String, i: Int)
   case class Occ(doc_id: String, i: Int, ng: String)
 
-  private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+  private def md5hex(s: String): String = StreamingUtil.md5hex(s)
 
-  /** Orderings matching the batch min(struct(id, pos)) on the NATIVE
-    * id type (see [[StreamingLineDedup.NumericOrder]]).
+  /** Ordering matching the batch min(struct(id, pos)) on the NATIVE id
+    * type ([[StreamingUtil.idCompare]]: numeric incl. decimal/float by
+    * value, strings lexicographic, nulls first).
     */
-  private object LexOcc extends Ordering[Occ] with Serializable {
+  private final case class OccOrder(numeric: Boolean) extends Ordering[Occ] {
     def compare(a: Occ, b: Occ): Int = {
-      val c = a.doc_id.compareTo(b.doc_id)
-      if (c != 0) c else Integer.compare(a.i, b.i)
-    }
-  }
-  private object NumOcc extends Ordering[Occ] with Serializable {
-    def compare(a: Occ, b: Occ): Int = {
-      val c = java.lang.Long.compare(a.doc_id.toLong, b.doc_id.toLong)
+      val c = StreamingUtil.idCompare(numeric, a.doc_id, b.doc_id)
       if (c != 0) c else Integer.compare(a.i, b.i)
     }
   }
@@ -97,21 +89,22 @@ object StreamingExcision {
     }
 
   private def orderFor(docs: DataFrame): Ordering[Occ] =
-    docs.schema("doc_id").dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
-        NumOcc
-      case _ => LexOcc
-    }
+    OccOrder(StreamingUtil.isNumericId(docs.schema("doc_id").dataType))
 
   private def occurrences(docs: DataFrame, textCol: String, n: Int)
       : Dataset[Occ] = {
     implicit val occEnc = Encoders.product[Occ]
+    // bind the tokenization ONCE — inlining split() into the expression
+    // re-runs the regex up to three times per row (CollapseProject keeps
+    // non-cheap multi-referenced aliases, same shape as the batch
+    // Dedup.ngramOccurrences)
     docs.select(col("doc_id").cast("string").as("doc_id"),
+        split(col(textCol), "\\s+").as("_ts"))
+      .select(col("doc_id"),
         posexplode(expr(
-          s"""case when size(split($textCol, '\\\\s+')) >= $n
-             |  then transform(sequence(1, size(split($textCol, '\\\\s+')) - ${n - 1}),
-             |         i -> concat_ws(' ', slice(split($textCol, '\\\\s+'), i, $n)))
+          s"""case when size(_ts) >= $n
+             |  then transform(sequence(1, size(_ts) - ${n - 1}),
+             |         i -> concat_ws(' ', slice(_ts, i, $n)))
              |  else array() end""".stripMargin)).as(Seq("i", "ng")))
       .as[Occ]
   }

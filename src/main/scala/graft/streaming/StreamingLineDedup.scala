@@ -26,38 +26,26 @@ object StreamingLineDedup {
 
   case class LineRow(doc_id: String, idx: Int, line: String)
 
-  /** In-batch tie-break orderings on the stringified doc id, matching
-    * the BATCH rule's window order on the NATIVE id type: numeric ids
-    * compare numerically (batch: `orderBy(idCol)` on a long column —
-    * lexicographic "10" < "9" would keep the wrong doc), strings
-    * lexicographically. Chosen from the input schema in [[keptLines]];
-    * each is a serializable object so the closure ships clean.
+  /** In-batch tie-break ordering on the stringified doc id, matching
+    * the BATCH rule's window order on the NATIVE id type (see
+    * [[StreamingUtil.idCompare]]: numeric — incl. decimal/float —
+    * by value, strings lexicographically, nulls first). Chosen from
+    * the input schema in [[keptLines]]; serializable so the closure
+    * ships clean.
     */
-  object LexOrder extends Ordering[LineRow] with Serializable {
+  final case class IdOrder(numeric: Boolean) extends Ordering[LineRow] {
     def compare(a: LineRow, b: LineRow): Int = {
-      val c = a.doc_id.compareTo(b.doc_id)
+      val c = StreamingUtil.idCompare(numeric, a.doc_id, b.doc_id)
       if (c != 0) c else Integer.compare(a.idx, b.idx)
     }
   }
-  object NumericOrder extends Ordering[LineRow] with Serializable {
-    def compare(a: LineRow, b: LineRow): Int = {
-      val c = java.lang.Long.compare(a.doc_id.toLong, b.doc_id.toLong)
-      if (c != 0) c else Integer.compare(a.idx, b.idx)
-    }
-  }
+  /** Lexicographic default (string ids). */
+  val LexOrder: Ordering[LineRow] = IdOrder(numeric = false)
 
   private def orderFor(df: DataFrame): Ordering[LineRow] =
-    df.schema("doc_id").dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
-        NumericOrder
-      case _ => LexOrder
-    }
+    IdOrder(StreamingUtil.isNumericId(df.schema("doc_id").dataType))
 
-  private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+  private def md5hex(s: String): String = StreamingUtil.md5hex(s)
 
   /** Codepoint count — the batch eligibility rule uses Spark
     * `length()` (codepoints), not UTF-16 units; astral chars near the

@@ -45,33 +45,38 @@ final case class CandidatePair(id1: String, id2: String)
 object StreamingNearDup {
 
   /** Per-bucket stateful pair expansion (Append mode, no timeout —
-    * AvailableNow backfills self-terminate).
+    * AvailableNow backfills self-terminate). `numeric`: compare ids
+    * under the NATIVE ordering ([[StreamingUtil.idCompare]]) — both
+    * the in-batch cap/order and the (id1 < id2) pair orientation must
+    * match the batch recipe's typed `array_sort`, or numeric-id
+    * corpora emit ("10","9")-style inverted pairs.
     */
-  def pairsInBucket(maxBucket: Int)(bucket: Long, rows: Iterator[BucketMember],
-                                    state: GroupState[Seq[String]]): Iterator[CandidatePair] = {
+  def pairsInBucket(maxBucket: Int, numeric: Boolean = false)(
+      bucket: Long, rows: Iterator[BucketMember],
+      state: GroupState[Seq[String]]): Iterator[CandidatePair] = {
     val existing: Vector[String] =
       if (state.exists) state.get.toVector else Vector.empty
     val seen = existing.toSet
-    // id order within the batch -> deterministic output and cap
-    val newIds = rows.map(_.doc_id).toVector.distinct.sorted
+    val idOrd = StreamingUtil.IdOrdering(numeric)
+    // native id order within the batch -> deterministic output and cap
+    val newIds = rows.map(_.doc_id).toVector.distinct.sorted(idOrd)
       .filterNot(seen)
     val out = Vector.newBuilder[CandidatePair]
     var members = existing
     for (id <- newIds if members.size < maxBucket) {
       for (m <- members)
-        out += (if (m < id) CandidatePair(m, id) else CandidatePair(id, m))
+        out += (if (idOrd.lt(m, id)) CandidatePair(m, id) else CandidatePair(id, m))
       members = members :+ id
     }
     if (members.size != existing.size) state.update(members)
     out.result().iterator
   }
 
-  /** Core operator over (doc_id, text) columns — works for both batch
-    * and streaming DataFrames. Same k/bands/shingleN/banding math as
-    * [[graft.ops.Dedup.lshCandidatePairsFast]].
+  /** Shared narrow prefix of both operators: signatures + banding +
+    * bucket membership, identical math to the batch recipe.
     */
-  def candidatePairs(docs: DataFrame, k: Int = 8, bands: Int = 2,
-                     shingleN: Int = 3, maxBucket: Int = 1024): Dataset[CandidatePair] = {
+  private def bucketMembers(docs: DataFrame, k: Int, bands: Int,
+                            shingleN: Int): Dataset[BucketMember] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(k % bands == 0, "bands must divide k")
@@ -82,12 +87,24 @@ object StreamingNearDup {
       xxhash64((lit(b) +: (b * rows until (b + 1) * rows)
         .map(j => col("sigs").getItem(j))): _*)
     }
-    val members = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
       .as[BucketMember]
-    members.groupByKey(_.bucket)
+  }
+
+  private def isNumeric(docs: DataFrame): Boolean =
+    StreamingUtil.isNumericId(docs.schema("doc_id").dataType)
+
+  /** Core operator over (doc_id, text) columns — works for both batch
+    * and streaming DataFrames. Same k/bands/shingleN/banding math as
+    * [[graft.ops.Dedup.lshCandidatePairsFast]].
+    */
+  def candidatePairs(docs: DataFrame, k: Int = 8, bands: Int = 2,
+                     shingleN: Int = 3, maxBucket: Int = 1024): Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bucketMembers(docs, k, bands, shingleN).groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(pairsInBucket(maxBucket))
+        GroupStateTimeout.NoTimeout)(pairsInBucket(maxBucket, isNumeric(docs)))
   }
 
   /** TTL'd per-bucket state: a bucket's member list expires `ttlMs`
@@ -97,12 +114,12 @@ object StreamingNearDup {
     * the dedup horizon for infinite streams; pairs only form within
     * the horizon.
     */
-  def pairsInBucketTtl(maxBucket: Int, ttlMs: Long)(
+  def pairsInBucketTtl(maxBucket: Int, ttlMs: Long, numeric: Boolean = false)(
       bucket: Long, rows: Iterator[BucketMember],
       state: GroupState[Seq[String]]): Iterator[CandidatePair] =
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
-      val out = pairsInBucket(maxBucket)(bucket, rows, state)
+      val out = pairsInBucket(maxBucket, numeric)(bucket, rows, state)
       if (state.exists) state.setTimeoutDuration(ttlMs)
       out
     }
@@ -117,20 +134,10 @@ object StreamingNearDup {
                         maxBucket: Int = 1024): Dataset[CandidatePair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
-    val sig = docs.select(col("doc_id"),
-      graft.expr.MinHashOf(col("text"), shingleN, k).as("sigs"))
-    val bandCols = (0 until bands).map { b =>
-      xxhash64((lit(b) +: (b * rows until (b + 1) * rows)
-        .map(j => col("sigs").getItem(j))): _*)
-    }
-    val members = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
-      .as[BucketMember]
-    members.groupByKey(_.bucket)
+    bucketMembers(docs, k, bands, shingleN).groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.ProcessingTimeTimeout)(pairsInBucketTtl(maxBucket, ttlMs))
+        GroupStateTimeout.ProcessingTimeTimeout)(
+        pairsInBucketTtl(maxBucket, ttlMs, isNumeric(docs)))
   }
 
   /** [[candidatePairs]] over span-docs: text = reconstructed spans

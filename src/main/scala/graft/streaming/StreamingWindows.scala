@@ -34,8 +34,11 @@ object StreamingWindows {
     */
   def batchEmittedCounts(rows: DataFrame, windowLen: String = "1 minute",
                          latenessSecs: Long = 120L): DataFrame = {
-    val maxTs = rows.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
-    val wm = maxTs - latenessSecs
+    // empty input / all-null ts -> max() is null: nothing would have
+    // been emitted, return the (empty) aggregation instead of NPE-ing
+    val maxRow = rows.agg(max(unix_timestamp(col("ts")))).head()
+    val wm = if (maxRow.isNullAt(0)) Long.MinValue
+      else maxRow.getLong(0) - latenessSecs
     rows.groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),

@@ -400,6 +400,18 @@ class StreamingSpec extends AnyFunSuite {
     // a batch-2 doc paired against batch-1 state (the 28..31 group)
     assert((streamed -- afterB1).exists { case (a, b) =>
       a < "d0030" && b >= "d0030" })
+    // NUMERIC ids order natively: 9 pairs BEFORE 10 (lexicographic
+    // "10" < "9" would invert the orientation vs the batch recipe)
+    val num = Seq(9L, 10L, 2L)
+      .map(i => (i, graft.ingest.SynthCorpus.docText(if (i == 2L) 900 else 0)))
+      .toDF("doc_id", "text")
+    val numPairs = graft.streaming.StreamingNearDup.candidatePairs(num)
+      .collect().map(p => (p.id1, p.id2)).toSet
+    assert(numPairs.contains(("9", "10")) && !numPairs.contains(("10", "9")),
+      numPairs.toString)
+    val numBatch = graft.ops.Dedup.lshCandidatePairsFast(num, "doc_id", "text")
+      .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    assert(numPairs == numBatch, s"streaming=$numPairs batch=$numBatch")
   }
 
   test("streaming line dedup: kept set == batch rule over doc-ordered batches + restarts") {
