@@ -30,13 +30,27 @@ private[streaming] object StreamingUtil {
     * exactly), strings lexicographically; nulls FIRST (Spark's window
     * asc-nulls-first default) — a dirty null id must tie-break like the
     * batch window does, not NPE the stateful operator.
+    *
+    * Float/Double ids can render as "NaN"/"Infinity"/"-Infinity", which
+    * BigDecimal rejects; they are ordered the way Spark orders doubles
+    * (-Infinity < finite < Infinity < NaN) instead of throwing.
     */
   def idCompare(numeric: Boolean, a: String, b: String): Int =
     if (a == null && b == null) 0
     else if (a == null) -1
     else if (b == null) 1
-    else if (numeric) new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
-    else a.compareTo(b)
+    else if (numeric) {
+      // Spark's total order on floating types: -Inf < finite < +Inf < NaN
+      def rank(s: String): Int = s match {
+        case "-Infinity" => -1
+        case "Infinity" => 1
+        case "NaN" => 2
+        case _ => 0
+      }
+      val (ra, rb) = (rank(a), rank(b))
+      if (ra != 0 || rb != 0) Integer.compare(ra, rb)
+      else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    } else a.compareTo(b)
 
   /** [[idCompare]] as a serializable String ordering. */
   final case class IdOrdering(numeric: Boolean) extends Ordering[String] {

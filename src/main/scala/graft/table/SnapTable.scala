@@ -54,10 +54,14 @@ object SnapTable {
     * STRING)` bounds of the table's stats column when one was declared
     * at write time (callers parse them back — e.g. `.toInt` for a
     * bucket id — so numeric pruning is not fooled by lexicographic
-    * order).
+    * order). `tag` is an opaque caller label carried per file across
+    * commits (e.g. the micro-batch id that appended it — the
+    * [[graft.streaming.ClaimStore]] replay guard); absent in
+    * pre-tag manifests, which parse as None.
     */
   case class FileEntry(path: String, rows: Long, bytes: Long,
-                       lo: Option[String], hi: Option[String])
+                       lo: Option[String], hi: Option[String],
+                       tag: Option[String] = None)
 
   /** One committed snapshot: dense id, the COMPLETE file list after
     * this commit, the producing operation, added/removed lineage, and
@@ -94,7 +98,8 @@ object SnapTable {
       "files" -> JArr(s.files.sortBy(_.path).map(f => JObj.of(
         "path" -> JStr(f.path), "rows" -> Json.num(f.rows),
         "bytes" -> Json.num(f.bytes),
-        "lo" -> jOpt(f.lo), "hi" -> jOpt(f.hi)): JValue))
+        "lo" -> jOpt(f.lo), "hi" -> jOpt(f.hi),
+        "tag" -> jOpt(f.tag)): JValue))
     ).render
 
   private def parse(json: String): Snapshot = {
@@ -104,7 +109,8 @@ object SnapTable {
       val f = fv.asInstanceOf[JObj]
       FileEntry(jStr(f("path")).getOrElse(
           throw new IllegalArgumentException("manifest file entry missing path")),
-        jNum(f("rows")), jNum(f("bytes")), jStr(f("lo")), jStr(f("hi")))
+        jNum(f("rows")), jNum(f("bytes")), jStr(f("lo")), jStr(f("hi")),
+        jStr(f("tag")))
     }
     Snapshot(jNum(o("id")), jStr(o("op")).getOrElse(""), files,
       arr(o("added")), arr(o("removed")), jStr(o("watermark")))
@@ -199,6 +205,44 @@ object SnapTable {
 
   private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Publish `tmp` at `dst` with a TRUE no-clobber — the commit CAS.
+    * Hadoop's local-filesystem rename is File.renameTo, which silently
+    * OVERWRITES an existing destination, so the old `exists() + rename`
+    * was only a CAS between threads of one JVM (serialized by
+    * [[jvmLocks]] anyway): two separate local processes racing version v
+    * could both "win" and the later one clobber the earlier commit. On
+    * `file:` a POSIX hard link is the primitive that fails atomically
+    * (EEXIST) when the target exists; elsewhere
+    * `FileContext.rename(Options.Rename.NONE)` is the enforced
+    * no-clobber contract (atomic on HDFS). The `exists` probe first is
+    * just a fast path for the common lost race.
+    */
+  private[graft] def publishNoClobber(f: FileSystem, spark: SparkSession,
+                                      tmp: Path, dst: Path): Boolean = {
+    if (f.exists(dst)) return false
+    val scheme = Option(f.makeQualified(dst).toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          f.makeQualified(dst).toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    }
+  }
+
   /** Commit v = parent+1 via tmp + no-clobber rename; on CAS loss
     * (someone else committed v first) re-derive against the winner and
     * retry. `make` sees the parent snapshot (None on first commit) and
@@ -229,9 +273,10 @@ object SnapTable {
           f"snap-$v%08d.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
         val out = f.create(tmp, true)
         try out.write(renderFile(snap)) finally out.close()
-        // the CAS: never clobber an existing snap-<v>.json (atomic on
-        // HDFS rename semantics; same-JVM racers are serialized above)
-        val won = !f.exists(snapPath(root, v)) && f.rename(tmp, snapPath(root, v))
+        // the CAS: never clobber an existing snap-<v>.json (hard-link
+        // EEXIST on local, no-clobber FileContext rename elsewhere;
+        // same-JVM racers are additionally serialized above)
+        val won = publishNoClobber(f, spark, tmp, snapPath(root, v))
         if (won) return snap
         f.delete(tmp, false) // lost: retry against the new parent
       }
@@ -247,8 +292,9 @@ object SnapTable {
   def append(spark: SparkSession, root: String, df: DataFrame,
              watermark: Option[String] = None,
              statsCol: Option[String] = None,
-             clusterFiles: Int = 0): Snapshot = {
-    val staged = stageFiles(spark, root, df, statsCol, clusterFiles)
+             clusterFiles: Int = 0,
+             tag: Option[String] = None): Snapshot = {
+    val staged = stageFiles(spark, root, df, statsCol, clusterFiles, tag)
     commit(spark, root) { parent =>
       ("append", parent.map(_.files).getOrElse(Vector.empty) ++ staged,
         staged.map(_.path), Vector.empty,
@@ -260,8 +306,9 @@ object SnapTable {
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
                 watermark: Option[String] = None,
                 statsCol: Option[String] = None,
-                clusterFiles: Int = 0): Snapshot = {
-    val staged = stageFiles(spark, root, df, statsCol, clusterFiles)
+                clusterFiles: Int = 0,
+                tag: Option[String] = None): Snapshot = {
+    val staged = stageFiles(spark, root, df, statsCol, clusterFiles, tag)
     commit(spark, root) { parent =>
       // content is replaced, but the resume point persists unless the
       // caller sets a new one — a manual overwrite must never silently
@@ -284,12 +331,13 @@ object SnapTable {
               pick: FileEntry => Boolean,
               rewriteAs: DataFrame => DataFrame,
               statsCol: Option[String] = None,
-              clusterFiles: Int = 0): Option[Snapshot] = {
+              clusterFiles: Int = 0,
+              tag: Option[String] = None): Option[Snapshot] = {
     val before = snapshot(spark, root).getOrElse(return None)
     val victims = before.files.filter(pick)
     if (victims.isEmpty) return None
     val rewritten = rewriteAs(spark.read.parquet(victims.map(_.path): _*))
-    val staged = stageFiles(spark, root, rewritten, statsCol, clusterFiles)
+    val staged = stageFiles(spark, root, rewritten, statsCol, clusterFiles, tag)
     val victimSet = victims.map(_.path).toSet
     try {
       Some(commit(spark, root) { parent =>
@@ -349,7 +397,27 @@ object SnapTable {
     * incremental pipelines without a message bus.
     */
   def changesSince(spark: SparkSession, root: String,
-                   fromExclusive: Long): Option[DataFrame] = {
+                   fromExclusive: Long): Option[DataFrame] =
+    changesBetween(spark, root, fromExclusive).rows
+
+  /** One incremental read plus the cursor value that covers it. */
+  final case class Changes(rows: Option[DataFrame], coveredThrough: Long)
+
+  /** [[changesSince]] with a SAFE cursor-advance protocol: returns the
+    * added rows in `(fromExclusive, coveredThrough]` AND
+    * `coveredThrough` itself — the snapshot id the consumer should
+    * advance its cursor to. Resolving the upper bound INSIDE the call
+    * closes the race against a concurrent writer: a consumer that read
+    * the head id before calling would double-count commits landing in
+    * between, one that read it after would skip them. Pass
+    * `toInclusive` to pin the bound yourself (e.g. re-reading a range);
+    * by default the bound is the latest PARSEABLE snapshot — a torn
+    * head (an in-flight writer on a non-atomic-rename filesystem) is
+    * simply not covered yet and will be picked up by the next call.
+    */
+  def changesBetween(spark: SparkSession, root: String,
+                     fromExclusive: Long,
+                     toInclusive: Option[Long] = None): Changes = {
     val ids = snapshotIds(spark, root)
     // a cursor must point INSIDE retained history; 0 ("from the very
     // beginning") additionally requires that history actually starts at
@@ -360,10 +428,22 @@ object SnapTable {
       else ids.contains(fromExclusive),
       s"cursor $fromExclusive expired or unknown in $root (have ${ids.mkString(",")}) — " +
         "re-sync with a full read()")
+    val covered = toInclusive match {
+      case Some(t) =>
+        require(t >= fromExclusive,
+          s"toInclusive $t below cursor $fromExclusive in $root")
+        require(t == fromExclusive || ids.contains(t),
+          s"toInclusive $t unknown or expired in $root (have ${ids.mkString(",")})")
+        t
+      // never below the cursor (a torn-head-only table must not walk
+      // the consumer's cursor backwards)
+      case None => latestParseable(spark, root, ids).map(_.id)
+        .getOrElse(fromExclusive).max(fromExclusive)
+    }
     // every manifest INSIDE the range must parse — silently skipping a
     // torn/corrupt one would hand the consumer a partial result that
     // looks complete (same invariant as the cursor guard above)
-    val range = ids.filter(_ > fromExclusive)
+    val range = ids.filter(v => v > fromExclusive && v <= covered)
       .map(v => v -> readSnap(spark, root, v))
     val corrupt = range.collect { case (v, None) => v }
     require(corrupt.isEmpty,
@@ -372,15 +452,24 @@ object SnapTable {
     val added = range.flatMap(_._2)
       .filter(s => s.op == "append" || s.op == "overwrite")
       .flatMap(_.added)
-    if (added.isEmpty) None
-    else Some(spark.read.parquet(added: _*))
+    Changes(if (added.isEmpty) None else Some(spark.read.parquet(added: _*)),
+      covered)
   }
 
-  /** Drop all but the newest `keepLast` manifests, then delete data
-    * files no RETAINED snapshot references (safe orphan GC — a file
-    * goes only when every retained manifest agrees it is dead).
+  /** Drop all but the newest `keepLast` manifests, delete data files no
+    * RETAINED snapshot references (safe GC — a file goes only when
+    * every retained manifest agrees it is dead), then sweep ORPHANS:
+    * data files referenced by NO retained manifest and `.stage-*` dirs,
+    * both older than `orphanGraceMs`. Orphans come from a writer that
+    * crashed between staging its uuid-named files and winning the
+    * manifest CAS — they are invisible to readers (manifests are the
+    * source of truth) but would otherwise accumulate in `data/`
+    * forever, one batch's worth per crash. The age gate protects a
+    * LIVE concurrent writer's staged-but-not-yet-committed files;
+    * Iceberg's `remove_orphan_files` uses the same contract.
     */
-  def expire(spark: SparkSession, root: String, keepLast: Int): Unit = {
+  def expire(spark: SparkSession, root: String, keepLast: Int,
+             orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
     require(keepLast >= 1, "keepLast must be >= 1")
     // Retention counts PARSEABLE snapshots only. A torn manifest must
     // never occupy a keep slot — counting it would let its empty file
@@ -393,26 +482,48 @@ object SnapTable {
     val byId: Map[Long, Snapshot] =
       allIds.flatMap(v => readSnap(spark, root, v).map(v -> _)).toMap
     val parseable = allIds.filter(byId.contains)
-    if (parseable.length <= keepLast) return
-    val (drop, keep) = parseable.splitAt(parseable.length - keepLast)
-    val live: Set[String] = keep.flatMap(v => byId(v).files.map(_.path)).toSet
     val f = fs(spark, dataDir(root))
-    drop.foreach { v =>
-      byId(v).files
-        .filterNot(e => live(e.path))
-        .foreach(e => f.delete(new Path(e.path), false))
-      f.delete(snapPath(root, v), false)
+    val keep =
+      if (parseable.length <= keepLast) parseable
+      else {
+        val (drop, keep) = parseable.splitAt(parseable.length - keepLast)
+        val live: Set[String] = keep.flatMap(v => byId(v).files.map(_.path)).toSet
+        drop.foreach { v =>
+          byId(v).files
+            .filterNot(e => live(e.path))
+            .foreach(e => f.delete(new Path(e.path), false))
+          f.delete(snapPath(root, v), false)
+        }
+        // Torn ids BELOW the oldest retained parseable snapshot lost
+        // their slot to a newer committed head: sweep just the manifest
+        // (they reference no known files). A mid-copy writer racing this
+        // delete on a non-atomic-rename filesystem may resurrect the
+        // file as a parseable orphan — harmless to readers (never the
+        // latest) and swept by the NEXT expire, which then sees it as an
+        // old parseable id in `drop`.
+        allIds
+          .filter(v => v < keep.head && !byId.contains(v))
+          .foreach(v => f.delete(snapPath(root, v), false))
+        keep
+      }
+    // orphan sweep — compare by file NAME (uuid-stamped, unique within
+    // data/): manifests may record unqualified paths while listStatus
+    // returns fully-qualified ones
+    val liveNames: Set[String] =
+      keep.flatMap(v => byId(v).files.map(e => new Path(e.path).getName)).toSet
+    val now = System.currentTimeMillis()
+    val dd = dataDir(root)
+    if (f.exists(dd)) f.listStatus(dd).foreach { s =>
+      if (s.isFile && !liveNames(s.getPath.getName) &&
+          now - s.getModificationTime > orphanGraceMs)
+        f.delete(s.getPath, false)
     }
-    // Torn ids BELOW the oldest retained parseable snapshot lost their
-    // slot to a newer committed head: sweep just the manifest (they
-    // reference no known files). A mid-copy writer racing this delete
-    // on a non-atomic-rename filesystem may resurrect the file as a
-    // parseable orphan — harmless to readers (never the latest) and
-    // swept by the NEXT expire, which then sees it as an old parseable
-    // id in `drop`.
-    allIds
-      .filter(v => v < keep.head && !byId.contains(v))
-      .foreach(v => f.delete(snapPath(root, v), false))
+    val rootP = new Path(root)
+    if (f.exists(rootP)) f.listStatus(rootP).foreach { s =>
+      if (s.isDirectory && s.getPath.getName.startsWith(".stage-") &&
+          now - s.getModificationTime > orphanGraceMs)
+        f.delete(s.getPath, true)
+    }
   }
 
   // ---- data file staging ---------------------------------------------
@@ -424,7 +535,8 @@ object SnapTable {
     */
   private def stageFiles(spark: SparkSession, root: String, df: DataFrame,
                          statsCol: Option[String],
-                         clusterFiles: Int): Vector[FileEntry] = {
+                         clusterFiles: Int,
+                         tag: Option[String] = None): Vector[FileEntry] = {
     val f = fs(spark, dataDir(root))
     f.mkdirs(dataDir(root))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
@@ -445,7 +557,7 @@ object SnapTable {
     val entries = staged.zipWithIndex.map { case (s, i) =>
       val dest = new Path(dataDir(root), f"$stamp-$i%05d.parquet")
       require(f.rename(s.getPath, dest), s"stage move failed: ${s.getPath}")
-      FileEntry(dest.toString, -1L, s.getLen, None, None)
+      FileEntry(dest.toString, -1L, s.getLen, None, None, tag)
     }
     f.delete(stage, true)
     if (entries.isEmpty) return entries

@@ -267,4 +267,97 @@ class SnapTableSpec extends AnyFunSuite {
     assert(SnapTable.read(spark, root).count() == 40)
     intercept[IllegalArgumentException] { SnapTable.read(spark, root, Some(1L)) }
   }
+
+  test("changesBetween: covered head advances the cursor safely across a racing writer") {
+    import spark.implicits._
+    val root = tmp("snap10")
+    def ids(df: Option[org.apache.spark.sql.DataFrame]): Set[Long] =
+      df.map(_.select("id").as[Long].collect().toSet).getOrElse(Set.empty)
+    SnapTable.append(spark, root, (0L until 10L).toDF("id"))
+    SnapTable.append(spark, root, (10L until 20L).toDF("id"))
+    val c1 = SnapTable.changesBetween(spark, root, 0)
+    assert(ids(c1.rows) == (0L until 20L).toSet && c1.coveredThrough == 2L)
+    // a writer commits BETWEEN the consumer's read and its next cycle:
+    // advancing to coveredThrough neither duplicates nor skips it
+    SnapTable.append(spark, root, (20L until 30L).toDF("id"))
+    val c2 = SnapTable.changesBetween(spark, root, c1.coveredThrough)
+    assert(ids(c2.rows) == (20L until 30L).toSet && c2.coveredThrough == 3L)
+    val c3 = SnapTable.changesBetween(spark, root, c2.coveredThrough)
+    assert(c3.rows.isEmpty && c3.coveredThrough == 3L)
+    // explicit upper bound pins a historical range exactly
+    val pinned = SnapTable.changesBetween(spark, root, 1L, Some(2L))
+    assert(ids(pinned.rows) == (10L until 20L).toSet && pinned.coveredThrough == 2L)
+    val empty = SnapTable.changesBetween(spark, root, 2L, Some(2L))
+    assert(empty.rows.isEmpty && empty.coveredThrough == 2L)
+    intercept[IllegalArgumentException] {
+      SnapTable.changesBetween(spark, root, 1L, Some(99L))
+    }
+    intercept[IllegalArgumentException] {
+      SnapTable.changesBetween(spark, root, 2L, Some(1L))
+    }
+  }
+
+  test("commit CAS never clobbers: the lost publisher leaves the winner's manifest intact") {
+    import spark.implicits._
+    val root = tmp("snap11")
+    SnapTable.append(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$root/meta/cas-target")
+    def writeTmp(content: String): org.apache.hadoop.fs.Path = {
+      val t = new org.apache.hadoop.fs.Path(s"$root/meta/.cas-tmp-${content.hashCode}")
+      val o = fs.create(t, true); o.write(content.getBytes("UTF-8")); o.close(); t
+    }
+    // first publisher wins, its tmp is consumed
+    val t1 = writeTmp("winner")
+    assert(SnapTable.publishNoClobber(fs, spark, t1, dst))
+    assert(!fs.exists(t1))
+    // second publisher LOSES and the winner's bytes survive — on the
+    // local filesystem a plain rename would have silently clobbered
+    val t2 = writeTmp("clobberer")
+    assert(!SnapTable.publishNoClobber(fs, spark, t2, dst))
+    val in = fs.open(dst)
+    val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    assert(got == "winner")
+  }
+
+  test("expire sweeps aged orphans from crashed appends; fresh and live files survive") {
+    import spark.implicits._
+    val root = tmp("snap12")
+    SnapTable.append(spark, root, (0 until 10).map(i => (i.toLong, "a")).toDF("id", "v"))
+    val live = SnapTable.snapshot(spark, root).get.files
+      .map(p => new org.apache.hadoop.fs.Path(p.path).getName).toSet
+    // simulate a writer that crashed between staging and the CAS:
+    // uuid-named data files referenced by NO manifest, plus a stale
+    // .stage-* dir
+    val dataDir = new java.io.File(s"$root/data")
+    val orphanOld = new java.io.File(dataDir, "deadbeef-00000.parquet")
+    java.nio.file.Files.writeString(orphanOld.toPath, "stray")
+    val orphanFresh = new java.io.File(dataDir, "cafebabe-00000.parquet")
+    java.nio.file.Files.writeString(orphanFresh.toPath, "inflight")
+    orphanFresh.setLastModified(System.currentTimeMillis()) // fresh: protected by the grace window
+    val staleStage = new java.io.File(s"$root/.stage-deadbeef")
+    staleStage.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(staleStage, "part-0.parquet").toPath, "x")
+    orphanOld.setLastModified(System.currentTimeMillis() - 100000)
+    staleStage.setLastModified(System.currentTimeMillis() - 100000)
+    SnapTable.expire(spark, root, keepLast = 1, orphanGraceMs = 50000)
+    assert(!orphanOld.exists(), "aged orphan data file must be swept")
+    assert(!staleStage.exists(), "stale .stage dir must be swept")
+    assert(orphanFresh.exists(), "a fresh (possibly in-flight) stage file must survive the grace window")
+    val remaining = dataDir.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(live.subsetOf(remaining))
+    assert(SnapTable.read(spark, root).count() == 10)
+  }
+
+  test("manifest tag round-trips and pre-tag manifests parse as None") {
+    import spark.implicits._
+    val root = tmp("snap13")
+    SnapTable.append(spark, root, Seq((1L, "a")).toDF("id", "v"), tag = Some("b:7"))
+    SnapTable.append(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    val files = SnapTable.snapshot(spark, root).get.files
+    assert(files.flatMap(_.tag).toSet == Set("b:7"))
+    assert(files.count(_.tag.isEmpty) == files.size - files.count(_.tag.isDefined) &&
+      files.exists(_.tag.isEmpty))
+  }
 }
