@@ -220,7 +220,8 @@ object DedupBench {
       // TRAJECTORY at constant batch size — late batches carry the full
       // claim history, so late/early per-batch time isolates the
       // history-growth term from the fixed micro-batch floor
-      val perBatch = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+      val perBatch =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long)]()
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/docs")
         .writeStream
@@ -228,10 +229,12 @@ object DedupBench {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
           val s0 = System.nanoTime()
+          graft.streaming.ClaimStore.Metrics.reset()
           graft.streaming.StreamingCuration.processBatch(
             b, id, s"$base/out", "doc_id", "text", cfg,
             compactEvery = compactEvery)
-          perBatch.add(id -> (System.nanoTime() - s0) / 1e9)
+          perBatch.add((id, (System.nanoTime() - s0) / 1e9,
+            graft.streaming.ClaimStore.Metrics.plannedSeenBytes.get))
           ()
         }
         .start()
@@ -239,7 +242,8 @@ object DedupBench {
       val t = (System.nanoTime() - t0) / 1e9
       val kept = spark.read.parquet(s"$base/out/curated").count()
       val keptBatch = graft.ops.Curation.curate(docs, "doc_id", "text", cfg).count()
-      val times = perBatch.toArray(Array.empty[(Long, Double)]).sortBy(_._1).map(_._2)
+      val rows = perBatch.toArray(Array.empty[(Long, Double, Long)]).sortBy(_._1)
+      val times = rows.map(_._2)
       val k = math.min(10, times.length / 2)
       if (k > 0) {
         // medians: robust to host noise and to the periodic fold batch
@@ -248,7 +252,13 @@ object DedupBench {
         }
         val early = med(times.slice(1, 1 + k)) // skip batch 0 (JIT/warm)
         val late = med(times.takeRight(k))
-        println(f"""{"metric":"curate_stream_per_batch","early$k%d_med_sec":$early%.2f,"late$k%d_med_sec":$late%.2f,"late_over_early":${late / early}%.2f,"batches":${times.length}}""")
+        // the scale evidence alongside flat wall time: seen-side bytes
+        // SELECTED for read per batch (claim-store read plan) must be
+        // bounded by the batch, not grow with the claim corpus
+        val bytes = rows.map(_._3.toDouble)
+        val bEarly = med(bytes.slice(1, 1 + k))
+        val bLate = med(bytes.takeRight(k))
+        println(f"""{"metric":"curate_stream_per_batch","early$k%d_med_sec":$early%.2f,"late$k%d_med_sec":$late%.2f,"late_over_early":${late / early}%.2f,"batches":${times.length},"seen_bytes_early$k%d_med":${bEarly}%.0f,"seen_bytes_late$k%d_med":${bLate}%.0f}""")
       }
       (t, kept, keptBatch)
     } finally {

@@ -195,6 +195,80 @@ object Pipeline {
       .parquet(outDir)
   }
 
+  /** [[writeTriples]]'s layout committed through [[graft.table
+    * .SnapTable]] — the batch triples path on the SAME commit protocol
+    * as the streaming [[StreamingPipeline.startSnap]], replacing the
+    * directory-swap journal that [[compactTriples]] needs on the raw
+    * layout. Identical physical shape (salted pred-bucket partitioning,
+    * deterministic, skew-proof), but the bucket lands in per-file
+    * manifest bounds instead of partition directories: readers prune
+    * via [[readTriplesSnap]]'s bucket set (manifest-side, before Spark
+    * lists anything), appends/overwrites are atomic manifest commits,
+    * and compaction is a snapshot-isolated [[graft.table.SnapTable
+    * .rewrite]] — concurrent readers keep a consistent view, crash at
+    * any point leaves only orphan stage files (swept by expire), never
+    * a torn table.
+    */
+  def writeTriplesSnap(ts: Dataset[TripleRow], tableRoot: String,
+                       append: Boolean = false,
+                       watermark: Option[String] = None): graft.table.SnapTable.Snapshot = {
+    val spark = ts.sparkSession
+    val df = ts.toDF()
+      .withColumn("pred_bucket", pmod(xxhash64(col("pred")), lit(PredBuckets)))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(DocSalt)))
+      .repartition(col("pred_bucket"), col("salt"))
+      .drop("salt")
+    // clusterFiles = -1: keep the salted bucket partitioning (each file
+    // covers ONE bucket value, so manifest bounds are exact) instead of
+    // letting the stage re-cluster by range and undo the salt
+    if (append)
+      graft.table.SnapTable.append(spark, tableRoot, df, watermark,
+        statsCol = Some("pred_bucket"), clusterFiles = -1)
+    else
+      graft.table.SnapTable.overwrite(spark, tableRoot, df, watermark,
+        statsCol = Some("pred_bucket"), clusterFiles = -1)
+  }
+
+  /** Read a [[writeTriplesSnap]] table, optionally pruned to the files
+    * whose pred_bucket range intersects `buckets` — e.g.
+    * `Some(Set(predBucketOf(pred)))` for a single-predicate query.
+    */
+  def readTriplesSnap(spark: SparkSession, tableRoot: String,
+                      buckets: Option[Set[Int]] = None,
+                      asOf: Option[Long] = None): DataFrame =
+    graft.table.SnapTable.read(spark, tableRoot, asOf,
+      prune = buckets.map(bs => (lo: String, hi: String) =>
+        bs.exists(b => lo.toInt <= b && b <= hi.toInt)))
+
+  /** The pred_bucket a predicate's triples land in (for pruned reads). */
+  def predBucketOf(pred: String): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(pred),
+        org.apache.spark.sql.types.StringType, 42L)
+    ((h % PredBuckets) + PredBuckets).toInt % PredBuckets
+  }
+
+  /** Snapshot-isolated compaction of a [[writeTriplesSnap]] table: fold
+    * buckets that accumulated >= `minFilesPerBucket` small files (from
+    * appends) back into the one-file-per-bucket shape. Readers of the
+    * pre-compaction snapshot are untouched; a concurrent append simply
+    * wins or loses the commit CAS and retries. This subsumes
+    * [[compactTriples]]'s pending-manifest journal entirely on the
+    * Snap-backed path.
+    */
+  def compactTriplesSnap(spark: SparkSession, tableRoot: String,
+                         minFilesPerBucket: Int = 4): Option[graft.table.SnapTable.Snapshot] = {
+    val snap = graft.table.SnapTable.snapshot(spark, tableRoot).getOrElse(return None)
+    val victims = snap.files.groupBy(_.lo)
+      .filter(_._2.size >= minFilesPerBucket)
+      .flatMap(_._2.map(_.path)).toSet
+    if (victims.isEmpty) return None
+    graft.table.SnapTable.rewrite(spark, tableRoot,
+      e => victims(e.path),
+      _.repartition(col("pred_bucket")),
+      statsCol = Some("pred_bucket"), clusterFiles = -1)
+  }
+
   /** Canonical sorted N-Triples text sink (north rule O3): global
     * range-partitioned sort, formatted via mapPartitions, one text part
     * per range -> concatenation is the totally ordered file.

@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.RunRdf fixtures <outDir>          # shipped goldens
   *   runMain graft.RunRdf <pairsParquetDir> <outDir> # (metadata_json, csv_text) rows
   *
-  * Writes <outDir>/triples (parquet, pred-bucketed) and
-  * <outDir>/ntriples (canonical sorted text).
+  * Writes <outDir>/triples (a [[graft.table.SnapTable]] with per-file
+  * pred_bucket bounds — atomic commit, time travel, snapshot-isolated
+  * compaction) and <outDir>/ntriples (canonical sorted text).
   */
 object RunRdf {
 
@@ -41,13 +42,13 @@ object RunRdf {
 
     val t0 = System.nanoTime()
     val ts = Pipeline.triplesFromMetadata(pairs)
-    Pipeline.writeTriples(ts, s"$outDir/triples")
+    val snap = Pipeline.writeTriplesSnap(ts, s"$outDir/triples")
     Pipeline.writeSortedNTriples(
-      spark.read.parquet(s"$outDir/triples")
+      Pipeline.readTriplesSnap(spark, s"$outDir/triples")
         .select($"doc_id", $"subj", $"pred", $"obj").as[TripleRow],
       s"$outDir/ntriples")
-    val n = spark.read.parquet(s"$outDir/triples").count()
-    println(f"[rdf] triples=$n in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val n = snap.files.map(_.rows).sum // manifest-side, no second scan
+    println(f"[rdf] triples=$n snapshot=${snap.id} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

@@ -289,12 +289,21 @@ object SnapTable {
     * per-file min/max of this column for manifest-side pruning (the
     * writer range-clusters on it so bounds are tight).
     */
+  /** `exactStats = false` skips the post-write stats job (per-file row
+    * counts come back as -1 "unknown"): the total row count is observed
+    * INSIDE the write job, so the empty-append-is-a-watermark-bump rule
+    * still holds, at one Spark job per append instead of two. For
+    * high-frequency small appends (the streaming claim stores) the
+    * saved job is the dominant fixed cost; tables whose consumers read
+    * manifest row counts should keep the default.
+    */
   def append(spark: SparkSession, root: String, df: DataFrame,
              watermark: Option[String] = None,
              statsCol: Option[String] = None,
              clusterFiles: Int = 0,
-             tag: Option[String] = None): Snapshot = {
-    val staged = stageFiles(spark, root, df, statsCol, clusterFiles, tag)
+             tag: Option[String] = None,
+             exactStats: Boolean = true): Snapshot = {
+    val staged = stageFiles(spark, root, df, statsCol, clusterFiles, tag, exactStats)
     commit(spark, root) { parent =>
       ("append", parent.map(_.files).getOrElse(Vector.empty) ++ staged,
         staged.map(_.path), Vector.empty,
@@ -536,22 +545,31 @@ object SnapTable {
   private def stageFiles(spark: SparkSession, root: String, df: DataFrame,
                          statsCol: Option[String],
                          clusterFiles: Int,
-                         tag: Option[String] = None): Vector[FileEntry] = {
+                         tag: Option[String] = None,
+                         exactStats: Boolean = true): Vector[FileEntry] = {
     val f = fs(spark, dataDir(root))
     f.mkdirs(dataDir(root))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(root, s".stage-$stamp")
     // clusterFiles > 0 pins the output file count (an explicit
     // repartition width is a hard constraint AQE will not coalesce);
-    // 0 lets Spark/AQE size the files
+    // 0 lets Spark/AQE size the files; < 0 means the caller already
+    // partitioned `df` the way it wants the files laid out (e.g. the
+    // salted pred-bucket triples shape) — keep it, record bounds only
     val toWrite = statsCol match {
       case Some(c) if clusterFiles > 0 =>
         df.repartitionByRange(clusterFiles, col(c)).sortWithinPartitions(col(c))
-      case Some(c) => df.repartitionByRange(col(c)).sortWithinPartitions(col(c))
+      case Some(c) if clusterFiles == 0 =>
+        df.repartitionByRange(col(c)).sortWithinPartitions(col(c))
+      case Some(_) => df
       case None if clusterFiles > 0 => df.repartition(clusterFiles)
       case None => df
     }
-    toWrite.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val fastPath = !exactStats && statsCol.isEmpty
+    val obs = new org.apache.spark.sql.Observation()
+    val observed =
+      if (fastPath) toWrite.observe(obs, count(lit(1)).as("n")) else toWrite
+    observed.write.mode(SaveMode.Overwrite).parquet(stage.toString)
     val staged = f.listStatus(stage).toVector
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val entries = staged.zipWithIndex.map { case (s, i) =>
@@ -561,6 +579,18 @@ object SnapTable {
     }
     f.delete(stage, true)
     if (entries.isEmpty) return entries
+    if (fastPath) {
+      // row total observed inside the write job — zero extra jobs. An
+      // all-empty result still commits as a pure watermark bump; a
+      // nonempty one keeps every staged file (a stray zero-row part
+      // file costs one footer read, never a wrong answer).
+      val n = obs.get("n").asInstanceOf[Long]
+      if (n == 0L) {
+        entries.foreach(e => f.delete(new Path(e.path), false))
+        return Vector.empty
+      }
+      return entries
+    }
     // one stats job: per-file row count (+ bounds when statsCol set)
     val base = spark.read.parquet(entries.map(_.path): _*)
       .groupBy(input_file_name().as("_f"))

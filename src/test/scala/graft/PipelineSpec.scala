@@ -165,6 +165,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(sig() == before)
   }
 
+  test("Snap-backed triples: byte-identical N-Triples, bucket-pruned reads, snapshot compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, expr, lit, pmod, xxhash64}
+    val dict = Pipeline.broadcastDict(spark)
+    val base = java.nio.file.Files.createTempDirectory("tsnap").toString
+    val docs = SynthCorpus.corpus(spark, 12)
+    Pipeline.writeTriples(Pipeline.triples(docs, dict), s"$base/legacy")
+    val s1 = Pipeline.writeTriplesSnap(Pipeline.triples(docs, dict), s"$base/snap")
+    // byte-identical canonical N-Triples from the legacy directory
+    // layout and the Snap-backed table
+    def ntBytes(src: org.apache.spark.sql.Dataset[TripleRow], out: String): Array[Byte] = {
+      Pipeline.writeSortedNTriples(src, out, compress = false)
+      new java.io.File(out).listFiles().filter(_.getName.startsWith("part-"))
+        .sortBy(_.getName)
+        .flatMap(f => java.nio.file.Files.readAllBytes(f.toPath))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"subj", $"pred", $"obj").as[TripleRow]
+    val a = ntBytes(rows(spark.read.parquet(s"$base/legacy")), s"$base/nt_legacy")
+    val b = ntBytes(rows(Pipeline.readTriplesSnap(spark, s"$base/snap")), s"$base/nt_snap")
+    assert(a.nonEmpty && java.util.Arrays.equals(a, b))
+    // predBucketOf matches the engine's column computation, and the
+    // manifest-pruned read returns exactly the full-scan answer
+    val pred = Pipeline.readTriplesSnap(spark, s"$base/snap")
+      .select("pred").orderBy("pred").head.getString(0)
+    val bkt = Pipeline.predBucketOf(pred)
+    val colBkt = spark.range(1)
+      .select(pmod(xxhash64(lit(pred)), lit(Pipeline.PredBuckets))).head.getLong(0)
+    assert(bkt.toLong == colBkt, s"predBucketOf=$bkt column=$colBkt")
+    val prunedCnt = Pipeline.readTriplesSnap(spark, s"$base/snap", Some(Set(bkt)))
+      .filter($"pred" === pred).count()
+    val fullCnt = Pipeline.readTriplesSnap(spark, s"$base/snap")
+      .filter($"pred" === pred).count()
+    assert(prunedCnt == fullCnt && fullCnt > 0)
+    assert(graft.table.SnapTable.snapshot(spark, s"$base/snap").get.files
+      .forall(e => e.lo.isDefined && e.hi.isDefined))
+    // appends accumulate small files; snapshot compaction folds them
+    // with identical content and the pre-compaction snapshot intact
+    for (k <- 0 until 2) {
+      val slice = docs.filter($"doc_id" >= SynthCorpus.docId(6L * k) &&
+        $"doc_id" < SynthCorpus.docId(6L * k + 6))
+      Pipeline.writeTriplesSnap(Pipeline.triples(slice, dict), s"$base/snap",
+        append = true)
+    }
+    def sig() = Pipeline.readTriplesSnap(spark, s"$base/snap")
+      .select(xxhash64(col("doc_id"), col("subj"), col("pred"), col("obj"),
+        col("pred_bucket")).as("h"))
+      .agg(expr("bit_xor(h)"), count(lit(1))).collect()(0)
+    val before = sig()
+    val filesBefore = graft.table.SnapTable.snapshot(spark, s"$base/snap").get.files.size
+    assert(Pipeline.compactTriplesSnap(spark, s"$base/snap", minFilesPerBucket = 2).isDefined)
+    assert(sig() == before)
+    val filesAfter = graft.table.SnapTable.snapshot(spark, s"$base/snap").get.files.size
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    // time travel to the pre-append snapshot still reproduces run 1
+    assert(Pipeline.readTriplesSnap(spark, s"$base/snap", asOf = Some(s1.id)).count() ==
+      spark.read.parquet(s"$base/legacy").count())
+  }
+
   test("sidecar compaction: fewer files, same resume answer, crash-shaped leftovers tolerated") {
     import spark.implicits._
     val dict = Pipeline.broadcastDict(spark)

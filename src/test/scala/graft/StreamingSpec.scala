@@ -625,14 +625,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.contains(3L) && !batch.contains(4L) && !batch.contains(21L))
     assert(!batch.contains(7L) && !batch.contains(9L))
     assert(batch.size > 10)
-    // replaying an already-processed batch id is idempotent: claims and
-    // output for batch 0 are overwritten, not duplicated
+    // replaying an already-processed batch id is idempotent: the claim
+    // commit is skipped on the table watermark, output overwritten
     val before = spark.read.parquet(s"$base/out/curated").count()
-    val linesBefore = spark.read.parquet(s"$base/out/_lines_seen").count()
+    val linesBefore = graft.table.SnapTable.read(spark, s"$base/out/_lines_seen").count()
+    val snapBefore = graft.table.SnapTable.snapshot(spark, s"$base/out/_lines_seen").get.id
     graft.streaming.StreamingCuration.processBatch(
       df(0 until 20), 0L, s"$base/out", "doc_id", "text", cfg)
     assert(spark.read.parquet(s"$base/out/curated").count() == before)
-    assert(spark.read.parquet(s"$base/out/_lines_seen").count() == linesBefore)
+    assert(graft.table.SnapTable.read(spark, s"$base/out/_lines_seen").count() == linesBefore)
+    assert(graft.table.SnapTable.snapshot(spark, s"$base/out/_lines_seen").get.id == snapBefore,
+      "a replayed batch must not commit a new claim snapshot")
     val streamed2 = spark.read.parquet(s"$base/out/curated")
       .select("doc_id", "text_curated").as[(Long, String)].collect().toMap
     assert(streamed2 == batch)
@@ -723,31 +726,30 @@ class StreamingSpec extends AnyFunSuite {
     // (the winners 5 and 8 may themselves be sampled out — stage 6 —
     // but their line claims precede sampling, so the losers always drop)
     assert(!batch.contains(21L) && !batch.contains(35L))
-    // folded: each sidecar holds only batch=-1 and the latest partition
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // folded: each claim table holds only base chunks + the latest batch
     for (name <- Seq("_lines_seen", "_texts_seen")) {
-      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/out/$name"))
-        .filter(_.isDirectory).map(_.getPath.getName).toSet
-      assert(parts.contains("batch=-1"), s"$name: $parts")
-      assert(!parts.exists(p => p.startsWith("batch=") &&
-        p.stripPrefix("batch=").toLong >= 0 &&
-        p.stripPrefix("batch=").toLong < 3), s"$name not folded: $parts")
+      val tags = graft.table.SnapTable.snapshot(spark, s"$base/out/$name").get
+        .files.map(_.tag.getOrElse("?")).toSet
+      assert(tags.contains("base"), s"$name: $tags")
+      assert(!tags.exists(t => t.startsWith("b:") &&
+        t.stripPrefix("b:").toLong < 3), s"$name not folded: $tags")
+      // the fold left a Bloom covering the base
+      assert(new java.io.File(s"$base/out/$name/bloom.bin").exists(), s"$name bloom missing")
     }
     // replaying the newest (possibly-uncommitted) batch AFTER compaction
-    // stays idempotent: its own partition was never folded
+    // stays idempotent: its own claims were never folded
     val before = spark.read.parquet(s"$base/out/curated").count()
-    val linesBefore = spark.read.parquet(s"$base/out/_lines_seen").count()
+    val linesBefore = graft.table.SnapTable.read(spark, s"$base/out/_lines_seen").count()
     graft.streaming.StreamingCuration.processBatch(
       df(30 until 40), 3L, s"$base/out", "doc_id", "text", cfg,
       compactEvery = 1)
     assert(spark.read.parquet(s"$base/out/curated").count() == before)
-    assert(spark.read.parquet(s"$base/out/_lines_seen").count() == linesBefore)
+    assert(graft.table.SnapTable.read(spark, s"$base/out/_lines_seen").count() == linesBefore)
     assert(spark.read.parquet(s"$base/out/curated")
       .select("doc_id", "text_curated").as[(Long, String)].collect().toMap == batch)
     // compaction is rerunnable and converges: claims stay exactly-once
     graft.streaming.StreamingCuration.compactSidecars(spark, s"$base/out", 2L)
-    val lh = spark.read.parquet(s"$base/out/_lines_seen").select("lh")
+    val lh = graft.table.SnapTable.read(spark, s"$base/out/_lines_seen").select("lh")
     assert(lh.count() == lh.distinct().count())
   }
 
@@ -783,15 +785,13 @@ class StreamingSpec extends AnyFunSuite {
         s"diff=${streamed.filter { case (k, v) => batch.get(k).exists(_ != v) }.keys}")
     assert(batch(0L).endsWith(boiler))
     for (i <- 1L until 6L) assert(!batch(i).contains("rights reserved"), s"doc $i")
-    // the n-gram sidecar really folded
-    val parts = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-      .listStatus(new org.apache.hadoop.fs.Path(s"$base/out/_ngrams_seen"))
-      .filter(_.isDirectory).map(_.getPath.getName).toSet
-    assert(parts.contains("batch=-1") && !parts.contains("batch=0"), parts.toString)
+    // the n-gram claim table really folded
+    val tags = graft.table.SnapTable.snapshot(spark, s"$base/out/_ngrams_seen").get
+      .files.map(_.tag.getOrElse("?")).toSet
+    assert(tags.contains("base") && !tags.contains("b:0"), tags.toString)
   }
 
-  test("a zero-claim batch leaves an empty sidecar dir; the next batch survives it") {
+  test("a zero-claim batch commits a pure watermark bump; the next batch survives it") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("scurempty").toString
     val de = "der hund und die katze ist nicht ein freund aber das wetter " +
@@ -800,9 +800,9 @@ class StreamingSpec extends AnyFunSuite {
       s"the measurement number $i of this series has finished and the result " +
         "of all tests is good so we have recorded it with great care today"
     val cfg = graft.ops.Curation.CurateConfig(keepLangs = Set("en"), minWords = 10)
-    // batch 0: all German -> ZERO survivors -> _texts_seen exists but
-    // holds no parquet files (only _SUCCESS); the read path must treat
-    // it as empty instead of failing schema inference
+    // batch 0: all German -> ZERO survivors -> the _texts_seen claim
+    // table commits a file-less snapshot (pure watermark bump); the
+    // read path must treat it as empty
     Seq((0L, de), (1L, de + " und nochmal")).toDF("doc_id", "text")
       .write.parquet(s"$base/docs")
     graft.streaming.StreamingCuration.start(spark, s"$base/docs", s"$base/out",

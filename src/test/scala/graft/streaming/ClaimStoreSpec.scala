@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.table.SnapTable
+
+/** Pins for the SnapTable-backed claim store: exact seen-sets, replay
+  * idempotence, Bloom no-false-negatives (build/probe consistency),
+  * batch-bounded base reads, pruning, cap fallback, and Bloom healing.
+  */
+class ClaimStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/claims"
+
+  private def hashes(ids: Seq[Int]) = {
+    import spark.implicits._
+    ids.map(i => StreamingUtil.md5hex(s"claim-$i")).toDF("h")
+  }
+  private def hashSet(ids: Seq[Int]): Set[String] =
+    ids.map(i => StreamingUtil.md5hex(s"claim-$i")).toSet
+
+  private def seenSet(root: String, probe: Seq[Int], batchId: Long,
+                      cfg: ClaimStore.Config = ClaimStore.Config()): Set[String] = {
+    import spark.implicits._
+    ClaimStore.seenFor(spark, root, hashes(probe), "h", batchId, cfg)
+      .map(_.as[String].collect().toSet.intersect(hashSet(probe)))
+      .getOrElse(Set.empty)
+  }
+
+  test("seen-sets are exact across appends, folds, and replay exclusion") {
+    val root = tmp("cs1")
+    // batches 0..2 claim disjoint ranges
+    ClaimStore.appendClaims(spark, root, hashes(0 until 10), "h", 0L)
+    ClaimStore.appendClaims(spark, root, hashes(10 until 20), "h", 1L)
+    ClaimStore.appendClaims(spark, root, hashes(20 until 30), "h", 2L)
+    assert(ClaimStore.lastBatch(spark, root).contains(2L))
+    // batch 3 sees all earlier claims, exactly
+    assert(seenSet(root, 0 until 40, 3L) == hashSet(0 until 30))
+    // a REPLAY of batch 2 must not see its own earlier attempt's claims
+    assert(seenSet(root, 0 until 40, 2L) == hashSet(0 until 20))
+    // and must not commit a new snapshot
+    val head = SnapTable.snapshot(spark, root).get.id
+    ClaimStore.appendClaims(spark, root, hashes(20 until 30), "h", 2L)
+    assert(SnapTable.snapshot(spark, root).get.id == head)
+    // fold batches <= 2 into the base: same answers, through the Bloom
+    ClaimStore.fold(spark, root, "h", 2L)
+    val tags = SnapTable.snapshot(spark, root).get.files.flatMap(_.tag).toSet
+    assert(tags == Set("base"), tags.toString)
+    assert(seenSet(root, 0 until 40, 3L) == hashSet(0 until 30))
+    assert(seenSet(root, 5 until 8, 3L) == hashSet(5 until 8))
+    // claims stay globally distinct through the fold
+    val all = SnapTable.read(spark, root).select("h")
+    assert(all.count() == 30 && all.distinct().count() == 30)
+  }
+
+  test("bloom has no false negatives and an all-fresh batch reads zero base bytes") {
+    val root = tmp("cs2")
+    ClaimStore.appendClaims(spark, root, hashes(0 until 500), "h", 0L)
+    ClaimStore.fold(spark, root, "h", 0L)
+    // every claimed hash must be Bloom-positive (build/probe use the
+    // same UTF-8 string hashing) — a false negative would silently
+    // re-admit a duplicate
+    assert(seenSet(root, 0 until 500, 1L) == hashSet(0 until 500))
+    // the batch-bounded property: a batch with NO previously-claimed
+    // hashes plans zero seen-side bytes (Bloom rejects everything;
+    // fpp can theoretically cost a pruned chunk — sized far below any
+    // plausible collision here)
+    ClaimStore.Metrics.reset()
+    assert(seenSet(root, 1000 until 1100, 1L).isEmpty)
+    assert(ClaimStore.Metrics.plannedSeenBytes.get == 0L,
+      s"fresh batch read ${ClaimStore.Metrics.plannedSeenBytes.get} base bytes")
+    assert(ClaimStore.Metrics.baseFilesTotal.get > 0)
+  }
+
+  test("manifest pruning reads only the chunks containing positives") {
+    val root = tmp("cs3")
+    ClaimStore.appendClaims(spark, root, hashes(0 until 2000), "h", 0L)
+    // tiny fold target -> many range-clustered base chunks
+    val cfg = ClaimStore.Config(foldTargetBytes = 4096)
+    ClaimStore.fold(spark, root, "h", 0L, cfg)
+    val base = SnapTable.snapshot(spark, root).get.files
+    assert(base.size > 3, s"need several chunks, got ${base.size}")
+    assert(base.forall(e => e.lo.isDefined && e.hi.isDefined))
+    // one duplicate probe -> exactly one chunk selected
+    ClaimStore.Metrics.reset()
+    assert(seenSet(root, Seq(42), 1L, cfg) == hashSet(Seq(42)))
+    assert(ClaimStore.Metrics.positives.get == 1L)
+    assert(ClaimStore.Metrics.baseFilesSelected.get == 1L,
+      s"selected ${ClaimStore.Metrics.baseFilesSelected.get} of ${base.size}")
+    assert(ClaimStore.Metrics.plannedSeenBytes.get < base.map(_.bytes).sum,
+      "pruned read must be smaller than the full base")
+  }
+
+  test("positives over the cap fall back to a full covered read, still exact") {
+    val root = tmp("cs4")
+    ClaimStore.appendClaims(spark, root, hashes(0 until 100), "h", 0L)
+    val cfg = ClaimStore.Config(positivesCap = 5)
+    ClaimStore.fold(spark, root, "h", 0L, cfg)
+    ClaimStore.Metrics.reset()
+    assert(seenSet(root, 0 until 50, 1L, cfg) == hashSet(0 until 50))
+    assert(ClaimStore.Metrics.fullFallbacks.get >= 1L)
+  }
+
+  test("a missing/torn bloom degrades to full reads and the next fold heals it") {
+    val root = tmp("cs5")
+    ClaimStore.appendClaims(spark, root, hashes(0 until 200), "h", 0L)
+    ClaimStore.fold(spark, root, "h", 0L)
+    // simulate a crash between the fold commit and the Bloom write
+    val bloom = new java.io.File(s"$root/bloom.bin")
+    assert(bloom.exists())
+    java.nio.file.Files.writeString(bloom.toPath, "torn-garbage")
+    ClaimStore.Metrics.reset()
+    assert(seenSet(root, 0 until 300, 1L) == hashSet(0 until 200))
+    assert(ClaimStore.Metrics.fullFallbacks.get >= 1L, "torn bloom must fall back")
+    // more claims + a fold heal the coverage (fold reads only the
+    // uncovered chunks, here all of them)
+    ClaimStore.appendClaims(spark, root, hashes(200 until 250), "h", 1L)
+    ClaimStore.fold(spark, root, "h", 1L)
+    ClaimStore.Metrics.reset()
+    assert(seenSet(root, 0 until 300, 2L) == hashSet(0 until 250))
+    assert(ClaimStore.Metrics.fullFallbacks.get == 0L, "healed bloom must cover the base")
+    // and a fresh batch is back to zero base bytes
+    ClaimStore.Metrics.reset()
+    assert(seenSet(root, 1000 until 1050, 2L).isEmpty)
+    assert(ClaimStore.Metrics.plannedSeenBytes.get == 0L)
+  }
+
+  test("bloom resize triggers a one-time rebuild; answers unchanged") {
+    val root = tmp("cs6")
+    ClaimStore.appendClaims(spark, root, hashes(0 until 100), "h", 0L)
+    ClaimStore.fold(spark, root, "h", 0L)
+    ClaimStore.appendClaims(spark, root, hashes(100 until 150), "h", 1L)
+    val resized = ClaimStore.Config(bloomItems = 1000000)
+    ClaimStore.fold(spark, root, "h", 1L, resized)
+    assert(seenSet(root, 0 until 200, 2L, resized) == hashSet(0 until 150))
+    ClaimStore.Metrics.reset()
+    assert(seenSet(root, 500 until 520, 2L, resized).isEmpty)
+    assert(ClaimStore.Metrics.plannedSeenBytes.get == 0L)
+  }
+
+  test("empty claim append is a pure watermark bump; fold with nothing to fold is a no-op") {
+    val root = tmp("cs7")
+    ClaimStore.appendClaims(spark, root, hashes(Nil), "h", 0L)
+    assert(ClaimStore.lastBatch(spark, root).contains(0L))
+    assert(SnapTable.snapshot(spark, root).get.files.isEmpty)
+    assert(seenSet(root, 0 until 10, 1L).isEmpty)
+    ClaimStore.fold(spark, root, "h", 0L) // no files: must not throw
+    ClaimStore.appendClaims(spark, root, hashes(0 until 5), "h", 1L)
+    assert(seenSet(root, 0 until 10, 2L) == hashSet(0 until 5))
+  }
+}
