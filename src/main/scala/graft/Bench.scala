@@ -24,6 +24,47 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Same-window CONTROL probe: a fixed pure-CPU workload (the
+    // CoreProbe kernel — annotate + expand synthetic docs on plain
+    // threads, no Spark) run before and after the battery. Host
+    // contention that inflates the battery inflates this identically,
+    // so a reader can normalize any artifact against its own control
+    // instead of guessing whether a slow number was code or host.
+    def controlProbe(threads: Int = 8, docs: Long = 4000): Double = {
+      val dictCore = graft.link.UnitDict.default
+      val next = new java.util.concurrent.atomic.AtomicLong(0)
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { _ =>
+        new Thread(() => {
+          var i = next.getAndIncrement()
+          while (i < docs) {
+            val d = graft.ingest.SynthCorpus.doc(i)
+            val lines = graft.ingest.SpanCodec.lines(d.spans)
+            val m = graft.annotate.Annotator.annotate(d.doc_id, lines, "utf-8", dictCore)
+            graft.rdf.TripleExpand.expandDoc(m, lines)
+            i = next.getAndIncrement()
+          }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      docs / ((System.nanoTime() - t0) / 1e9)
+    }
+    // A single probe ramps with C2 compilation for thousands of docs
+    // (a 500-doc-warmup pre read 2.8x below post — compilation, not
+    // host noise), so each reported control is the MAX over repeated
+    // probes until two consecutive runs agree within 10% (cap 6): the
+    // steady-state rate, robust to both JIT ramp and a stray GC pause.
+    def controlSteady(): Double = {
+      var best = 0.0; var prev = 0.0; var i = 0
+      while (i < 6 && (prev == 0.0 || math.abs(best - prev) > 0.10 * best)) {
+        prev = best
+        val r = controlProbe()
+        if (r > best) best = r
+        i += 1
+      }
+      best
+    }
+
     // JVM/codegen warmup on a cheap query
     try SparkEntry.queries.head._2(spark, sfDir).count() catch { case _: Throwable => }
 
@@ -41,6 +82,7 @@ object Bench {
 
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_PIPE_DOCS", "20000").toLong
     val dict = Pipeline.broadcastDict(spark)
+    val controlPre = controlSteady()
     for (_ <- 1 to reps) {
       graft.queries.Queries.registry.foreach { case (name, fn, _) =>
         val t =
@@ -58,10 +100,11 @@ object Bench {
       record("pipeline_synth", tp)
     }
 
+    val controlPost = controlSteady()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_docs":$nDocs,"cpus":"$cpus","reps":$reps,"rep_stat":"min"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_docs":$nDocs,"cpus":"$cpus","reps":$reps,"rep_stat":"min","control_docs_per_sec_pre":$controlPre%.0f,"control_docs_per_sec_post":$controlPost%.0f,"control_threads":8,"control_docs":4000}"""
     // stdout (bare — build.sbt routes forked run output unprefixed) AND a
     // file, so the driver can machine-read it either way.
     println(line)
