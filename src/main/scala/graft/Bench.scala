@@ -55,10 +55,14 @@ object Bench {
     // probes until two consecutive runs agree within 10% (cap 6): the
     // steady-state rate, robust to both JIT ramp and a stray GC pause.
     def controlSteady(): Double = {
-      var best = 0.0; var prev = 0.0; var i = 0
-      while (i < 6 && (prev == 0.0 || math.abs(best - prev) > 0.10 * best)) {
-        prev = best
+      var best = 0.0; var last = -1.0; var i = 0
+      var settled = false
+      while (i < 6 && !settled) {
         val r = controlProbe()
+        // settle on two consecutive RUN values agreeing (a run dipping
+        // below the max — a GC pause mid-ramp — must not end the loop)
+        settled = last > 0 && math.abs(r - last) <= 0.10 * math.max(r, last)
+        last = r
         if (r > best) best = r
         i += 1
       }

@@ -77,10 +77,15 @@ object ClaimStore {
     * from the base. `bloomItems` should be sized for the expected
     * distinct-claim corpus — overflow only raises the false-positive
     * rate (more exact-check reads), never breaks correctness.
+    * `chunkFpp` sizes the PER-CHUNK filters (each to its own chunk's
+    * row count): these drive chunk SELECTION, so their fpp bounds the
+    * expected spurious chunk reads per batch (positives x chunks x
+    * chunkFpp), not just spurious probe rows.
     */
   final case class Config(
       bloomItems: Long = 4L * 1000 * 1000,
       bloomFpp: Double = 0.01,
+      chunkFpp: Double = 1e-4,
       positivesCap: Int = 100000,
       foldTargetBytes: Long = 8L * 1024 * 1024,
       expireKeep: Int = 64)
@@ -90,8 +95,75 @@ object ClaimStore {
   private def isBase(e: SnapTable.FileEntry): Boolean = e.tag.contains("base")
 
   /** The last batch id whose claims are COMMITTED (folds preserve it). */
-  def lastBatch(spark: SparkSession, root: String): Option[Long] =
+  def lastBatch(spark: SparkSession, root: String): Option[Long] = {
+    ensureMigrated(spark, root)
     SnapTable.lastWatermark(spark, root).map(_.toLong)
+  }
+
+  // ---- legacy layout migration -----------------------------------------
+  //
+  // Before the SnapTable move the claim domains were plain
+  // batch-partitioned parquet (`<root>/batch=N/...`, folded base at
+  // `batch=-1`). A checkpointed stream resumed across the upgrade must
+  // keep honoring those claims — silently ignoring them would re-admit
+  // every previously-claimed duplicate and break batch parity. On first
+  // touch of a root that has legacy batch dirs but no SnapTable meta,
+  // each legacy batch imports as a tagged append in batch order (the
+  // per-batch tags preserve the replay-exclusion rule; `batch=-1` sorts
+  // below every real batch, exactly its old contract), ending at the
+  // legacy watermark. Legacy dirs are left in place — the import is
+  // watermark-idempotent, and deleting user data on upgrade is not this
+  // layer's call. Single-streaming-writer contract as for the Bloom.
+
+  private val migratedRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def ensureMigrated(spark: SparkSession, root: String): Unit = {
+    if (migratedRoots.putIfAbsent(root, java.lang.Boolean.TRUE) != null) return
+    try {
+      val rp = new Path(root)
+      val f = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(rp) || f.exists(new Path(root, "meta"))) return
+      val legacy = f.listStatus(rp)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath))
+        .sortBy(_._1)
+      if (legacy.isEmpty) return
+      // the hash column is whatever single column the legacy files hold
+      for ((b, dir) <- legacy) {
+        val hasData = f.listStatus(dir).exists(s => s.isFile &&
+          s.getPath.getName.endsWith(".parquet") &&
+          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+        if (hasData && !SnapTable.lastWatermark(spark, root).map(_.toLong).exists(_ >= b)) {
+          val df = spark.read.parquet(dir.toString)
+          SnapTable.append(spark, root, df.select(col(df.columns.head)),
+            watermark = Some(b.toString), tag = Some(s"b:$b"),
+            exactStats = false)
+        }
+      }
+      // trailing empty batches carry no claims but DO advance the
+      // watermark (appendClaims replay-skips on it)
+      val maxB = legacy.map(_._1).max
+      if (!SnapTable.lastWatermark(spark, root).map(_.toLong).exists(_ >= maxB)) {
+        val hc = SnapTable.snapshot(spark, root)
+          .flatMap(_.files.headOption).map(e =>
+            spark.read.parquet(e.path).columns.head).getOrElse("h")
+        SnapTable.append(spark, root,
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(hc,
+                org.apache.spark.sql.types.StringType)))),
+          watermark = Some(maxB.toString), exactStats = false)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        migratedRoots.remove(root)
+        throw new IllegalStateException(
+          s"legacy claim-sidecar migration failed for $root — claims from " +
+            "the old batch-partitioned layout could not be imported; refusing " +
+            "to continue without them (duplicates would be re-admitted)", e)
+    }
+  }
 
   /** Commit this batch's new claims (single column `hCol`) atomically.
     * Idempotent under replay: if a previous attempt of `batchId` (or a
@@ -126,6 +198,7 @@ object ClaimStore {
   def seenFor(spark: SparkSession, root: String, batchHashes: DataFrame,
               hCol: String, batchId: Long,
               cfg: Config = Config()): Option[DataFrame] = {
+    ensureMigrated(spark, root)
     val snap = SnapTable.snapshot(spark, root).getOrElse(return None)
     val recent = snap.files.filter(e => batchOf(e).exists(_ < batchId))
     val base = snap.files.filter(isBase)
@@ -161,12 +234,25 @@ object ClaimStore {
             reads += spark.read.parquet(covered.map(_.path): _*)
           case Some(sorted) if sorted.nonEmpty =>
             Metrics.positives.addAndGet(sorted.length.toLong)
+            // Chunk selection: every LSM fold writes a sorted run
+            // spanning the FULL hash range, so [lo,hi] bounds alone
+            // would select one chunk from EVERY run for any recurring
+            // positive — O(runs) reads per batch, growing with fold
+            // count (measured 21x seen-bytes growth over 200 batches).
+            // The per-chunk Bloom (an SSTable filter block) selects
+            // only chunks that actually CONTAIN a positive: reads are
+            // bounded by the batch's true duplicate spread plus
+            // positives x chunks x chunkFpp, independent of run count.
             val picked = covered.filter { e =>
-              (e.lo, e.hi) match {
-                case (Some(l), Some(h)) =>
-                  val i = lowerBound(sorted, l)
-                  i < sorted.length && sorted(i) <= h
-                case _ => true // no bounds recorded: must read
+              val name = new Path(e.path).getName
+              bloom.get.chunkBlooms.get(name) match {
+                case Some(cb) => sorted.exists(cb.mightContainString)
+                case None => (e.lo, e.hi) match { // pre-chunk-Bloom file
+                  case (Some(l), Some(h)) =>
+                    val i = lowerBound(sorted, l)
+                    i < sorted.length && sorted(i) <= h
+                  case _ => true // no bounds recorded: must read
+                }
               }
             }
             Metrics.baseFilesSelected.addAndGet(picked.size.toLong)
@@ -194,6 +280,7 @@ object ClaimStore {
   def fold(spark: SparkSession, root: String, hCol: String, upToBatch: Long,
            cfg: Config = Config()): Unit = {
     if (upToBatch < 0) return
+    ensureMigrated(spark, root)
     val snap = SnapTable.snapshot(spark, root).getOrElse(return)
     val victims = snap.files.filter(e => batchOf(e).exists(_ <= upToBatch))
     if (victims.nonEmpty) {
@@ -210,15 +297,24 @@ object ClaimStore {
   // ---- Bloom sidecar ---------------------------------------------------
   //
   // Layout: `<root>/bloom.bin` = one JSON header line (covered base file
-  // names, sizing params, payload CRC) + the spark-sketch BloomFilter
-  // bytes. Written tmp+rename AFTER the fold commit; a crash in between
-  // leaves a stale Bloom whose uncovered chunks are read in full until
-  // the next fold heals them. Torn/corrupt content fails the CRC and is
-  // treated as absent. Cached per JVM keyed by file mtime (it changes
-  // only at folds), including the executor-side broadcast of its bytes.
+  // names, sizing params, per-chunk blob offsets, payload CRC) + a
+  // payload of the GLOBAL spark-sketch BloomFilter bytes followed by one
+  // small PER-CHUNK BloomFilter blob per base chunk (the SSTable
+  // filter-block layout: the global filter prunes probes, the chunk
+  // filters prune chunk SELECTION). Chunks are immutable, so their
+  // blobs are carried forward verbatim across refreshes — only new
+  // chunks are ever read. Written tmp+rename AFTER the fold commit; a
+  // crash in between leaves a stale Bloom whose uncovered chunks are
+  // read in full until the next fold heals them. Torn/corrupt content
+  // fails the CRC and is treated as absent. Cached per JVM keyed by
+  // file mtime (it changes only at folds), including the executor-side
+  // broadcast of the global filter's bytes (chunk filters stay
+  // driver-side — selection is a driver decision).
 
   private final case class LoadedBloom(bytes: Array[Byte], covered: Set[String],
-                                       items: Long, fppBits: Long,
+                                       items: Long, fpp: Double,
+                                       chunkBytes: Map[String, Array[Byte]],
+                                       chunkBlooms: Map[String, BloomFilter],
                                        bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]])
 
   private val bloomCache =
@@ -269,28 +365,70 @@ object ClaimStore {
       if (crc.getValue != num("crc")) return None
       val covered = header("covered").asInstanceOf[graft.json.JArr].items
         .collect { case graft.json.JStr(s) => s }.toSet
-      Some(LoadedBloom(payload, covered, num("items"), num("bits"),
-        spark.sparkContext.broadcast(payload)))
+      // pre-chunk-filter files have no glen: the whole payload is the
+      // global filter and chunk selection falls back to [lo,hi] bounds
+      // until the next refresh heals the chunk blobs
+      val glen = header("glen") match {
+        case graft.json.JNum(l) => l.toLong.toInt
+        case _ => payload.length
+      }
+      val fpp = header("fpp") match {
+        case graft.json.JNum(l) => l.toDouble
+        case _ => -1.0 // legacy: unknown sizing -> treated as mismatch
+      }
+      val global = java.util.Arrays.copyOfRange(payload, 0, glen)
+      val chunkBytes: Map[String, Array[Byte]] = header("chunks") match {
+        case graft.json.JArr(items) => items.collect {
+          case o: graft.json.JObj =>
+            val n = o("n").asInstanceOf[graft.json.JStr].s
+            val off = o("off").asInstanceOf[graft.json.JNum].literal.toLong.toInt
+            val len = o("len").asInstanceOf[graft.json.JNum].literal.toLong.toInt
+            n -> java.util.Arrays.copyOfRange(payload, off, off + len)
+        }.toMap
+        case _ => Map.empty
+      }
+      val chunkBlooms = chunkBytes.map { case (n, b) =>
+        n -> BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+      }
+      Some(LoadedBloom(global, covered, num("items"), fpp,
+        chunkBytes, chunkBlooms, spark.sparkContext.broadcast(global)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  private def serializeBloom(bf: BloomFilter): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    bf.writeTo(buf)
+    buf.toByteArray
+  }
+
   private def writeBloomFile(spark: SparkSession, root: String,
-                             covered: Set[String], items: Long,
-                             bf: BloomFilter): Unit = {
+                             covered: Set[String], items: Long, fpp: Double,
+                             global: Array[Byte],
+                             chunks: Seq[(String, Array[Byte])]): Unit = {
     val p = bloomPath(root)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val payload = {
       val buf = new java.io.ByteArrayOutputStream()
-      bf.writeTo(buf)
+      buf.write(global)
+      chunks.foreach { case (_, b) => buf.write(b) }
       buf.toByteArray
     }
     val crc = new java.util.zip.CRC32
     crc.update(payload)
     import graft.json._
+    var off = global.length
+    val chunkIdx = chunks.map { case (n, b) =>
+      val o = JObj.of("n" -> JStr(n), "off" -> Json.num(off.toLong),
+        "len" -> Json.num(b.length.toLong))
+      off += b.length
+      o: JValue
+    }
     val header = JObj.of(
       "items" -> Json.num(items),
-      "bits" -> Json.num(bf.bitSize()),
+      "fpp" -> JNum(fpp.toString),
+      "glen" -> Json.num(global.length.toLong),
       "crc" -> Json.num(crc.getValue),
-      "covered" -> JArr(covered.toVector.sorted.map(JStr(_): JValue))).render
+      "covered" -> JArr(covered.toVector.sorted.map(JStr(_): JValue)),
+      "chunks" -> JArr(chunkIdx.toVector)).render
     val tmp = new Path(root, s".bloom.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
     try { out.write(header.getBytes("UTF-8")); out.write('\n'); out.write(payload) }
@@ -299,35 +437,52 @@ object ClaimStore {
     require(f.rename(tmp, p), s"bloom publish failed: $tmp -> $p")
   }
 
-  /** Extend (or heal, or rebuild-on-resize) the Bloom so it covers every
-    * current base chunk. Only the chunks the current Bloom does NOT
-    * cover are read — in steady state exactly the chunks the fold just
-    * wrote.
+  /** Extend (or heal, or rebuild-on-resize) the Bloom sidecar so the
+    * global filter covers every current base chunk and every chunk has
+    * its own filter blob. Only chunks the sidecar does not cover yet
+    * are read — in steady state exactly the chunks the fold just
+    * wrote; existing chunk blobs are carried forward verbatim (chunks
+    * are immutable). Config identity is (items, fpp) recorded in the
+    * header — NOT a probe BloomFilter.create, whose corpus-sized
+    * allocation per fold just to learn the bit width would spike the
+    * driver heap.
     */
   private def refreshBloom(spark: SparkSession, root: String, hCol: String,
                            cfg: Config): Unit = {
     val snap = SnapTable.snapshot(spark, root).getOrElse(return)
     val base = snap.files.filter(isBase)
     if (base.isEmpty) return
-    val names = base.map(e => new Path(e.path).getName).toSet
-    val wantBits = BloomFilter.create(cfg.bloomItems, cfg.bloomFpp).bitSize()
-    // a sizing change orphans the old Bloom (bit widths must match to
+    def name(e: SnapTable.FileEntry): String = new Path(e.path).getName
+    val names = base.map(name).toSet
+    // a sizing change orphans the old sidecar (bit widths must match to
     // merge): rebuild from scratch over the whole base, once
     val old = loadBloom(spark, root)
-      .filter(b => b.items == cfg.bloomItems && b.fppBits == wantBits)
-    val todo = base.filter(e => !old.exists(_.covered(new Path(e.path).getName)))
-    if (todo.isEmpty && old.exists(_.covered == names)) return
-    val bf =
-      if (todo.isEmpty) BloomFilter.readFrom(old.get.bytes)
-      else {
-        val built = spark.read.parquet(todo.map(_.path): _*)
+      .filter(b => b.items == cfg.bloomItems && b.fpp == cfg.bloomFpp)
+    val globalTodo = base.filter(e => !old.exists(_.covered(name(e))))
+    val chunkTodo = base.filter(e => !old.exists(_.chunkBytes.contains(name(e))))
+    if (globalTodo.isEmpty && chunkTodo.isEmpty && old.exists(_.covered == names))
+      return
+    val newChunkBlobs: Map[String, Array[Byte]] = chunkTodo.map { e =>
+      val rows = if (e.rows >= 0) e.rows
+      else spark.read.parquet(e.path).count() // unknown-stats file: observe
+      name(e) -> serializeBloom(spark.read.parquet(e.path)
+        .stat.bloomFilter(hCol, math.max(rows, 16L), cfg.chunkFpp))
+    }.toMap
+    val global =
+      if (globalTodo.isEmpty) old.get.bytes
+      else serializeBloom {
+        val built = spark.read.parquet(globalTodo.map(_.path): _*)
           .stat.bloomFilter(hCol, cfg.bloomItems, cfg.bloomFpp)
         old match {
-          case Some(o) => built.mergeInPlace(BloomFilter.readFrom(o.bytes))
+          case Some(o) => built.mergeInPlace(
+            BloomFilter.readFrom(new java.io.ByteArrayInputStream(o.bytes)))
           case None => built
         }
       }
-    writeBloomFile(spark, root, names, cfg.bloomItems, bf)
+    val chunkBlobs = base.map(e =>
+      name(e) -> newChunkBlobs.getOrElse(name(e), old.get.chunkBytes(name(e))))
+    writeBloomFile(spark, root, names, cfg.bloomItems, cfg.bloomFpp, global,
+      chunkBlobs)
   }
 
   /** Probe the batch hashes through the Bloom; Some(sorted positives)

@@ -13,6 +13,16 @@ import org.apache.spark.sql.types.StructType
   *
   *   spark.readStream.format("graft-snap").option("path", root).load()
   *
+  * `.option("start", ...)` picks where a FRESH checkpoint begins:
+  *  - `genesis` (default): replay the full append lineage from snapshot
+  *    1 — exact change history, but fails loudly if [[SnapTable.expire]]
+  *    has dropped early snapshots (their per-commit lineage is gone);
+  *  - `snapshot`: first batch = the complete CURRENT snapshot (rewrites
+  *    collapsed — content, not history), then incremental. The Delta
+  *    "initial snapshot" stance, and the way to consume a table whose
+  *    genesis has been expired;
+  *  - `latest`: only commits after the stream starts.
+  *
   * Semantics, inherited from the table's commit protocol:
   *  - a micro-batch (start, end] reads exactly the rows ADDED by
   *    append/overwrite commits in that snapshot-id range — each row is
@@ -40,23 +50,51 @@ class SnapSourceProvider extends StreamSourceProvider with DataSourceRegister {
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-snap source requires .option(\"path\", <table root>)"))
 
+  // the engine calls sourceSchema (analysis) then createSource on the
+  // SAME provider instance with only the USER-specified schema — cache
+  // the inference so stream start does one snapshot-resolve + footer
+  // read, not two
+  @volatile private var inferred: Option[(String, StructType)] = None
+
+  private def tableSchema(sqlContext: SQLContext,
+                          parameters: Map[String, String]): StructType = {
+    val r = root(parameters)
+    inferred match {
+      case Some((rr, s)) if rr == r => s
+      case _ =>
+        val s = SnapTable.read(sqlContext.sparkSession, r).schema
+        inferred = Some((r, s))
+        s
+    }
+  }
+
+  private def startMode(parameters: Map[String, String]): String = {
+    val m = parameters.getOrElse("start", "genesis")
+    require(Set("genesis", "snapshot", "latest")(m),
+      s"graft-snap option start=$m — expected genesis | snapshot | latest")
+    m
+  }
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
-                            parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse {
-      val spark = sqlContext.sparkSession
-      SnapTable.read(spark, root(parameters)).schema
-    })
+                            parameters: Map[String, String]): (String, StructType) = {
+    startMode(parameters) // validate at analysis, not first trigger
+    (shortName(), schema.getOrElse(tableSchema(sqlContext, parameters)))
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new SnapSource(sqlContext, root(parameters),
-      sourceSchema(sqlContext, schema, providerName, parameters)._2)
+      schema.getOrElse(tableSchema(sqlContext, parameters)),
+      startMode(parameters))
 }
 
 class SnapSource(sqlContext: SQLContext, root: String,
-                 override val schema: StructType) extends Source {
+                 override val schema: StructType,
+                 startMode: String) extends Source {
+
+  import org.apache.spark.sql.graftbridge.StreamingFrame
 
   private def spark = sqlContext.sparkSession
 
@@ -68,15 +106,34 @@ class SnapSource(sqlContext: SQLContext, root: String,
   // SerializedOffset, whose json is the same long
   private def id(o: OffsetV1): Long = o.json.trim.toLong
 
-  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val from = start.map(id).getOrElse(0L)
-    val changes = SnapTable.changesBetween(spark, root, from, Some(id(end)))
-    // the engine requires isStreaming=true on the returned frame — the
-    // FileStreamSource re-tagging pattern, via the graftbridge shim
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame =
+    start match {
+      case Some(s) => incremental(id(s), id(end))
+      case None => startMode match {
+        case "latest" => StreamingFrame.emptyStreaming(spark, schema)
+        case "snapshot" =>
+          val snap = SnapTable.snapshot(spark, root, Some(id(end)))
+          if (snap.exists(_.files.isEmpty)) // watermark-only table
+            StreamingFrame.emptyStreaming(spark, schema)
+          else
+            StreamingFrame.asStreaming(SnapTable.read(spark, root, Some(id(end))))
+        case _ =>
+          try incremental(0L, id(end))
+          catch {
+            case e: IllegalArgumentException => throw new IllegalArgumentException(
+              s"graft-snap: cannot replay $root from genesis — early snapshots " +
+                "were expired. Start this stream with .option(\"start\", " +
+                "\"snapshot\") (current content as the first batch) or " +
+                "\"latest\" (new commits only).", e)
+          }
+      }
+    }
+
+  private def incremental(from: Long, to: Long): DataFrame = {
+    val changes = SnapTable.changesBetween(spark, root, from, Some(to))
     changes.rows match {
-      case Some(df) => org.apache.spark.sql.graftbridge.StreamingFrame.asStreaming(df)
-      case None =>
-        org.apache.spark.sql.graftbridge.StreamingFrame.emptyStreaming(spark, schema)
+      case Some(df) => StreamingFrame.asStreaming(df)
+      case None => StreamingFrame.emptyStreaming(spark, schema)
     }
   }
 

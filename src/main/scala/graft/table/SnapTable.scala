@@ -230,6 +230,12 @@ object SnapTable {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          // local mount without hard links (FAT, some NFS): degrade to
+          // the weaker exists+rename CAS (same-JVM racers stay
+          // serialized by jvmLocks; cross-process no-clobber is then
+          // only as strong as the mount's rename)
+          !f.exists(dst) && f.rename(tmp, dst)
       }
     } else {
       try {
@@ -239,6 +245,12 @@ object SnapTable {
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // no AbstractFileSystem binding for this scheme (e.g. s3a
+          // without fs.AbstractFileSystem.s3a.impl): degrade to the
+          // FileSystem-level guarded rename rather than making every
+          // commit crash — document the weaker cross-process CAS
+          !f.exists(dst) && f.rename(tmp, dst)
       }
     }
   }

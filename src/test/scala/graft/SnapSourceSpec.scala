@@ -62,6 +62,52 @@ class SnapSourceSpec extends AnyFunSuite {
       c.getMessage.contains("re-sync")), chain(ex).map(_.getMessage).toString)
   }
 
+  test("start=snapshot serves current content as batch one on an expired-genesis table; start=latest serves only new commits") {
+    import spark.implicits._
+    val base = tmp("snapsrc4")
+    val root = s"$base/tbl"
+    SnapTable.append(spark, root, (0L until 10L).toDF("id"))
+    SnapTable.append(spark, root, (10L until 20L).toDF("id"))
+    SnapTable.expire(spark, root, keepLast = 1) // genesis lineage gone
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def runOnce(ckpt: String, start: String): Seq[Long] = {
+      got.clear()
+      val q = spark.readStream.format("graft-snap").option("path", root)
+        .option("start", start).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("id").as[Long].collect().foreach(got.add)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      got.toArray(Array.empty[java.lang.Long]).map(_.longValue()).toSeq
+    }
+    // genesis (default) cannot replay expired lineage — loud, with the
+    // recovery options named
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(s"$base/ckpt-genesis", "genesis")
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("start")), chain(ex).map(_.getMessage).toString)
+    // snapshot: full current content once, then incremental
+    assert(runOnce(s"$base/ckpt-snap", "snapshot").sorted == (0L until 20L))
+    SnapTable.append(spark, root, (20L until 25L).toDF("id"))
+    assert(runOnce(s"$base/ckpt-snap", "snapshot").sorted == (20L until 25L))
+    // latest: an empty first pass pins the head, later commits flow
+    assert(runOnce(s"$base/ckpt-latest", "latest").isEmpty)
+    SnapTable.append(spark, root, (25L until 30L).toDF("id"))
+    assert(runOnce(s"$base/ckpt-latest", "latest").sorted == (25L until 30L))
+    // bogus mode rejected
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-snap").option("path", root)
+        .option("start", "bogus").load()
+    }
+  }
+
   test("schema comes from the table; an empty table demands an explicit schema") {
     import spark.implicits._
     val root = s"${tmp("snapsrc2")}/tbl"

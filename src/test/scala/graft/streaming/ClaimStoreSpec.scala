@@ -147,6 +147,54 @@ class ClaimStoreSpec extends AnyFunSuite {
     assert(ClaimStore.Metrics.plannedSeenBytes.get == 0L)
   }
 
+  test("chunk selection is bounded by content, not LSM run count") {
+    val root = tmp("cs8")
+    // five folds -> five sorted runs, EACH spanning the full md5 range
+    for (b <- 0 until 5) {
+      ClaimStore.appendClaims(spark, root, hashes(b * 100 until (b + 1) * 100), "h", b.toLong)
+      ClaimStore.fold(spark, root, "h", b.toLong)
+    }
+    val base = SnapTable.snapshot(spark, root).get.files.filter(_.tag.contains("base"))
+    assert(base.size == 5, s"expected 5 runs, got ${base.size}")
+    // every run's [lo,hi] overlaps every probe (full-range runs), so
+    // bounds-only pruning would select ALL runs; the per-chunk Bloom
+    // must select exactly the one run that CONTAINS the positive
+    ClaimStore.Metrics.reset()
+    assert(seenSet(root, Seq(42), 5L) == hashSet(Seq(42))) // claimed by batch 0's run
+    assert(ClaimStore.Metrics.baseFilesSelected.get == 1L,
+      s"selected ${ClaimStore.Metrics.baseFilesSelected.get} of ${base.size} runs")
+    // two positives from two different runs -> exactly two
+    ClaimStore.Metrics.reset()
+    assert(seenSet(root, Seq(42, 342), 5L) == hashSet(Seq(42, 342)))
+    assert(ClaimStore.Metrics.baseFilesSelected.get == 2L)
+  }
+
+  test("a pre-SnapTable batch-partitioned layout is imported once, claims honored") {
+    import spark.implicits._
+    val root = tmp("cs9")
+    // fabricate the OLD layout: batch=0 / batch=1 claim dirs plus a
+    // folded base at batch=-1, no SnapTable meta
+    hashes(0 until 10).write.parquet(s"$root/batch=-1") // folded (batches before 0)
+    hashes(10 until 20).write.parquet(s"$root/batch=0")
+    hashes(20 until 30).write.parquet(s"$root/batch=1")
+    // first touch migrates: watermark = max legacy batch, claims exact
+    assert(ClaimStore.lastBatch(spark, root).contains(1L))
+    assert(seenSet(root, 0 until 40, 2L) == hashSet(0 until 30))
+    // replay exclusion survives the import: batch 1 replayed must not
+    // see its own claims, but must see base + batch 0
+    assert(seenSet(root, 0 until 40, 1L) == hashSet(0 until 20))
+    // its replayed append is watermark-skipped, not duplicated
+    val head = SnapTable.snapshot(spark, root).get.id
+    ClaimStore.appendClaims(spark, root, hashes(20 until 30), "h", 1L)
+    assert(SnapTable.snapshot(spark, root).get.id == head)
+    val all = SnapTable.read(spark, root).select("h")
+    assert(all.count() == 30 && all.distinct().count() == 30)
+    // new batches append and fold normally on top
+    ClaimStore.appendClaims(spark, root, hashes(30 until 35), "h", 2L)
+    ClaimStore.fold(spark, root, "h", 2L)
+    assert(seenSet(root, 0 until 40, 3L) == hashSet(0 until 35))
+  }
+
   test("empty claim append is a pure watermark bump; fold with nothing to fold is a no-op") {
     val root = tmp("cs7")
     ClaimStore.appendClaims(spark, root, hashes(Nil), "h", 0L)
