@@ -81,6 +81,16 @@ object ClaimStore {
     * row count): these drive chunk SELECTION, so their fpp bounds the
     * expected spurious chunk reads per batch (positives x chunks x
     * chunkFpp), not just spurious probe rows.
+    *
+    * `maxRuns` caps the number of sorted base RUNS (each fold appends
+    * one): when exceeded, [[fold]] merges the smallest runs back to the
+    * cap — size-tiered LSM compaction. Per-chunk Blooms already keep
+    * READS independent of run count; the cap bounds the filter-blob
+    * count and fold bookkeeping on an unbounded stream. Merging
+    * smallest-first makes run sizes geometric, so a claim is rewritten
+    * O(log batches) times over the stream's life — never the
+    * linear-in-history write amplification of a fixed-period major
+    * compaction.
     */
   final case class Config(
       bloomItems: Long = 4L * 1000 * 1000,
@@ -88,7 +98,8 @@ object ClaimStore {
       chunkFpp: Double = 1e-4,
       positivesCap: Int = 100000,
       foldTargetBytes: Long = 8L * 1024 * 1024,
-      expireKeep: Int = 64)
+      expireKeep: Int = 64,
+      maxRuns: Int = 8)
 
   private def batchOf(e: SnapTable.FileEntry): Option[Long] =
     e.tag.collect { case t if t.startsWith("b:") => t.stripPrefix("b:").toLong }
@@ -290,8 +301,46 @@ object ClaimStore {
         rewriteAs = identity, // claims are globally distinct by construction
         statsCol = Some(hCol), clusterFiles = nOut, tag = Some("base"))
     }
+    mergeRunsOverCap(spark, root, hCol, cfg)
     refreshBloom(spark, root, hCol, cfg)
     SnapTable.expire(spark, root, keepLast = cfg.expireKeep)
+  }
+
+  /** The staging stamp shared by the chunks of one sorted run
+    * (`<stamp>-<i>.parquet`, see `SnapTable.stageFiles`).
+    */
+  private def runOf(e: SnapTable.FileEntry): String =
+    new Path(e.path).getName.takeWhile(_ != '-')
+
+  /** Size-tiered run-count cap: each fold appends one sorted run, so a
+    * long-lived stream accumulates runs without bound — reads stay flat
+    * (the per-chunk Blooms select by content) but the filter sidecar
+    * carries one blob per chunk and the fold bookkeeping one entry per
+    * file. When the base exceeds `maxRuns` runs, merge the SMALLEST
+    * runs (by bytes) back down to the cap in one snapshot-isolated
+    * rewrite. Smallest-first keeps run sizes geometric — each claim is
+    * rewritten O(log batches) times total, the classic size-tiered LSM
+    * bound — and the merged run's chunk filters are rebuilt by the same
+    * [[refreshBloom]] incremental path (only the NEW chunks are read;
+    * re-merging their claims into the global filter is a no-op by
+    * Bloom-union idempotence).
+    */
+  private def mergeRunsOverCap(spark: SparkSession, root: String, hCol: String,
+                               cfg: Config): Unit = {
+    if (cfg.maxRuns <= 0) return
+    val snap = SnapTable.snapshot(spark, root).getOrElse(return)
+    val runs = snap.files.filter(isBase).groupBy(runOf)
+      .map { case (r, fs) => (r, fs.map(_.bytes).sum) }.toVector
+    if (runs.size <= cfg.maxRuns) return
+    val victims = runs.sortBy(_._2).take(runs.size - cfg.maxRuns + 1)
+      .map(_._1).toSet
+    val bytes = runs.filter(r => victims(r._1)).map(_._2).sum
+    val nOut = math.max(1L, bytes / cfg.foldTargetBytes).toInt
+    SnapTable.rewrite(spark, root,
+      pick = e => isBase(e) && victims(runOf(e)),
+      rewriteAs = identity,
+      statsCol = Some(hCol), clusterFiles = nOut, tag = Some("base"))
+    ()
   }
 
   // ---- Bloom sidecar ---------------------------------------------------

@@ -169,6 +169,32 @@ class ClaimStoreSpec extends AnyFunSuite {
     assert(ClaimStore.Metrics.baseFilesSelected.get == 2L)
   }
 
+  test("run count stays capped under maxRuns via size-tiered merges, answers exact") {
+    val root = tmp("cs10")
+    val cfg = ClaimStore.Config(maxRuns = 3)
+    def runCount: Int = SnapTable.snapshot(spark, root).get.files
+      .filter(_.tag.contains("base"))
+      .groupBy(e => new org.apache.hadoop.fs.Path(e.path).getName.takeWhile(_ != '-'))
+      .size
+    // ten fold cycles; uncapped this would be ten runs
+    for (b <- 0 until 10) {
+      ClaimStore.appendClaims(spark, root, hashes(b * 50 until (b + 1) * 50), "h", b.toLong)
+      ClaimStore.fold(spark, root, "h", b.toLong, cfg)
+      assert(runCount <= 3, s"after fold $b: $runCount runs")
+    }
+    // claims survive every merge, exactly once each
+    val all = SnapTable.read(spark, root).select("h")
+    assert(all.count() == 500 && all.distinct().count() == 500)
+    // seen set exact THROUGH the merged base (Bloom healed over merges)
+    assert(seenSet(root, 0 until 600, 10L, cfg) == hashSet(0 until 500))
+    // and a fresh batch still reads zero base bytes
+    ClaimStore.Metrics.reset()
+    assert(seenSet(root, 1000 until 1050, 10L, cfg).isEmpty)
+    assert(ClaimStore.Metrics.plannedSeenBytes.get == 0L)
+    assert(ClaimStore.Metrics.fullFallbacks.get == 0L,
+      "merged chunks must be Bloom-covered after the fold that merged them")
+  }
+
   test("a pre-SnapTable batch-partitioned layout is imported once, claims honored") {
     import spark.implicits._
     val root = tmp("cs9")
