@@ -80,7 +80,11 @@ object ClaimStore {
     * `chunkFpp` sizes the PER-CHUNK filters (each to its own chunk's
     * row count): these drive chunk SELECTION, so their fpp bounds the
     * expected spurious chunk reads per batch (positives x chunks x
-    * chunkFpp), not just spurious probe rows.
+    * chunkFpp), not just spurious probe rows. Chunk filters are
+    * WRITE-ONCE per chunk — a `chunkFpp` change applies only to chunks
+    * created after it (existing filters keep their sizing until their
+    * chunk is merged away); it never needs a rebuild because any fpp
+    * only trades read amplification, never correctness.
     *
     * `maxRuns` caps the number of sorted base RUNS (each fold appends
     * one): when exceeded, [[fold]] merges the smallest runs back to the
@@ -254,16 +258,30 @@ object ClaimStore {
             // only chunks that actually CONTAIN a positive: reads are
             // bounded by the batch's true duplicate spread plus
             // positives x chunks x chunkFpp, independent of run count.
+            // Bounds first, then the chunk filter: within one run the
+            // chunks are range-partitioned (disjoint bounds), so a
+            // positive is bounds-candidate in <= 1 chunk per run —
+            // <= maxRuns candidates per positive. Only candidates have
+            // their filter consulted (lazy-loaded, LRU-cached), so the
+            // filters resident per batch are O(positives x maxRuns),
+            // never O(chunks in the base).
             val picked = covered.filter { e =>
               val name = new Path(e.path).getName
-              bloom.get.chunkBlooms.get(name) match {
-                case Some(cb) => sorted.exists(cb.mightContainString)
-                case None => (e.lo, e.hi) match { // pre-chunk-Bloom file
-                  case (Some(l), Some(h)) =>
-                    val i = lowerBound(sorted, l)
-                    i < sorted.length && sorted(i) <= h
-                  case _ => true // no bounds recorded: must read
-                }
+              (e.lo, e.hi) match {
+                case (Some(l), Some(h)) =>
+                  val i = lowerBound(sorted, l)
+                  i < sorted.length && sorted(i) <= h && {
+                    chunkBloomFor(spark, root, bloom.get, name) match {
+                      case Some(cb) =>
+                        var sel = false; var k = i
+                        while (!sel && k < sorted.length && sorted(k) <= h) {
+                          sel = cb.mightContainString(sorted(k)); k += 1
+                        }
+                        sel
+                      case None => true // no/torn filter: bounds decide
+                    }
+                  }
+                case _ => true // no bounds recorded: must read
               }
             }
             Metrics.baseFilesSelected.addAndGet(picked.size.toLong)
@@ -346,24 +364,37 @@ object ClaimStore {
   // ---- Bloom sidecar ---------------------------------------------------
   //
   // Layout: `<root>/bloom.bin` = one JSON header line (covered base file
-  // names, sizing params, per-chunk blob offsets, payload CRC) + a
-  // payload of the GLOBAL spark-sketch BloomFilter bytes followed by one
-  // small PER-CHUNK BloomFilter blob per base chunk (the SSTable
-  // filter-block layout: the global filter prunes probes, the chunk
-  // filters prune chunk SELECTION). Chunks are immutable, so their
-  // blobs are carried forward verbatim across refreshes — only new
-  // chunks are ever read. Written tmp+rename AFTER the fold commit; a
-  // crash in between leaves a stale Bloom whose uncovered chunks are
-  // read in full until the next fold heals them. Torn/corrupt content
-  // fails the CRC and is treated as absent. Cached per JVM keyed by
-  // file mtime (it changes only at folds), including the executor-side
-  // broadcast of the global filter's bytes (chunk filters stay
-  // driver-side — selection is a driver decision).
+  // names, sizing params, CRC of the payload) + the GLOBAL spark-sketch
+  // BloomFilter bytes (prunes PROBES); plus `<root>/bloomchunks/
+  // <chunkFileName>.bf` = one small CRC-trailed PER-CHUNK BloomFilter
+  // file per base chunk (prunes chunk SELECTION — the SSTable
+  // filter-block layout, one file per block). Chunk filter files are
+  // IMMUTABLE like the chunks they describe: written once by the fold
+  // that created the chunk, deleted when the chunk leaves the base —
+  // never rewritten, never carried through the bloom.bin rewrite. That
+  // keeps BOTH scale terms bounded: the per-fold sidecar write is
+  // O(global filter + new chunks), not O(all chunk filters); and the
+  // driver holds only the chunk filters a batch actually consults
+  // (bounds-candidates: <= maxRuns per positive), LRU-cached, never the
+  // whole O(corpus) filter set. bloom.bin is written tmp+rename AFTER
+  // the fold commit; a crash in between leaves a stale file whose
+  // uncovered chunks are read in full until the next fold heals them.
+  // Torn/corrupt content (either file kind) fails its CRC and is
+  // treated as absent — degrading selection to [lo,hi] bounds or reads
+  // to full chunks, never to a wrong answer. The remaining O(corpus)
+  // term is the global filter itself (~1.2 bytes/claim at fpp 0.01),
+  // rewritten per fold and broadcast once per generation; past ~10^9
+  // claims shard it (and the table) by hash prefix — the read bound
+  // per batch is unchanged, each shard serves its prefix.
+  //
+  // Legacy (first r7 layout): chunk blobs embedded in bloom.bin after
+  // the global filter, indexed by header offsets. Still readable (the
+  // embedded blobs are served from the validated in-memory payload);
+  // the next fold migrates them to the one-file-per-chunk layout.
 
   private final case class LoadedBloom(bytes: Array[Byte], covered: Set[String],
                                        items: Long, fpp: Double,
-                                       chunkBytes: Map[String, Array[Byte]],
-                                       chunkBlooms: Map[String, BloomFilter],
+                                       legacyChunks: Map[String, Array[Byte]],
                                        bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]])
 
   private val bloomCache =
@@ -392,17 +423,21 @@ object ClaimStore {
     }
   }
 
+  private def readFully(f: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](64 * 1024)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
   private def readBloomFile(spark: SparkSession, f: org.apache.hadoop.fs.FileSystem,
                             p: Path): Option[LoadedBloom] =
     try {
-      val in = f.open(p)
-      val all = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](64 * 1024)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        buf.toByteArray
-      } finally in.close()
+      val all = readFully(f, p)
       val nl = all.indexOf('\n'.toByte)
       if (nl < 0) return None
       val header = graft.json.Json.parse(new String(all, 0, nl, "UTF-8"))
@@ -426,8 +461,11 @@ object ClaimStore {
         case _ => -1.0 // legacy: unknown sizing -> treated as mismatch
       }
       val global = java.util.Arrays.copyOfRange(payload, 0, glen)
-      val chunkBytes: Map[String, Array[Byte]] = header("chunks") match {
-        case graft.json.JArr(items) => items.collect {
+      // legacy embedded chunk blobs (first r7 layout); the current
+      // layout stores chunk filters as their own files and has no
+      // "chunks" key
+      val legacyChunks: Map[String, Array[Byte]] = header.get("chunks") match {
+        case Some(graft.json.JArr(items)) => items.collect {
           case o: graft.json.JObj =>
             val n = o("n").asInstanceOf[graft.json.JStr].s
             val off = o("off").asInstanceOf[graft.json.JNum].literal.toLong.toInt
@@ -436,11 +474,8 @@ object ClaimStore {
         }.toMap
         case _ => Map.empty
       }
-      val chunkBlooms = chunkBytes.map { case (n, b) =>
-        n -> BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
-      }
       Some(LoadedBloom(global, covered, num("items"), fpp,
-        chunkBytes, chunkBlooms, spark.sparkContext.broadcast(global)))
+        legacyChunks, spark.sparkContext.broadcast(global)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def serializeBloom(bf: BloomFilter): Array[Byte] = {
@@ -451,50 +486,146 @@ object ClaimStore {
 
   private def writeBloomFile(spark: SparkSession, root: String,
                              covered: Set[String], items: Long, fpp: Double,
-                             global: Array[Byte],
-                             chunks: Seq[(String, Array[Byte])]): Unit = {
+                             global: Array[Byte]): Unit = {
     val p = bloomPath(root)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val payload = {
-      val buf = new java.io.ByteArrayOutputStream()
-      buf.write(global)
-      chunks.foreach { case (_, b) => buf.write(b) }
-      buf.toByteArray
-    }
     val crc = new java.util.zip.CRC32
-    crc.update(payload)
+    crc.update(global)
     import graft.json._
-    var off = global.length
-    val chunkIdx = chunks.map { case (n, b) =>
-      val o = JObj.of("n" -> JStr(n), "off" -> Json.num(off.toLong),
-        "len" -> Json.num(b.length.toLong))
-      off += b.length
-      o: JValue
-    }
     val header = JObj.of(
       "items" -> Json.num(items),
       "fpp" -> JNum(fpp.toString),
       "glen" -> Json.num(global.length.toLong),
       "crc" -> Json.num(crc.getValue),
-      "covered" -> JArr(covered.toVector.sorted.map(JStr(_): JValue)),
-      "chunks" -> JArr(chunkIdx.toVector)).render
+      "covered" -> JArr(covered.toVector.sorted.map(JStr(_): JValue))).render
     val tmp = new Path(root, s".bloom.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
-    try { out.write(header.getBytes("UTF-8")); out.write('\n'); out.write(payload) }
+    try { out.write(header.getBytes("UTF-8")); out.write('\n'); out.write(global) }
     finally out.close()
     f.delete(p, false) // single streaming writer; a torn window reads as absent
     require(f.rename(tmp, p), s"bloom publish failed: $tmp -> $p")
   }
 
+  // ---- per-chunk filter files ------------------------------------------
+
+  private def chunkDir(root: String) = new Path(root, "bloomchunks")
+  private def chunkFilePath(root: String, chunkName: String) =
+    new Path(chunkDir(root), s"$chunkName.bf")
+
+  /** Blob + 8-byte big-endian CRC32 trailer, tmp+rename. Content is a
+    * deterministic function of the (immutable) chunk and `chunkFpp`, so
+    * overwriting a stray existing file is harmless.
+    */
+  private def writeChunkFile(f: org.apache.hadoop.fs.FileSystem, root: String,
+                             chunkName: String, blob: Array[Byte]): Unit = {
+    f.mkdirs(chunkDir(root))
+    val crc = new java.util.zip.CRC32
+    crc.update(blob)
+    val trailer = java.nio.ByteBuffer.allocate(8).putLong(crc.getValue).array()
+    val tmp = new Path(chunkDir(root),
+      s".$chunkName.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try { out.write(blob); out.write(trailer) } finally out.close()
+    val dst = chunkFilePath(root, chunkName)
+    f.delete(dst, false)
+    require(f.rename(tmp, dst), s"chunk filter publish failed: $tmp -> $dst")
+  }
+
+  private def readChunkFile(f: org.apache.hadoop.fs.FileSystem, root: String,
+                            chunkName: String): Option[Array[Byte]] =
+    try {
+      val p = chunkFilePath(root, chunkName)
+      if (!f.exists(p)) return None
+      val all = readFully(f, p)
+      if (all.length < 9) { f.delete(p, false); return None } // definitively torn
+      val blob = java.util.Arrays.copyOfRange(all, 0, all.length - 8)
+      val stored = java.nio.ByteBuffer.wrap(all, all.length - 8, 8).getLong
+      val crc = new java.util.zip.CRC32
+      crc.update(blob)
+      if (crc.getValue == stored) Some(blob)
+      else {
+        // fully read but invalid (torn write): delete so the NEXT fold's
+        // existence check recreates it — selection meanwhile degrades to
+        // bounds for this chunk, never to a wrong answer. Transient IO
+        // errors take the catch below and delete nothing.
+        f.delete(p, false)
+        None
+      }
+    } catch {
+      // the filesystem's own checksum verification is as definitive as
+      // the trailer CRC: delete so the next fold recreates the filter
+      case _: org.apache.hadoop.fs.ChecksumException =>
+        try f.delete(chunkFilePath(root, chunkName), false)
+        catch { case scala.util.control.NonFatal(_) => }
+        None
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Chunk filters touched by recent batches, LRU-evicted on a BYTE
+    * budget (an entry-count cap would let driver residency scale with
+    * chunk size — 512 filters of 256 MB chunks at fpp 1e-4 is ~10 GB):
+    * chunk filter files are immutable AND uniquely named (the 128-bit
+    * staging stamp), so a cached parse is never stale — but an ABSENT
+    * file is never cached (it may be healed by the next fold). Legacy
+    * sidecars serve their embedded blobs through the same cache key
+    * space.
+    */
+  private object chunkFilterCache {
+    private val maxBytes = 64L * 1024 * 1024
+    private val map =
+      new java.util.LinkedHashMap[String, (BloomFilter, Long)](64, 0.75f, true)
+    private var bytes = 0L
+    def get(key: String): Option[BloomFilter] =
+      synchronized(Option(map.get(key)).map(_._1))
+    def put(key: String, bf: BloomFilter, sz: Long): Unit = synchronized {
+      val old = map.put(key, (bf, sz))
+      bytes += sz - (if (old != null) old._2 else 0L)
+      val it = map.entrySet().iterator()
+      // eldest-first; never evict the entry just inserted (an oversized
+      // single filter stays resident alone rather than thrashing)
+      while (bytes > maxBytes && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) { bytes -= e.getValue._2; it.remove() }
+      }
+    }
+  }
+
+  private def chunkBloomFor(spark: SparkSession, root: String, b: LoadedBloom,
+                            chunkName: String): Option[BloomFilter] = {
+    val key = s"${new Path(root).toString}#$chunkName"
+    val cached = chunkFilterCache.get(key)
+    if (cached.isDefined) return cached
+    val f = bloomPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fromFile = b.legacyChunks.get(chunkName).isEmpty
+    val bytes = b.legacyChunks.get(chunkName).orElse(readChunkFile(f, root, chunkName))
+    bytes.flatMap { arr =>
+      // a CRC-valid but unparseable blob (corrupt legacy header offsets,
+      // a sketch-format change) must DEGRADE to bounds, not wedge the
+      // stream: the parse failure is as definitive as a CRC mismatch,
+      // so delete a file-backed filter for the next fold to rebuild
+      try {
+        val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(arr))
+        chunkFilterCache.put(key, bf, arr.length.toLong)
+        Some(bf)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          if (fromFile)
+            try f.delete(chunkFilePath(root, chunkName), false)
+            catch { case scala.util.control.NonFatal(_) => }
+          None
+      }
+    }
+  }
+
   /** Extend (or heal, or rebuild-on-resize) the Bloom sidecar so the
     * global filter covers every current base chunk and every chunk has
-    * its own filter blob. Only chunks the sidecar does not cover yet
-    * are read — in steady state exactly the chunks the fold just
-    * wrote; existing chunk blobs are carried forward verbatim (chunks
-    * are immutable). Config identity is (items, fpp) recorded in the
-    * header — NOT a probe BloomFilter.create, whose corpus-sized
-    * allocation per fold just to learn the bit width would spike the
-    * driver heap.
+    * its own filter FILE. Only chunks without a filter yet are read —
+    * in steady state exactly the chunks the fold just wrote (legacy
+    * embedded blobs are migrated by copy, not re-read); filter files of
+    * chunks that left the base (merge victims) are deleted. Config
+    * identity is (items, fpp) recorded in the header — NOT a probe
+    * BloomFilter.create, whose corpus-sized allocation per fold just to
+    * learn the bit width would spike the driver heap.
     */
   private def refreshBloom(spark: SparkSession, root: String, hCol: String,
                            cfg: Config): Unit = {
@@ -503,20 +634,57 @@ object ClaimStore {
     if (base.isEmpty) return
     def name(e: SnapTable.FileEntry): String = new Path(e.path).getName
     val names = base.map(name).toSet
-    // a sizing change orphans the old sidecar (bit widths must match to
-    // merge): rebuild from scratch over the whole base, once
-    val old = loadBloom(spark, root)
-      .filter(b => b.items == cfg.bloomItems && b.fpp == cfg.bloomFpp)
+    val rawOld = loadBloom(spark, root)
+    // a sizing change orphans the old GLOBAL filter (bit widths must
+    // match to merge): rebuild it from the whole base, once. Chunk
+    // filters are sized per chunk by chunkFpp and are unaffected.
+    val old = rawOld.filter(b => b.items == cfg.bloomItems && b.fpp == cfg.bloomFpp)
+    val f = bloomPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sweep bloom.bin tmps orphaned by a crash between create and rename
+    // (same age gate + single-writer argument as the chunk-filter tmps)
+    try {
+      val now = System.currentTimeMillis()
+      f.listStatus(new Path(root)).filter(s => s.isFile &&
+          s.getPath.getName.startsWith(".bloom.tmp-") &&
+          now - s.getModificationTime > 15 * 60 * 1000L)
+        .foreach(s => try f.delete(s.getPath, false)
+        catch { case scala.util.control.NonFatal(_) => })
+    } catch { case scala.util.control.NonFatal(_) => }
+    // ---- chunk filter files: create missing, sweep departed
+    val haveChunk: Set[String] = {
+      val cd = chunkDir(root)
+      if (!f.exists(cd)) Set.empty
+      else {
+        val all = f.listStatus(cd).filter(_.isFile)
+        // sweep tmp files orphaned by a crash between create and rename
+        // (age-gated: this fold's own writes are seconds old at most,
+        // and the single-streaming-writer contract means no OTHER
+        // writer's in-flight tmp can be live here)
+        val now = System.currentTimeMillis()
+        all.filter(s => s.getPath.getName.startsWith(".") &&
+            s.getPath.getName.contains(".tmp-") &&
+            now - s.getModificationTime > 15 * 60 * 1000L)
+          .foreach(s => try f.delete(s.getPath, false)
+          catch { case scala.util.control.NonFatal(_) => })
+        all.map(_.getPath.getName)
+          .filter(n => n.endsWith(".bf") && !n.startsWith("."))
+          .map(_.stripSuffix(".bf")).toSet
+      }
+    }
+    for (e <- base if !haveChunk(name(e))) {
+      val blob = rawOld.flatMap(_.legacyChunks.get(name(e))).getOrElse {
+        val rows = if (e.rows >= 0) e.rows
+        else spark.read.parquet(e.path).count() // unknown-stats file: observe
+        serializeBloom(spark.read.parquet(e.path)
+          .stat.bloomFilter(hCol, math.max(rows, 16L), cfg.chunkFpp))
+      }
+      writeChunkFile(f, root, name(e), blob)
+    }
+    haveChunk.diff(names).foreach(n => f.delete(chunkFilePath(root, n), false))
+    // ---- global filter
     val globalTodo = base.filter(e => !old.exists(_.covered(name(e))))
-    val chunkTodo = base.filter(e => !old.exists(_.chunkBytes.contains(name(e))))
-    if (globalTodo.isEmpty && chunkTodo.isEmpty && old.exists(_.covered == names))
+    if (globalTodo.isEmpty && old.exists(o => o.covered == names && o.legacyChunks.isEmpty))
       return
-    val newChunkBlobs: Map[String, Array[Byte]] = chunkTodo.map { e =>
-      val rows = if (e.rows >= 0) e.rows
-      else spark.read.parquet(e.path).count() // unknown-stats file: observe
-      name(e) -> serializeBloom(spark.read.parquet(e.path)
-        .stat.bloomFilter(hCol, math.max(rows, 16L), cfg.chunkFpp))
-    }.toMap
     val global =
       if (globalTodo.isEmpty) old.get.bytes
       else serializeBloom {
@@ -528,10 +696,7 @@ object ClaimStore {
           case None => built
         }
       }
-    val chunkBlobs = base.map(e =>
-      name(e) -> newChunkBlobs.getOrElse(name(e), old.get.chunkBytes(name(e))))
-    writeBloomFile(spark, root, names, cfg.bloomItems, cfg.bloomFpp, global,
-      chunkBlobs)
+    writeBloomFile(spark, root, names, cfg.bloomItems, cfg.bloomFpp, global)
   }
 
   /** Probe the batch hashes through the Bloom; Some(sorted positives)

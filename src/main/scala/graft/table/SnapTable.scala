@@ -561,7 +561,12 @@ object SnapTable {
                          exactStats: Boolean = true): Vector[FileEntry] = {
     val f = fs(spark, dataDir(root))
     f.mkdirs(dataDir(root))
-    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    // full 128-bit stamp (no '-' so the run prefix is the segment before
+    // the first dash): data file names are relied on to NEVER recur —
+    // caches key on them (ClaimStore's chunk filters) and the orphan
+    // sweep above compares by name — and a truncated stamp makes reuse
+    // a birthday problem, not an impossibility
+    val stamp = java.util.UUID.randomUUID().toString.replace("-", "")
     val stage = new Path(root, s".stage-$stamp")
     // clusterFiles > 0 pins the output file count (an explicit
     // repartition width is a hard constraint AQE will not coalesce);

@@ -195,6 +195,64 @@ class ClaimStoreSpec extends AnyFunSuite {
       "merged chunks must be Bloom-covered after the fold that merged them")
   }
 
+  test("chunk filters are per-chunk files; a torn one degrades to bounds and heals") {
+    val root = tmp("cs11")
+    ClaimStore.appendClaims(spark, root, hashes(0 until 2000), "h", 0L)
+    val cfg = ClaimStore.Config(foldTargetBytes = 4096)
+    ClaimStore.fold(spark, root, "h", 0L, cfg)
+    val base = SnapTable.snapshot(spark, root).get.files.filter(_.tag.contains("base"))
+    val bfDir = new java.io.File(s"$root/bloomchunks")
+    def bfFiles = bfDir.listFiles().filter(_.getName.endsWith(".bf"))
+    assert(bfFiles.length == base.size,
+      s"expected one filter file per chunk: ${bfFiles.length} vs ${base.size}")
+    // bloom.bin is header + GLOBAL filter only (no embedded chunk blobs)
+    val header = {
+      val in = new java.io.BufferedReader(new java.io.FileReader(s"$root/bloom.bin"))
+      try in.readLine() finally in.close()
+    }
+    assert(!header.contains("\"chunks\""), "bloom.bin must not embed chunk blobs")
+    // corrupt THREE chunk filters, one per failure shape — each must
+    // degrade to bounds for its chunk (the positive is still found),
+    // be deleted on read, and heal at the next fold; others unaffected
+    assert(bfFiles.length >= 3, s"need 3 victims, have ${bfFiles.length}")
+    val victims = bfFiles.sortBy(_.getName).take(3)
+    // hand-editing bypasses Hadoop's local-FS .crc sidecars, which would
+    // otherwise intercept every read as a ChecksumException BEFORE the
+    // trailer-CRC / parse branches under test — drop them so the
+    // store's own validation is what runs
+    def dropFsCrc(v: java.io.File): Unit =
+      new java.io.File(v.getParentFile, s".${v.getName}.crc").delete()
+    // (a) short write: under the 9-byte blob+trailer minimum
+    java.nio.file.Files.writeString(victims(0).toPath, "torn")
+    dropFsCrc(victims(0))
+    // (b) CRC mismatch: flip a blob byte, keep length and trailer
+    locally {
+      val b = java.nio.file.Files.readAllBytes(victims(1).toPath)
+      b(0) = (b(0) ^ 0xff).toByte
+      java.nio.file.Files.write(victims(1).toPath, b)
+      dropFsCrc(victims(1))
+    }
+    // (c) CRC-VALID garbage: unparseable as a BloomFilter — the parse
+    // failure must degrade like a CRC failure, never wedge the stream
+    locally {
+      val blob = Array.fill[Byte](32)(0x5a)
+      val crc = new java.util.zip.CRC32
+      crc.update(blob)
+      val trailer = java.nio.ByteBuffer.allocate(8).putLong(crc.getValue).array()
+      java.nio.file.Files.write(victims(2).toPath, blob ++ trailer)
+      dropFsCrc(victims(2))
+    }
+    assert(seenSet(root, 0 until 2000, 1L, cfg) == hashSet(0 until 2000))
+    victims.foreach(v =>
+      assert(!v.exists(), s"corrupt chunk filter ${v.getName} must be deleted on read"))
+    ClaimStore.appendClaims(spark, root, hashes(2000 until 2100), "h", 1L)
+    ClaimStore.fold(spark, root, "h", 1L, cfg)
+    assert(bfFiles.length ==
+      SnapTable.snapshot(spark, root).get.files.count(_.tag.contains("base")),
+      "heal must restore one filter file per chunk")
+    assert(seenSet(root, 0 until 2200, 2L, cfg) == hashSet(0 until 2100))
+  }
+
   test("a pre-SnapTable batch-partitioned layout is imported once, claims honored") {
     import spark.implicits._
     val root = tmp("cs9")
