@@ -205,6 +205,68 @@ object SnapTable {
 
   private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  // ---- head hint: `meta/HEAD` holds `v:<latest id>`, written
+  // best-effort after every successful commit. It is ONLY an
+  // optimization: the commit loop verifies the hinted manifest exists,
+  // probes FORWARD for commits the hint missed (a crash between publish
+  // and hint write, or another process's commits), and falls back to
+  // the full `meta/` listing on any inconsistency (missing/corrupt
+  // hint, hinted id expired, hinted window all-torn). Correctness never
+  // depends on it — the no-clobber publish CAS still rejects a stale
+  // version pick — it just replaces an O(retained snapshots) directory
+  // LIST per attempt with a handful of point reads, which is what a
+  // high commit rate on an object store needs.
+
+  private def headHintPath(root: String) = new Path(metaDir(root), "HEAD")
+
+  private def readHeadHint(f: FileSystem, root: String): Option[Long] =
+    try {
+      val p = headHintPath(root)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        if (s.startsWith("v:")) Some(s.stripPrefix("v:").toLong) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Overwrite-in-place via tmp+rename; losing a race or crashing just
+    * leaves a stale (or briefly absent) hint — both safe by design.
+    */
+  private def writeHeadHint(f: FileSystem, root: String, v: Long): Unit =
+    try {
+      val tmp = new Path(metaDir(root),
+        s".HEAD.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, true)
+      try out.write(s"v:$v\n".getBytes("UTF-8")) finally out.close()
+      f.delete(headHintPath(root), false)
+      if (!f.rename(tmp, headHintPath(root))) f.delete(tmp, false)
+    } catch { case scala.util.control.NonFatal(_) => }
+
+  /** Resolve (version to try, parent snapshot) from the head hint:
+    * None when the hint is absent, stale past expiry, or its window is
+    * unreadable — the caller then pays the full listing.
+    */
+  private def resolveFromHint(spark: SparkSession, f: FileSystem,
+                              root: String): Option[(Long, Option[Snapshot])] =
+    readHeadHint(f, root).flatMap { h =>
+      if (h < 1 || !f.exists(snapPath(root, h))) None // expired/garbage hint
+      else {
+        var head = h
+        while (f.exists(snapPath(root, head + 1))) head += 1
+        // newest parseable in the verified window [h, head]; if the
+        // whole window is torn the true parent may be below the hint —
+        // only the full listing can say, so decline
+        var pv = head
+        var parent: Option[Snapshot] = None
+        while (parent.isEmpty && pv >= h) {
+          parent = readSnap(spark, root, pv); pv -= 1
+        }
+        parent.map(p => (head + 1, Some(p)))
+      }
+    }
+
   /** Publish `tmp` at `dst` with a TRUE no-clobber — the commit CAS.
     * Hadoop's local-filesystem rename is File.renameTo, which silently
     * OVERWRITES an existing destination, so the old `exists() + rename`
@@ -269,16 +331,20 @@ object SnapTable {
       var attempts = 0
       while (attempts < 100) {
         attempts += 1
-        // parent and version from ONE listing — reading them separately
-        // opens a lost-update window (a commit landing between the two
-        // reads would win a fresh slot with a stale parent). The head
-        // of the SAME listing also lets a torn manifest (non-atomic
-        // rename) be stepped over instead of CAS-looped on; any commit
-        // racing past this listing still collides on the no-clobber
-        // rename at the same v and forces a retry.
-        val idsNow = snapshotIds(spark, root)
-        val parent = latestParseable(spark, root, idsNow)
-        val v = idsNow.lastOption.getOrElse(0L) + 1
+        // parent and version from ONE observation — reading them
+        // separately opens a lost-update window (a commit landing
+        // between the two reads would win a fresh slot with a stale
+        // parent). The head of the SAME observation also lets a torn
+        // manifest (non-atomic rename) be stepped over instead of
+        // CAS-looped on; any commit racing past this observation still
+        // collides on the no-clobber rename at the same v and forces a
+        // retry. The observation itself is the HEAD-hint probe when the
+        // hint checks out, else the full meta/ listing.
+        val (v, parent) = resolveFromHint(spark, f, root).getOrElse {
+          val idsNow = snapshotIds(spark, root)
+          (idsNow.lastOption.getOrElse(0L) + 1,
+            latestParseable(spark, root, idsNow))
+        }
         val (op, files, added, removed, wm) = make(parent)
         val snap = Snapshot(v, op, files, added, removed, wm)
         val tmp = new Path(metaDir(root),
@@ -289,7 +355,7 @@ object SnapTable {
         // EEXIST on local, no-clobber FileContext rename elsewhere;
         // same-JVM racers are additionally serialized above)
         val won = publishNoClobber(f, spark, tmp, snapPath(root, v))
-        if (won) return snap
+        if (won) { writeHeadHint(f, root, v); return snap }
         f.delete(tmp, false) // lost: retry against the new parent
       }
       throw new IllegalStateException(

@@ -182,6 +182,46 @@ class SnapTableSpec extends AnyFunSuite {
     assert(SnapTable.read(spark, root).count() == 3)
   }
 
+  test("HEAD hint is an optimization only: absent/corrupt/stale/forged hints never misplace a commit") {
+    import spark.implicits._
+    val root = tmp("snap12")
+    for (i <- 1 to 3)
+      SnapTable.append(spark, root, Seq((i.toLong, "x")).toDF("id", "v"))
+    val hint = java.nio.file.Paths.get(s"$root/meta/HEAD")
+    // hand-edits bypass Hadoop's local-FS .crc sidecar; drop it so the
+    // hint READ path (not a ChecksumException fallback) is what runs
+    def setHint(s: String): Unit = {
+      java.nio.file.Files.writeString(hint, s)
+      new java.io.File(s"$root/meta/.HEAD.crc").delete()
+    }
+    assert(java.nio.file.Files.readString(hint).trim == "v:3",
+      "a successful commit must refresh the hint")
+    // corrupt hint -> full-listing fallback, commit lands at 4, hint heals
+    setHint("garbage")
+    assert(SnapTable.append(spark, root, Seq((4L, "x")).toDF("id", "v")).id == 4L)
+    assert(java.nio.file.Files.readString(hint).trim == "v:4")
+    // stale-LOW hint (crash between publish and hint write): the
+    // forward probe must find the true head
+    setHint("v:1")
+    assert(SnapTable.append(spark, root, Seq((5L, "x")).toDF("id", "v")).id == 5L)
+    // forged hint past the head (or pointing at an expired id): the
+    // existence check declines it
+    setHint("v:99")
+    assert(SnapTable.append(spark, root, Seq((6L, "x")).toDF("id", "v")).id == 6L)
+    // absent hint
+    java.nio.file.Files.delete(hint)
+    assert(SnapTable.append(spark, root, Seq((7L, "x")).toDF("id", "v")).id == 7L)
+    // state is intact through all of it
+    assert(SnapTable.snapshotIds(spark, root) == (1L to 7L))
+    assert(SnapTable.read(spark, root).select("id").as[Long].collect().toSet ==
+      (1L to 7L).toSet)
+    // expire then a hint below the retained window: fallback again
+    SnapTable.expire(spark, root, keepLast = 2)
+    setHint("v:1")
+    assert(SnapTable.append(spark, root, Seq((8L, "x")).toDF("id", "v")).id == 8L)
+    assert(SnapTable.read(spark, root).count() == 8)
+  }
+
   test("model check: random append/overwrite/rewrite/expire sequences match a reference model") {
     import spark.implicits._
     for (trial <- 0 until 3) {
