@@ -176,14 +176,20 @@ object SnapTable {
     */
   def snapshot(spark: SparkSession, root: String,
                asOf: Option[Long] = None): Option[Snapshot] = {
-    val ids = snapshotIds(spark, root)
     asOf match {
       case Some(v) =>
+        val ids = snapshotIds(spark, root)
         require(ids.contains(v),
           s"no snapshot $v in $root (have ${ids.mkString(",")})")
         Some(readSnap(spark, root, v).getOrElse(
           throw new IllegalArgumentException(s"snapshot $v in $root is corrupt")))
-      case None => latestParseable(spark, root, ids)
+      case None =>
+        // head resolution is on every reader's hot path (a streaming
+        // source polls it per trigger; the claim store per batch), so
+        // try the HEAD hint before paying the meta/ listing
+        val f = fs(spark, metaDir(root))
+        hintedHead(spark, f, root).map(_._2).orElse(
+          latestParseable(spark, root, snapshotIds(spark, root)))
     }
   }
 
@@ -244,26 +250,28 @@ object SnapTable {
       if (!f.rename(tmp, headHintPath(root))) f.delete(tmp, false)
     } catch { case scala.util.control.NonFatal(_) => }
 
-  /** Resolve (version to try, parent snapshot) from the head hint:
-    * None when the hint is absent, stale past expiry, or its window is
-    * unreadable — the caller then pays the full listing.
+  /** Resolve (true max existing id, newest parseable snapshot) from the
+    * head hint: the hinted manifest is verified to exist, then existence
+    * is probed FORWARD (ids are dense above any live id, so contiguous
+    * probes find every commit the hint missed). None when the hint is
+    * absent, stale past expiry, or its window is all-torn (the true
+    * head may then be below the hint and only the full listing can
+    * say) — the caller then pays the listing.
     */
-  private def resolveFromHint(spark: SparkSession, f: FileSystem,
-                              root: String): Option[(Long, Option[Snapshot])] =
+  private def hintedHead(spark: SparkSession, f: FileSystem,
+                         root: String): Option[(Long, Snapshot)] =
     readHeadHint(f, root).flatMap { h =>
       if (h < 1 || !f.exists(snapPath(root, h))) None // expired/garbage hint
       else {
         var head = h
         while (f.exists(snapPath(root, head + 1))) head += 1
-        // newest parseable in the verified window [h, head]; if the
-        // whole window is torn the true parent may be below the hint —
-        // only the full listing can say, so decline
+        // newest parseable in the verified window [h, head]
         var pv = head
-        var parent: Option[Snapshot] = None
-        while (parent.isEmpty && pv >= h) {
-          parent = readSnap(spark, root, pv); pv -= 1
+        var parsed: Option[Snapshot] = None
+        while (parsed.isEmpty && pv >= h) {
+          parsed = readSnap(spark, root, pv); pv -= 1
         }
-        parent.map(p => (head + 1, Some(p)))
+        parsed.map(p => (head, p))
       }
     }
 
@@ -340,10 +348,12 @@ object SnapTable {
         // collides on the no-clobber rename at the same v and forces a
         // retry. The observation itself is the HEAD-hint probe when the
         // hint checks out, else the full meta/ listing.
-        val (v, parent) = resolveFromHint(spark, f, root).getOrElse {
-          val idsNow = snapshotIds(spark, root)
-          (idsNow.lastOption.getOrElse(0L) + 1,
-            latestParseable(spark, root, idsNow))
+        val (v, parent) = hintedHead(spark, f, root) match {
+          case Some((head, p)) => (head + 1, Some(p))
+          case None =>
+            val idsNow = snapshotIds(spark, root)
+            (idsNow.lastOption.getOrElse(0L) + 1,
+              latestParseable(spark, root, idsNow))
         }
         val (op, files, added, removed, wm) = make(parent)
         val snap = Snapshot(v, op, files, added, removed, wm)
