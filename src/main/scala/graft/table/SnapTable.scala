@@ -227,28 +227,43 @@ object SnapTable {
 
   private def readHeadHint(f: FileSystem, root: String): Option[Long] =
     try {
-      val p = headHintPath(root)
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-        if (s.startsWith("v:")) Some(s.stripPrefix("v:").toLong) else None
-      }
+      // open directly (catching not-found) rather than exists+open —
+      // this runs on the per-poll/per-commit hot path the hint exists
+      // to cheapen, and on object stores every probe is an RPC. Read a
+      // BOUNDED prefix: the valid payload is <25 bytes, and a forged
+      // multi-GB HEAD must fail the format check, not OOM the driver.
+      val in = f.open(headHintPath(root))
+      val s = try {
+        val buf = new Array[Byte](64)
+        var off = 0
+        var n = in.read(buf, off, buf.length - off)
+        while (n > 0 && off + n < buf.length) { off += n; n = in.read(buf, off, buf.length - off) }
+        if (n > 0) off = buf.length
+        new String(buf, 0, off, "UTF-8").trim
+      } finally in.close()
+      // a 64-byte read of an oversized file yields a long digit run or
+      // garbage; toLong then throws -> None, same as any corrupt hint
+      if (s.startsWith("v:")) Some(s.stripPrefix("v:").toLong) else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Overwrite-in-place via tmp+rename; losing a race or crashing just
-    * leaves a stale (or briefly absent) hint — both safe by design.
+    * leaves a stale (or briefly absent) hint — both safe by design. The
+    * tmp is deleted on every in-process failure path; only a hard crash
+    * can strand one, and [[expire]]'s meta/ sweep collects those.
     */
-  private def writeHeadHint(f: FileSystem, root: String, v: Long): Unit =
+  private def writeHeadHint(f: FileSystem, root: String, v: Long): Unit = {
+    val tmp = new Path(metaDir(root),
+      s".HEAD.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      val tmp = new Path(metaDir(root),
-        s".HEAD.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       val out = f.create(tmp, true)
       try out.write(s"v:$v\n".getBytes("UTF-8")) finally out.close()
       f.delete(headHintPath(root), false)
       if (!f.rename(tmp, headHintPath(root))) f.delete(tmp, false)
-    } catch { case scala.util.control.NonFatal(_) => }
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        try f.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => }
+    }
+  }
 
   /** Resolve (true max existing id, newest parseable snapshot) from the
     * head hint: the hinted manifest is verified to exist, then existence
@@ -261,8 +276,12 @@ object SnapTable {
   private def hintedHead(spark: SparkSession, f: FileSystem,
                          root: String): Option[(Long, Snapshot)] =
     readHeadHint(f, root).flatMap { h =>
-      if (h < 1 || !f.exists(snapPath(root, h))) None // expired/garbage hint
+      if (h < 1) None // garbage hint
       else {
+        // no existence pre-check on h itself (an RPC the parse scan
+        // below makes redundant): if h was expired but later ids are
+        // retained, the probe walks onto them and the hint still
+        // recovers without a listing
         var head = h
         while (f.exists(snapPath(root, head + 1))) head += 1
         // newest parseable in the verified window [h, head]
@@ -620,6 +639,16 @@ object SnapTable {
       if (s.isDirectory && s.getPath.getName.startsWith(".stage-") &&
           now - s.getModificationTime > orphanGraceMs)
         f.delete(s.getPath, true)
+    }
+    // tmps stranded in meta/ by a crash mid-publish (manifest or HEAD
+    // hint): both are rendered irrelevant the moment their writer dies,
+    // so age is the only guard needed
+    val md = metaDir(root)
+    if (f.exists(md)) f.listStatus(md).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isFile && (n.contains(".json.tmp-") || n.startsWith(".HEAD.tmp-")) &&
+          now - s.getModificationTime > orphanGraceMs)
+        f.delete(s.getPath, false)
     }
   }
 

@@ -196,20 +196,30 @@ class SnapTableSpec extends AnyFunSuite {
     }
     assert(java.nio.file.Files.readString(hint).trim == "v:3",
       "a successful commit must refresh the hint")
+    // READER head resolution under a bad hint (snapshot(None) is also
+    // hint-served now): each shape must still see the true head
+    def readerHead: Long = SnapTable.snapshot(spark, root).get.id
     // corrupt hint -> full-listing fallback, commit lands at 4, hint heals
     setHint("garbage")
+    assert(readerHead == 3L, "corrupt hint must not blind a reader")
     assert(SnapTable.append(spark, root, Seq((4L, "x")).toDF("id", "v")).id == 4L)
     assert(java.nio.file.Files.readString(hint).trim == "v:4")
     // stale-LOW hint (crash between publish and hint write): the
     // forward probe must find the true head
     setHint("v:1")
+    assert(readerHead == 4L, "stale-low hint must forward-probe to the head")
+    setHint("v:1")
     assert(SnapTable.append(spark, root, Seq((5L, "x")).toDF("id", "v")).id == 5L)
     // forged hint past the head (or pointing at an expired id): the
-    // existence check declines it
+    // parse scan declines it
+    setHint("v:99")
+    assert(readerHead == 5L, "forged-high hint must fall back to the listing")
     setHint("v:99")
     assert(SnapTable.append(spark, root, Seq((6L, "x")).toDF("id", "v")).id == 6L)
     // absent hint
     java.nio.file.Files.delete(hint)
+    assert(readerHead == 6L)
+    java.nio.file.Files.deleteIfExists(hint) // readerHead does not write it
     assert(SnapTable.append(spark, root, Seq((7L, "x")).toDF("id", "v")).id == 7L)
     // state is intact through all of it
     assert(SnapTable.snapshotIds(spark, root) == (1L to 7L))
