@@ -671,14 +671,22 @@ object ClaimStore {
           .map(_.stripSuffix(".bf")).toSet
       }
     }
-    for (e <- base if !haveChunk(name(e))) {
-      val blob = rawOld.flatMap(_.legacyChunks.get(name(e))).getOrElse {
-        val rows = if (e.rows >= 0) e.rows
-        else spark.read.parquet(e.path).count() // unknown-stats file: observe
-        serializeBloom(spark.read.parquet(e.path)
-          .stat.bloomFilter(hCol, math.max(rows, 16L), cfg.chunkFpp))
-      }
-      writeChunkFile(f, root, name(e), blob)
+    val missing = base.filter(e => !haveChunk(name(e)))
+    val (fromLegacy, toBuild) = missing.partition(e =>
+      rawOld.exists(_.legacyChunks.contains(name(e))))
+    for (e <- fromLegacy)
+      writeChunkFile(f, root, name(e), rawOld.get.legacyChunks(name(e)))
+    val (statful, statless) = toBuild.partition(_.rows >= 0)
+    val built = buildChunkFilters(spark, statful, hCol, cfg.chunkFpp)
+    for (e <- statful)
+      writeChunkFile(f, root, name(e), built.getOrElse(name(e),
+        // a chunk whose read yielded no rows: an empty (all-negative)
+        // filter is exactly right
+        serializeBloom(BloomFilter.create(16, cfg.chunkFpp))))
+    for (e <- statless) { // unknown-stats file: observe then build
+      val rows = spark.read.parquet(e.path).count()
+      writeChunkFile(f, root, name(e), serializeBloom(spark.read.parquet(e.path)
+        .stat.bloomFilter(hCol, math.max(rows, 16L), cfg.chunkFpp)))
     }
     haveChunk.diff(names).foreach(n => f.delete(chunkFilePath(root, n), false))
     // ---- global filter
@@ -697,6 +705,52 @@ object ClaimStore {
         }
       }
     writeBloomFile(spark, root, names, cfg.bloomItems, cfg.bloomFpp, global)
+  }
+
+  /** Build the missing chunks' filters in ONE Spark job: all files are
+    * read together, each task accumulates PER-FILE partial filters
+    * (keyed by `input_file_name`, each sized from the file's manifest
+    * row count so every partial of one file shares a bit width and
+    * merges by OR), and the driver folds the partials. A merge fold
+    * that produces K chunks costs one job over their bytes instead of
+    * K sequential driver-scheduled jobs — the difference between
+    * seconds and minutes when a size-tiered merge rewrites many chunks
+    * at once. Build and probe use the same sketch primitives
+    * (`putString`/`mightContainString`), so no false negative is
+    * possible by construction; the exact-check still resolves false
+    * positives.
+    */
+  private def buildChunkFilters(spark: SparkSession,
+                                files: Seq[SnapTable.FileEntry], hCol: String,
+                                fpp: Double): Map[String, Array[Byte]] = {
+    if (files.isEmpty) return Map.empty
+    val rowsByName: Map[String, Long] =
+      files.map(e => new Path(e.path).getName -> math.max(e.rows, 16L)).toMap
+    val bc = spark.sparkContext.broadcast(rowsByName)
+    val partials = spark.read.parquet(files.map(_.path): _*)
+      .select(col(hCol).cast("string"), input_file_name())
+      .rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[String, BloomFilter]
+        it.foreach { r =>
+          val f = r.getString(1)
+          val nm = f.substring(f.lastIndexOf('/') + 1)
+          val bf = acc.getOrElseUpdate(nm, BloomFilter.create(bc.value(nm), fpp))
+          val h = r.getString(0)
+          if (h != null) bf.putString(h)
+        }
+        acc.iterator.map { case (nm, bf) =>
+          val buf = new java.io.ByteArrayOutputStream()
+          bf.writeTo(buf)
+          (nm, buf.toByteArray)
+        }
+      }.collect()
+    partials.groupBy(_._1).map { case (nm, parts) =>
+      val merged = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(parts.head._2))
+      parts.iterator.drop(1).foreach(p => merged.mergeInPlace(
+        BloomFilter.readFrom(new java.io.ByteArrayInputStream(p._2))))
+      nm -> serializeBloom(merged)
+    }
   }
 
   /** Probe the batch hashes through the Bloom; Some(sorted positives)
