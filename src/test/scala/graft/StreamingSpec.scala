@@ -873,31 +873,31 @@ class StreamingSpec extends AnyFunSuite {
     val ttlMs = 20000L
     val boiler = "one two three four"
     val schema = Seq(("x", "y")).toDF("doc_id", "text").schema
-    def runFor(sleepMs: Long): Unit = {
+    def runLeg(expectRows: Long): Unit = { // see the TTL'd-dedup leg note
       val stream = spark.readStream.schema(schema).parquet(s"$base/docs")
       val q = graft.streaming.StreamingExcision
         .excisedOccurrencesTtl(stream, ttlMs, "text", 4)
         .writeStream.option("checkpointLocation", s"$base/ckpt")
         .outputMode("append").trigger(Trigger.ProcessingTime(100))
         .format("parquet").option("path", s"$base/out").start()
-      Thread.sleep(sleepMs)
+      StreamingSpec.awaitInputRows(q, expectRows)
       q.stop(); q.awaitTermination()
     }
     Seq(("a1", s"$boiler alpha beta")).toDF("doc_id", "text")
       .write.parquet(s"$base/docs")
-    runFor(5000)
+    runLeg(1)
     // within TTL: a2's boilerplate 4-gram is excised
     Seq(("a2", s"$boiler gamma delta")).toDF("doc_id", "text")
       .write.mode("append").parquet(s"$base/docs")
-    runFor(5000)
+    runLeg(1)
     Thread.sleep(ttlMs) // expire, then an unrelated batch fires the sweep
     Seq(("a3", "nothing shared here at all")).toDF("doc_id", "text")
       .write.mode("append").parquet(s"$base/docs")
-    runFor(5000)
+    runLeg(1)
     // re-admitted: a4's occurrence claims anew, nothing excised
     Seq(("a4", s"$boiler epsilon zeta")).toDF("doc_id", "text")
       .write.mode("append").parquet(s"$base/docs")
-    runFor(5000)
+    runLeg(1)
     val excisedDocs = spark.read.parquet(s"$base/out")
       .select("doc_id").as[String].collect().toSet
     assert(excisedDocs.contains("a2") && !excisedDocs.contains("a4"),
@@ -911,31 +911,31 @@ class StreamingSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("slinettl").toString
     val ttlMs = 20000L
     val schema = Seq(("x", "y")).toDF("doc_id", "text").schema
-    def runFor(sleepMs: Long): Unit = {
+    def runLeg(expectRows: Long): Unit = { // see the TTL'd-dedup leg note
       val stream = spark.readStream.schema(schema).parquet(s"$base/docs")
       val q = graft.streaming.StreamingLineDedup.keptLinesTtl(stream, ttlMs)
         .writeStream.option("checkpointLocation", s"$base/ckpt")
         .outputMode("append").trigger(Trigger.ProcessingTime(100))
         .format("parquet").option("path", s"$base/out").start()
-      Thread.sleep(sleepMs)
+      StreamingSpec.awaitInputRows(q, expectRows)
       q.stop()
       q.awaitTermination()
     }
     Seq(("a1", "BOILERPLATE LINE\nbody of a1")).toDF("doc_id", "text")
       .write.parquet(s"$base/docs")
-    runFor(5000)
+    runLeg(1)
     // within TTL: a2's boilerplate is suppressed, its body kept
     Seq(("a2", "BOILERPLATE LINE\nbody of a2")).toDF("doc_id", "text")
       .write.mode("append").parquet(s"$base/docs")
-    runFor(5000)
+    runLeg(1)
     Thread.sleep(ttlMs) // expire, then an unrelated batch fires the sweep
     Seq(("a3", "something else entirely")).toDF("doc_id", "text")
       .write.mode("append").parquet(s"$base/docs")
-    runFor(5000)
+    runLeg(1)
     // re-admitted after expiry
     Seq(("a4", "BOILERPLATE LINE\nbody of a4")).toDF("doc_id", "text")
       .write.mode("append").parquet(s"$base/docs")
-    runFor(5000)
+    runLeg(1)
     val owners = spark.read.parquet(s"$base/out")
       .filter(org.apache.spark.sql.functions.col("line") === "BOILERPLATE LINE")
       .select("doc_id").as[String].collect().sorted.toVector
@@ -948,30 +948,30 @@ class StreamingSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("sneardupttl").toString
     val ttlMs = 20000L
     val schema = Seq(("x", "y")).toDF("doc_id", "text").schema
-    def runFor(sleepMs: Long): Unit = {
+    def runLeg(expectRows: Long): Unit = { // see the TTL'd-dedup leg note
       val stream = spark.readStream.schema(schema).parquet(s"$base/docs")
       val q = graft.streaming.StreamingNearDup.candidatePairsTtl(stream, ttlMs)
         .writeStream.option("checkpointLocation", s"$base/ckpt")
         .outputMode("append").trigger(Trigger.ProcessingTime(100))
         .format("parquet").option("path", s"$base/out").start()
-      Thread.sleep(sleepMs)
+      StreamingSpec.awaitInputRows(q, expectRows)
       q.stop()
       q.awaitTermination()
     }
     val t = graft.ingest.SynthCorpus.docText(7L)
     Seq(("a1", t)).toDF("doc_id", "text").write.parquet(s"$base/docs")
-    runFor(5000)
+    runLeg(1)
     // within the horizon: the near-dup pairs with the live state
     Seq(("b2", t)).toDF("doc_id", "text").write.mode("append").parquet(s"$base/docs")
-    runFor(5000)
+    runLeg(1)
     // expire, sweep via an unrelated batch, then the same text re-arrives:
     // no pair across the expiry
     Thread.sleep(ttlMs)
     Seq(("u3", "totally unrelated content here")).toDF("doc_id", "text")
       .write.mode("append").parquet(s"$base/docs")
-    runFor(5000)
+    runLeg(1)
     Seq(("c4", t)).toDF("doc_id", "text").write.mode("append").parquet(s"$base/docs")
-    runFor(5000)
+    runLeg(1)
     val pairs = spark.read.parquet(s"$base/out")
       .as[(String, String)].collect().toSet
     assert(pairs == Set(("a1", "b2")), pairs.toString)
@@ -983,10 +983,16 @@ class StreamingSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("sdedupttl").toString
     val docSchema = org.apache.spark.sql.Encoders.product[graft.ingest.Doc].schema
     val ttlMs = 20000L
-    // Timeout-carrying state keeps scheduling micro-batches (that is how
-    // sweeps fire), so neither AvailableNow nor processAllAvailable()
-    // terminates on its own: run each leg for a fixed window and stop.
-    def runFor(sleepMs: Long): Unit = {
+    // Timeout-carrying state keeps scheduling micro-batches (that is
+    // how sweeps fire), so the query never quiesces: AvailableNow and
+    // processAllAvailable() both hang. And a FIXED window is flaky
+    // under host contention (a loaded box can spend the whole window
+    // on query startup and miss the leg's batch). So: wait until the
+    // leg's own input rows are reported COMMITTED (progress objects
+    // are emitted per completed batch since this start), then stop —
+    // the sweep a leg needs fires inside the batch that processed its
+    // data, since group timeouts are evaluated per batch.
+    def runLeg(expectRows: Long): Unit = {
       val docs = spark.readStream.schema(docSchema)
         .parquet(s"$base/docs").as[graft.ingest.Doc]
       val q = graft.streaming.StreamingDedup.dedupStreamTtl(docs, ttlMs)
@@ -996,7 +1002,7 @@ class StreamingSpec extends AnyFunSuite {
         .trigger(Trigger.ProcessingTime(100))
         .format("parquet").option("path", s"$base/out")
         .start()
-      Thread.sleep(sleepMs)
+      StreamingSpec.awaitInputRows(q, expectRows)
       q.stop()
       q.awaitTermination()
     }
@@ -1004,23 +1010,42 @@ class StreamingSpec extends AnyFunSuite {
     // leg 1: admit hash(alpha beta); in-batch duplicate suppressed
     spark.createDataset(Seq(
       doc("t1", "alpha beta\n"), doc("t2", "alpha beta\n"))).write.parquet(s"$base/docs")
-    runFor(5000)
+    runLeg(2)
     // leg 2 (restart, still within the 20 s TTL): duplicate suppressed
     spark.createDataset(Seq(doc("t3", "alpha beta\n")))
       .write.mode("append").parquet(s"$base/docs")
-    runFor(5000)
+    runLeg(1)
     // let the admission expire, then leg 3's batches (UNRELATED data)
     // fire the timeout sweep that removes the expired hash
     Thread.sleep(ttlMs)
     spark.createDataset(Seq(doc("t4", "unrelated text\n")))
       .write.mode("append").parquet(s"$base/docs")
-    runFor(5000)
+    runLeg(1)
     // leg 4: the same content is now RE-ADMITTED (expired + swept)
     spark.createDataset(Seq(doc("t5", "alpha beta\n")))
       .write.mode("append").parquet(s"$base/docs")
-    runFor(5000)
+    runLeg(1)
     val kept = spark.read.parquet(s"$base/out").select("doc_id")
       .as[String].collect().sorted.toVector
     assert(kept == Vector("t1", "t4", "t5"), kept)
+  }
+}
+
+object StreamingSpec {
+  /** Block until `q` has committed batches totalling >= `rows` input
+    * rows since ITS start (recentProgress resets per start), or fail
+    * after a generous deadline. Progress is reported after a batch
+    * fully commits, so the leg's sink output and state are durable
+    * when this returns.
+    */
+  def awaitInputRows(q: org.apache.spark.sql.streaming.StreamingQuery,
+                     rows: Long, timeoutMs: Long = 180000L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var seen = 0L
+    while (seen < rows && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      seen = q.recentProgress.map(_.numInputRows).sum
+    }
+    require(seen >= rows, s"stream processed $seen of $rows expected input rows within ${timeoutMs}ms")
   }
 }
