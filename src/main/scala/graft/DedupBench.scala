@@ -221,7 +221,7 @@ object DedupBench {
       // claim history, so late/early per-batch time isolates the
       // history-growth term from the fixed micro-batch floor
       val perBatch =
-        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long)]()
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long, Long, Long)]()
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/docs")
         .writeStream
@@ -234,7 +234,9 @@ object DedupBench {
             b, id, s"$base/out", "doc_id", "text", cfg,
             compactEvery = compactEvery)
           perBatch.add((id, (System.nanoTime() - s0) / 1e9,
-            graft.streaming.ClaimStore.Metrics.plannedSeenBytes.get))
+            graft.streaming.ClaimStore.Metrics.plannedSeenBytes.get,
+            graft.streaming.ClaimStore.Metrics.baseFilesSelected.get,
+            graft.streaming.ClaimStore.Metrics.fullFallbacks.get))
           ()
         }
         .start()
@@ -242,7 +244,7 @@ object DedupBench {
       val t = (System.nanoTime() - t0) / 1e9
       val kept = spark.read.parquet(s"$base/out/curated").count()
       val keptBatch = graft.ops.Curation.curate(docs, "doc_id", "text", cfg).count()
-      val rows = perBatch.toArray(Array.empty[(Long, Double, Long)]).sortBy(_._1)
+      val rows = perBatch.toArray(Array.empty[(Long, Double, Long, Long, Long)]).sortBy(_._1)
       val times = rows.map(_._2)
       val k = math.min(10, times.length / 2)
       if (k > 0) {
@@ -254,11 +256,19 @@ object DedupBench {
         val late = med(times.takeRight(k))
         // the scale evidence alongside flat wall time: seen-side bytes
         // SELECTED for read per batch (claim-store read plan) must be
-        // bounded by the batch, not grow with the claim corpus
+        // bounded by the batch, not grow with the claim corpus — and
+        // the picked CHUNK COUNT is the noise-free witness that
+        // selection tracks the batch's duplicate spread, not the fold
+        // history (seen bytes also move with chunk granularity: merges
+        // grow chunks toward foldTargetBytes)
         val bytes = rows.map(_._3.toDouble)
         val bEarly = med(bytes.slice(1, 1 + k))
         val bLate = med(bytes.takeRight(k))
-        println(f"""{"metric":"curate_stream_per_batch","early$k%d_med_sec":$early%.2f,"late$k%d_med_sec":$late%.2f,"late_over_early":${late / early}%.2f,"batches":${times.length},"seen_bytes_early$k%d_med":${bEarly}%.0f,"seen_bytes_late$k%d_med":${bLate}%.0f}""")
+        val picked = rows.map(_._4.toDouble)
+        val pEarly = med(picked.slice(1, 1 + k))
+        val pLate = med(picked.takeRight(k))
+        val fallbacks = rows.map(_._5).sum
+        println(f"""{"metric":"curate_stream_per_batch","early$k%d_med_sec":$early%.2f,"late$k%d_med_sec":$late%.2f,"late_over_early":${late / early}%.2f,"batches":${times.length},"seen_bytes_early$k%d_med":${bEarly}%.0f,"seen_bytes_late$k%d_med":${bLate}%.0f,"picked_chunks_early$k%d_med":$pEarly%.0f,"picked_chunks_late$k%d_med":$pLate%.0f,"bloom_full_fallbacks":$fallbacks%d}""")
       }
       (t, kept, keptBatch)
     } finally {
