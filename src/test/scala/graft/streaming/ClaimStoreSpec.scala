@@ -253,6 +253,38 @@ class ClaimStoreSpec extends AnyFunSuite {
     assert(seenSet(root, 0 until 2200, 2L, cfg) == hashSet(0 until 2100))
   }
 
+  test("model check: random append/fold/merge/replay sequences keep seen-sets exact") {
+    for (trial <- 0 until 2) {
+      val rnd = new scala.util.Random(7100 + trial)
+      val root = tmp(s"csm$trial")
+      // tiny fold target + low run cap: every structural path (many
+      // chunks, size-tiered merges, bloom heals) exercises per trial
+      val cfg = ClaimStore.Config(foldTargetBytes = 4096, maxRuns = 3)
+      var claimed = Set.empty[Int] // reference model
+      for (step <- 0 until 12) {
+        val b = step.toLong
+        // probe a random mix BEFORE appending: batch b sees exactly the
+        // model's claims (all earlier batches), regardless of fold state
+        val probe = Seq.fill(60)(rnd.nextInt(3000)).distinct
+        assert(seenSet(root, probe, b, cfg) == hashSet(probe.filter(claimed)),
+          s"trial $trial step $step")
+        // the caller's contract: append only NEW claims (the write path
+        // upstream anti-joins), deduped in-batch
+        val newIds = Seq.fill(rnd.nextInt(50))(rnd.nextInt(3000))
+          .distinct.filterNot(claimed)
+        ClaimStore.appendClaims(spark, root, hashes(newIds), "h", b)
+        claimed ++= newIds
+        if (rnd.nextInt(3) == 0) ClaimStore.fold(spark, root, "h", b, cfg)
+        if (rnd.nextInt(4) == 0) // replay of an already-committed batch
+          ClaimStore.appendClaims(spark, root, hashes(newIds), "h", b)
+      }
+      // final exactness over the whole key space, and global distinctness
+      assert(seenSet(root, 0 until 3000, 12L, cfg) == hashSet(claimed.toSeq))
+      val all = SnapTable.read(spark, root).select("h")
+      assert(all.count() == claimed.size && all.distinct().count() == claimed.size)
+    }
+  }
+
   test("a pre-SnapTable batch-partitioned layout is imported once, claims honored") {
     import spark.implicits._
     val root = tmp("cs9")
