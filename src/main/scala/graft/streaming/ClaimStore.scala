@@ -738,12 +738,9 @@ object ClaimStore {
           val h = r.getString(0)
           if (h != null) bf.putString(h)
         }
-        acc.iterator.map { case (nm, bf) =>
-          val buf = new java.io.ByteArrayOutputStream()
-          bf.writeTo(buf)
-          (nm, buf.toByteArray)
-        }
+        acc.iterator.map { case (nm, bf) => (nm, serializeBloom(bf)) }
       }.collect()
+    bc.destroy() // one broadcast per fold otherwise outlives the stream
     partials.groupBy(_._1).map { case (nm, parts) =>
       val merged = BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(parts.head._2))
