@@ -112,19 +112,29 @@ class SnapSource(sqlContext: SQLContext, root: String,
       case None => startMode match {
         case "latest" => StreamingFrame.emptyStreaming(spark, schema)
         case "snapshot" =>
-          val snap = SnapTable.snapshot(spark, root, Some(id(end)))
-          if (snap.exists(_.files.isEmpty)) // watermark-only table
-            StreamingFrame.emptyStreaming(spark, schema)
-          else
-            StreamingFrame.asStreaming(SnapTable.read(spark, root, Some(id(end))))
+          // resolve ONCE and scan its file list directly — read(asOf)
+          // would re-list meta/ and re-read the same manifest
+          SnapTable.snapshot(spark, root, Some(id(end))) match {
+            case Some(snap) if snap.files.nonEmpty =>
+              StreamingFrame.asStreaming(
+                spark.read.parquet(snap.files.map(_.path): _*))
+            case _ => // watermark-only table
+              StreamingFrame.emptyStreaming(spark, schema)
+          }
         case _ =>
           try incremental(0L, id(end))
           catch {
-            case e: IllegalArgumentException => throw new IllegalArgumentException(
-              s"graft-snap: cannot replay $root from genesis — early snapshots " +
-                "were expired. Start this stream with .option(\"start\", " +
-                "\"snapshot\") (current content as the first batch) or " +
-                "\"latest\" (new commits only).", e)
+            // rewrap ONLY the expired-lineage failure with the re-sync
+            // recipe; anything else (e.g. a corrupt manifest inside the
+            // range) must keep its own diagnosis — calling it "expired"
+            // would steer the operator at the wrong problem
+            case e: IllegalArgumentException
+                if e.getMessage != null && e.getMessage.contains("expired") =>
+              throw new IllegalArgumentException(
+                s"graft-snap: cannot replay $root from genesis — early snapshots " +
+                  "were expired. Start this stream with .option(\"start\", " +
+                  "\"snapshot\") (current content as the first batch) or " +
+                  "\"latest\" (new commits only).", e)
           }
       }
     }

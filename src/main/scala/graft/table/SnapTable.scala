@@ -127,7 +127,12 @@ object SnapTable {
     if (!f.exists(md)) Seq.empty
     else f.listStatus(md).map(_.getPath.getName)
       .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("snap-").stripSuffix(".json").toLong)
+      .map(n => n.stripPrefix("snap-").stripSuffix(".json"))
+      // a stray non-numeric name (an operator's snap-7.bak.json copy)
+      // must not brick every read/commit/expire of the table; every
+      // other parse path here degrades rather than throws
+      .filter(m => m.nonEmpty && m.length <= 18 && m.forall(_.isDigit))
+      .map(_.toLong)
       .sorted.toSeq
   }
 
@@ -284,13 +289,9 @@ object SnapTable {
         // recovers without a listing
         var head = h
         while (f.exists(snapPath(root, head + 1))) head += 1
-        // newest parseable in the verified window [h, head]
-        var pv = head
-        var parsed: Option[Snapshot] = None
-        while (parsed.isEmpty && pv >= h) {
-          parsed = readSnap(spark, root, pv); pv -= 1
-        }
-        parsed.map(p => (head, p))
+        // newest parseable in the verified window [h, head] — the same
+        // steps-over-torn rule as every other head resolution
+        latestParseable(spark, root, h to head).map(p => (head, p))
       }
     }
 
@@ -535,15 +536,21 @@ object SnapTable {
                      fromExclusive: Long,
                      toInclusive: Option[Long] = None): Changes = {
     val ids = snapshotIds(spark, root)
-    // a cursor must point INSIDE retained history; 0 ("from the very
-    // beginning") additionally requires that history actually starts at
-    // snapshot 1 — on an expired table the early `added` lineage is
-    // gone and a silent partial result would masquerade as a full one
+    // The cursor's LINEAGE must be intact: every manifest in
+    // (fromExclusive, head] retained. The cursor id itself may have
+    // been expired — a consumer exactly one keep-window behind is still
+    // exactly recoverable as long as fromExclusive+1 is retained
+    // (requiring the cursor id too would kill a healthy stream after
+    // every routine expire at small keepLast). A cursor with NEITHER
+    // its own id nor its successor retained is loud: either lineage is
+    // truly gone (expired past it) or the cursor is foreign/rewound —
+    // a silent partial result must never masquerade as a full one. 0
+    // ("from the very beginning") requires history to start at 1.
     require(
       if (fromExclusive == 0) ids.isEmpty || ids.head == 1L
-      else ids.contains(fromExclusive),
-      s"cursor $fromExclusive expired or unknown in $root (have ${ids.mkString(",")}) — " +
-        "re-sync with a full read()")
+      else ids.contains(fromExclusive) || ids.contains(fromExclusive + 1),
+      s"cursor $fromExclusive expired past its lineage or unknown in $root " +
+        s"(have ${ids.mkString(",")}) — re-sync with a full read()")
     val covered = toInclusive match {
       case Some(t) =>
         require(t >= fromExclusive,
@@ -610,18 +617,29 @@ object SnapTable {
             .foreach(e => f.delete(new Path(e.path), false))
           f.delete(snapPath(root, v), false)
         }
-        // Torn ids BELOW the oldest retained parseable snapshot lost
-        // their slot to a newer committed head: sweep just the manifest
-        // (they reference no known files). A mid-copy writer racing this
-        // delete on a non-atomic-rename filesystem may resurrect the
-        // file as a parseable orphan — harmless to readers (never the
-        // latest) and swept by the NEXT expire, which then sees it as an
-        // old parseable id in `drop`.
-        allIds
-          .filter(v => v < keep.head && !byId.contains(v))
-          .foreach(v => f.delete(snapPath(root, v), false))
         keep
       }
+    // Torn-manifest sweep, regardless of whether anything was dropped:
+    // a torn id BELOW the latest parseable snapshot lost its slot to a
+    // newer committed head — it can never become committed state
+    // (commits step over it; the version is burned) but it permanently
+    // poisons changesBetween ranges spanning it, so delete the manifest
+    // (it references no known files). A torn id AT/ABOVE the latest
+    // parseable may be a slow in-flight publish on a non-atomic-rename
+    // filesystem: delete only past the same age gate that protects
+    // staged data files. A mid-copy writer racing a delete may
+    // resurrect the file as a parseable orphan — harmless to readers
+    // (never the latest) and swept by the NEXT expire as an old
+    // parseable id.
+    val nowTorn = System.currentTimeMillis()
+    val maxParseable = parseable.lastOption.getOrElse(Long.MinValue)
+    allIds.filterNot(byId.contains).foreach { v =>
+      val p = snapPath(root, v)
+      val oldEnough =
+        try nowTorn - f.getFileStatus(p).getModificationTime > orphanGraceMs
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (v < maxParseable || oldEnough) f.delete(p, false)
+    }
     // orphan sweep — compare by file NAME (uuid-stamped, unique within
     // data/): manifests may record unqualified paths while listStatus
     // returns fully-qualified ones
@@ -664,6 +682,12 @@ object SnapTable {
                          clusterFiles: Int,
                          tag: Option[String] = None,
                          exactStats: Boolean = true): Vector[FileEntry] = {
+    // contradictory, so reject loudly: per-file [lo,hi] bounds ARE the
+    // stats job — a caller asking for bounds cannot also skip it, and
+    // silently running the job anyway would hide the cost it asked to
+    // avoid
+    require(exactStats || statsCol.isEmpty,
+      "exactStats=false cannot honor statsCol: per-file bounds require the stats job")
     val f = fs(spark, dataDir(root))
     f.mkdirs(dataDir(root))
     // full 128-bit stamp (no '-' so the run prefix is the segment before

@@ -232,6 +232,40 @@ class SnapTableSpec extends AnyFunSuite {
     assert(SnapTable.read(spark, root).count() == 8)
   }
 
+  test("an expired cursor with intact lineage recovers; torn ids sweep even without drops") {
+    import spark.implicits._
+    val root = tmp("snap13")
+    for (i <- 1 to 6)
+      SnapTable.append(spark, root, Seq((i.toLong, "x")).toDF("id", "v"))
+    SnapTable.expire(spark, root, keepLast = 2) // retains {5, 6}
+    assert(SnapTable.snapshotIds(spark, root) == Seq(5L, 6L))
+    // cursor 4 was just expired, but (4, 6] lineage is fully retained:
+    // the consumer one keep-window behind is exactly recoverable
+    val ch = SnapTable.changesBetween(spark, root, 4L)
+    assert(ch.coveredThrough == 6L)
+    assert(ch.rows.get.select("id").as[Long].collect().toSet == Set(5L, 6L))
+    // cursor 3 needs snapshot 4's lineage, which is gone: loud
+    intercept[IllegalArgumentException] { SnapTable.changesBetween(spark, root, 3L) }
+    // torn-id sweep no longer depends on a drop happening: a burned
+    // slot below the parseable head goes even at keepLast > count
+    val root2 = tmp("snap14")
+    SnapTable.append(spark, root2, Seq((1L, "a")).toDF("id", "v"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root2/meta/snap-00000002.json"), "{\"id\":2,TORN")
+    SnapTable.append(spark, root2, Seq((2L, "b")).toDF("id", "v")) // lands at 3
+    SnapTable.expire(spark, root2, keepLast = 10)
+    assert(SnapTable.snapshotIds(spark, root2) == Seq(1L, 3L),
+      "burned torn slot below the head must be swept")
+    // with the poison gone, the full-genesis replay works again
+    val all = SnapTable.changesBetween(spark, root2, 0L)
+    assert(all.rows.get.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // a stray non-numeric snap file must not brick the table
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root2/meta/snap-00000003.bak.json"), "junk")
+    assert(SnapTable.snapshotIds(spark, root2) == Seq(1L, 3L))
+    assert(SnapTable.append(spark, root2, Seq((9L, "c")).toDF("id", "v")).id == 4L)
+  }
+
   test("model check: random append/overwrite/rewrite/expire sequences match a reference model") {
     import spark.implicits._
     for (trial <- 0 until 3) {
@@ -291,10 +325,14 @@ class SnapTableSpec extends AnyFunSuite {
     assert(SnapTable.changesSince(spark, root, cursor).isEmpty)
     SnapTable.append(spark, root, (20L until 25L).toDF("id"))
     assert(ids(SnapTable.changesSince(spark, root, cursor)) == (20L until 25L).toSet)
-    // a cursor that fell behind expiry must fail loudly, not misread
+    // expiry retains {3,4}: cursor 2's own manifest is gone but its
+    // LINEAGE (3,4] is intact, so it recovers exactly (3 is the
+    // row-less rewrite, 4 added 20..25)...
     SnapTable.expire(spark, root, keepLast = 2)
+    assert(ids(SnapTable.changesSince(spark, root, cursor)) == (20L until 25L).toSet)
+    // ...while a cursor whose lineage is truly expired fails loudly
     intercept[IllegalArgumentException] {
-      SnapTable.changesSince(spark, root, cursor)
+      SnapTable.changesSince(spark, root, cursor - 1)
     }
     // full-read re-sync still consistent
     assert(SnapTable.read(spark, root).count() == 25)
