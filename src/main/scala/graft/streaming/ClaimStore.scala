@@ -122,13 +122,20 @@ object ClaimStore {
   // `batch=-1`). A checkpointed stream resumed across the upgrade must
   // keep honoring those claims — silently ignoring them would re-admit
   // every previously-claimed duplicate and break batch parity. On first
-  // touch of a root that has legacy batch dirs but no SnapTable meta,
-  // each legacy batch imports as a tagged append in batch order (the
-  // per-batch tags preserve the replay-exclusion rule; `batch=-1` sorts
-  // below every real batch, exactly its old contract), ending at the
-  // legacy watermark. Legacy dirs are left in place — the import is
-  // watermark-idempotent, and deleting user data on upgrade is not this
-  // layer's call. Single-streaming-writer contract as for the Bloom.
+  // touch of a root that still has legacy batch dirs, each legacy batch
+  // whose id is above the table watermark imports as a tagged append in
+  // batch order (the per-batch tags preserve the replay-exclusion rule;
+  // `batch=-1` sorts below every real batch, exactly its old contract),
+  // ending at the legacy watermark. The gate is the WATERMARK, never
+  // mere meta/ existence: a crash after the first imported batch leaves
+  // meta/ present with the import half done, and a restart must resume
+  // the remaining batches, not skip them. Claims are distinct'd and
+  // anti-joined against the already-imported table on the way in (the
+  // legacy layout's own crash caveats could leave a hash in two dirs;
+  // the table's claims-globally-distinct invariant must hold). Legacy
+  // dirs are left in place — the import is watermark-idempotent, and
+  // deleting user data on upgrade is not this layer's call.
+  // Single-streaming-writer contract as for the Bloom.
 
   private val migratedRoots =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
@@ -138,7 +145,7 @@ object ClaimStore {
     try {
       val rp = new Path(root)
       val f = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!f.exists(rp) || f.exists(new Path(root, "meta"))) return
+      if (!f.exists(rp)) return
       val legacy = f.listStatus(rp)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
         .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath))
@@ -151,7 +158,15 @@ object ClaimStore {
           !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
         if (hasData && !SnapTable.lastWatermark(spark, root).map(_.toLong).exists(_ >= b)) {
           val df = spark.read.parquet(dir.toString)
-          SnapTable.append(spark, root, df.select(col(df.columns.head)),
+          val hc = df.columns.head
+          val cur = df.select(col(hc)).distinct()
+          val imported = SnapTable.snapshot(spark, root) match {
+            case Some(s) if s.files.nonEmpty =>
+              cur.join(SnapTable.read(spark, root).select(col(hc)),
+                Seq(hc), "left_anti")
+            case _ => cur
+          }
+          SnapTable.append(spark, root, imported,
             watermark = Some(b.toString), tag = Some(s"b:$b"),
             exactStats = false)
         }
@@ -398,7 +413,7 @@ object ClaimStore {
                                        bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]])
 
   private val bloomCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[LoadedBloom])]()
+    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), Option[LoadedBloom])]()
 
   private def bloomPath(root: String) = new Path(root, "bloom.bin")
 
@@ -411,11 +426,24 @@ object ClaimStore {
       case None => None
       case Some(s) =>
         val key = new Path(root).toString
+        // cache identity is (mtime, length) — mtime alone misses two
+        // folds inside one coarse mtime unit (1 s on several local/NFS
+        // mounts), leaving readers on a filter whose covered set lacks
+        // the new chunks (correct, but full-read fallbacks until a
+        // later fold); the header's covered-names list makes the length
+        // move with every refresh
+        val stamp = (s.getModificationTime, s.getLen)
         val cached = bloomCache.get(key)
-        if (cached != null && cached._1 == s.getModificationTime) cached._2
+        val cachedValid = cached != null && cached._1 == stamp &&
+          // a SparkContext restart kills the broadcast under a cached
+          // entry; serving it would force a fresh (leaked) broadcast on
+          // every probe — evict and reload instead
+          cached._2.forall(b => try { b.bcast.value; true }
+          catch { case scala.util.control.NonFatal(_) => false })
+        if (cachedValid) cached._2
         else {
           val loaded = readBloomFile(spark, f, p)
-          val old = bloomCache.put(key, (s.getModificationTime, loaded))
+          val old = bloomCache.put(key, (stamp, loaded))
           if (old != null) old._2.foreach(b => try b.bcast.destroy()
           catch { case scala.util.control.NonFatal(_) => })
           loaded
@@ -677,17 +705,24 @@ object ClaimStore {
     for (e <- fromLegacy)
       writeChunkFile(f, root, name(e), rawOld.get.legacyChunks(name(e)))
     val (statful, statless) = toBuild.partition(_.rows >= 0)
-    val built = buildChunkFilters(spark, statful, hCol, cfg.chunkFpp)
-    for (e <- statful)
+    // unknown-stats files (defensive path): observe all their row
+    // counts in ONE job, then build through the same single-job path
+    // as the stat-bearing chunks — never two sequential jobs per file
+    val counted =
+      if (statless.isEmpty) Vector.empty[SnapTable.FileEntry]
+      else {
+        val counts = spark.read.parquet(statless.map(_.path): _*)
+          .groupBy(input_file_name().as("fn")).count().collect()
+          .map(r => { val fn = r.getString(0)
+            fn.substring(fn.lastIndexOf('/') + 1) -> r.getLong(1) }).toMap
+        statless.map(e => e.copy(rows = counts.getOrElse(name(e), 16L)))
+      }
+    val built = buildChunkFilters(spark, statful ++ counted, hCol, cfg.chunkFpp)
+    for (e <- toBuild)
       writeChunkFile(f, root, name(e), built.getOrElse(name(e),
         // a chunk whose read yielded no rows: an empty (all-negative)
         // filter is exactly right
         serializeBloom(BloomFilter.create(16, cfg.chunkFpp))))
-    for (e <- statless) { // unknown-stats file: observe then build
-      val rows = spark.read.parquet(e.path).count()
-      writeChunkFile(f, root, name(e), serializeBloom(spark.read.parquet(e.path)
-        .stat.bloomFilter(hCol, math.max(rows, 16L), cfg.chunkFpp)))
-    }
     haveChunk.diff(names).foreach(n => f.delete(chunkFilePath(root, n), false))
     // ---- global filter
     val globalTodo = base.filter(e => !old.exists(_.covered(name(e))))
@@ -757,24 +792,37 @@ object ClaimStore {
                              batchHashes: DataFrame, hCol: String,
                              cap: Int): Option[Array[String]] = {
     Metrics.bloomProbeBytes.addAndGet(b.bytes.length.toLong)
-    val bc =
-      try { b.bcast.value; b.bcast } // cached broadcast may outlive a stopped context
+    // loadBloom evicts entries whose broadcast died with its context,
+    // so this fallback is belt-and-braces; a fresh broadcast made here
+    // is destroyed after the probe rather than leaked per batch
+    val (bc, fresh) =
+      try { b.bcast.value; (b.bcast, false) }
       catch { case scala.util.control.NonFatal(_) =>
-        spark.sparkContext.broadcast(b.bytes)
+        (spark.sparkContext.broadcast(b.bytes), true)
       }
-    val pos = batchHashes.select(col(hCol).cast("string"))
-      .as[String](Encoders.STRING)
-      .mapPartitions { it =>
-        // callers skip a pre-distinct shuffle; dedupe per partition so a
-        // hot hash (a line present in every doc) cannot flood the cap —
-        // the set is bounded by the partition's distinct batch hashes
-        val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bc.value))
-        val seen = new java.util.HashSet[String]()
-        it.filter(h => h != null && seen.add(h) && bf.mightContainString(h))
-      }(Encoders.STRING)
-      .limit(cap + 1).collect()
-    // residual cross-partition duplicates are dropped driver-side free
-    if (pos.length > cap) None else Some(pos.distinct.sorted)
+    try {
+      val pos = batchHashes.select(col(hCol).cast("string"))
+        .as[String](Encoders.STRING)
+        .mapPartitions { it =>
+          // callers skip a pre-distinct shuffle over the WHOLE batch;
+          // dedupe per partition so a hot hash (a line present in every
+          // doc) cannot flood downstream — the emitted set is bounded
+          // by the partition's distinct Bloom-positive hashes
+          val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bc.value))
+          val seen = new java.util.HashSet[String]()
+          it.filter(h => h != null && seen.add(h) && bf.mightContainString(h))
+        }(Encoders.STRING)
+        // distinct BEFORE the cap decision: the cap must measure
+        // DISTINCT positives, or a previously-claimed hash appearing in
+        // every partition (boilerplate) counts once per partition and
+        // trips a spurious full-base fallback. This shuffles only the
+        // positives (true duplicates + fpp), never the batch.
+        .distinct()
+        .limit(cap + 1).collect()
+      if (pos.length > cap) None else Some(pos.sorted)
+    } finally {
+      if (fresh) try bc.destroy() catch { case scala.util.control.NonFatal(_) => }
+    }
   }
 
   /** First index i with xs(i) >= key (xs sorted ascending). */

@@ -74,7 +74,8 @@ object StreamingCuration {
                    cfg: CurateConfig,
                    bench: Option[DataFrame] = None,
                    compactEvery: Int = 0,
-                   benchNg: Option[DataFrame] = None): Unit = {
+                   benchNg: Option[DataFrame] = None,
+                   claimCfg: ClaimStore.Config = ClaimStore.Config()): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
@@ -92,9 +93,9 @@ object StreamingCuration {
     }
     try {
       processBatchImpl(batch, batchId, outDir, idCol, textCol, cfg, bench,
-        benchNg, pin)
+        benchNg, pin, claimCfg)
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-        compactSidecars(spark, outDir, batchId - 1) // only committed batches
+        compactSidecars(spark, outDir, batchId - 1, claimCfg) // only committed batches
     } finally pinned.foreach(_.unpersist(false))
   }
 
@@ -103,7 +104,8 @@ object StreamingCuration {
                                cfg: CurateConfig,
                                bench: Option[DataFrame],
                                benchNg: Option[DataFrame],
-                               pin: DataFrame => DataFrame): Unit = {
+                               pin: DataFrame => DataFrame,
+                               claimCfg: ClaimStore.Config): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
 
@@ -137,7 +139,7 @@ object StreamingCuration {
         // side for free, so the extra shuffle would buy nothing
         val probe = marked.filter(col("elig")).select(col("_lh").as("lh"))
         val seenSet = ClaimStore.seenFor(spark, claimRoot("_lines_seen"),
-          probe, "lh", batchId).map(pin) // read once, used by keep join + claims anti-join
+          probe, "lh", batchId, claimCfg).map(pin) // read once, used by keep join + claims anti-join
         // NO broadcast hint on the seen side: recent claim files grow
         // with compactEvery and the pruned base read with the batch's
         // duplicate density (AQE picks the strategy)
@@ -187,7 +189,7 @@ object StreamingCuration {
           .select(col(idCol), col("i"))
         val newNg = first.select(md5(col("ng")).as("nh"))
         val seenNg = ClaimStore.seenFor(spark, claimRoot("_ngrams_seen"),
-          newNg, "nh", batchId).map(pin)
+          newNg, "nh", batchId, claimCfg).map(pin)
         val dupSeen = seenNg match {
           case Some(s) => occ.join(s.withColumnRenamed("nh", "_nh"), Seq("_nh"))
             .select(col(idCol), col("i"))
@@ -260,7 +262,7 @@ object StreamingCuration {
         val owners = survivors.groupBy("_h").agg(min(col(idCol)).as("_owner"))
         val newHashes = pin(survivors.select(col("_h").as("th")).distinct())
         val seen = ClaimStore.seenFor(spark, claimRoot("_texts_seen"),
-          newHashes, "th", batchId).map(pin)
+          newHashes, "th", batchId, claimCfg).map(pin)
         // seen side unbroadcast for the same growth reason as lines
         val ownersUnseen = seen match {
           case Some(s) => owners.join(s.withColumnRenamed("th", "_h")
@@ -304,7 +306,12 @@ object StreamingCuration {
             bench: Option[DataFrame] = None,
             trigger: Trigger = Trigger.AvailableNow(),
             compactEvery: Int = 0,
-            maxFilesPerTrigger: Int = 0): StreamingQuery = {
+            maxFilesPerTrigger: Int = 0,
+            // size claim-store filters for the EXPECTED DISTINCT CLAIM
+            // corpus, not the default: at 10^9+ claims the 4M-item
+            // default global filter saturates and pruning degrades to
+            // exact-check reads of most of the base
+            claimCfg: ClaimStore.Config = ClaimStore.Config()): StreamingQuery = {
     val schema = spark.read.parquet(docsDir).schema
     // static bench -> its n-gram set is computed and persisted ONCE for
     // the stream's lifetime instead of per micro-batch
@@ -323,7 +330,7 @@ object StreamingCuration {
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
         processBatch(b, id, outDir, idCol, textCol, cfg, bench, compactEvery,
-          benchNg)
+          benchNg, claimCfg)
       }
       .start()
   }

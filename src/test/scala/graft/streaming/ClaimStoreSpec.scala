@@ -311,6 +311,29 @@ class ClaimStoreSpec extends AnyFunSuite {
     assert(seenSet(root, 0 until 40, 3L) == hashSet(0 until 35))
   }
 
+  test("a crash mid legacy import resumes; duplicate legacy claims import distinct") {
+    import spark.implicits._
+    val root = tmp("cs13")
+    hashes(0 until 10).write.parquet(s"$root/batch=-1")
+    hashes(10 until 20).write.parquet(s"$root/batch=0")
+    // legacy crash caveat: batch=1 overlaps earlier dirs (5..19) plus
+    // in-dir duplicates of its own
+    hashes((5 until 25) ++ (20 until 25)).write.parquet(s"$root/batch=1")
+    // simulate the interrupted first import: only batch=-1 landed
+    // before the crash (meta/ EXISTS — the resume gate must be the
+    // watermark, not meta existence)
+    SnapTable.append(spark, root, hashes(0 until 10),
+      watermark = Some("-1"), tag = Some("b:-1"), exactStats = false)
+    // first ClaimStore touch resumes the import for batches 0 and 1
+    assert(ClaimStore.lastBatch(spark, root).contains(1L))
+    assert(seenSet(root, 0 until 40, 2L) == hashSet(0 until 25))
+    // replay exclusion intact after resume
+    assert(seenSet(root, 0 until 40, 1L) == hashSet(0 until 20))
+    // the overlap imported exactly once: claims stay globally distinct
+    val all = SnapTable.read(spark, root).select("h")
+    assert(all.count() == 25 && all.distinct().count() == 25)
+  }
+
   test("empty claim append is a pure watermark bump; fold with nothing to fold is a no-op") {
     val root = tmp("cs7")
     ClaimStore.appendClaims(spark, root, hashes(Nil), "h", 0L)
