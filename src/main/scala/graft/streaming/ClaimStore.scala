@@ -31,27 +31,57 @@ import graft.table.SnapTable
   *    bytes per batch, tens of TB per batch at 10^12 docs. Here the
   *    per-batch read is bounded by the BATCH, not the corpus:
   *    unfolded recent batch files are read fully (bounded by
-  *    `compactEvery` batches), and the folded base is probed through a
-  *    Bloom filter — a batch hash that the Bloom rejects is DEFINITELY
-  *    unclaimed and costs zero base bytes; the surviving positives
-  *    (true duplicates + ~fpp false positives, both batch-bounded) are
-  *    exact-checked against only the base chunks whose manifest
-  *    [lo,hi] hash bounds contain a positive, with the `IN` filter
-  *    pushed to parquet so row-group stats on the range-clustered,
-  *    sorted chunks prune inside the file too. The Bloom itself is
-  *    metadata-class state (~10 bits/claim, like an LSM-tree's cached
-  *    filter blocks): it lives next to the table, is extended
-  *    incrementally at fold time (Bloom of a union = merge of Blooms —
-  *    the base is never re-read), and is cached in the JVM keyed by
-  *    mtime so steady-state batches pay zero bytes for it. At cluster
-  *    scale the same layout shards by hash prefix; the read bound is
-  *    unchanged.
+  *    `compactEvery` batches), and the folded base is probed through
+  *    an LSM of immutable Bloom filters — a batch hash every filter
+  *    rejects is DEFINITELY unclaimed and costs zero base bytes; the
+  *    surviving positives (true duplicates + ~fpp false positives,
+  *    both batch-bounded) are exact-checked against only the base
+  *    chunks whose manifest [lo,hi] hash bounds contain a positive AND
+  *    whose per-chunk filter claims it, with the `IN` filter pushed to
+  *    parquet so row-group stats on the range-clustered, sorted chunks
+  *    prune inside the file too.
   *
-  * Correctness never depends on the Bloom: it only PRUNES
-  * definitely-absent probes. A missing/torn/overflowed Bloom degrades
-  * to reading the uncovered base chunks in full (recorded in
+  *  - **Fold cost bounded by the fold, not the corpus.** Every filter
+  *    is IMMUTABLE and scoped to immutable data: one probe filter per
+  *    sorted run (`bloomruns/<runStamp>.gbf`, sized from the run's
+  *    exact manifest row count — there is no corpus-sizing knob to
+  *    saturate) and one selection filter per chunk
+  *    (`bloomchunks/<chunk>.bf`). A fold writes filters only for the
+  *    run(s) it just created — O(new claims) sidecar bytes, the same
+  *    LSM bound as the data rewrite itself — and the probe is the
+  *    union over the ≤ `maxRuns` live run filters (per-run fpp is
+  *    budgeted at `bloomFpp / maxRuns` so the union stays inside
+  *    `bloomFpp`). Immutable files cache forever: each run filter is
+  *    broadcast once per driver lifetime and parsed once per executor
+  *    (keyed by the broadcast value's identity), so steady-state
+  *    batches pay zero sidecar bytes. Nothing is ever rewritten whole;
+  *    the pre-r8 mutable `bloom.bin` (one global filter, rewritten and
+  *    re-broadcast O(corpus) per fold) survives only as a read-only
+  *    legacy: runs fully inside its covered set keep probing through
+  *    it until a merge gives them their own filter, after which the
+  *    file is deleted.
+  *
+  *  - **Hash sharding for the 10^12-claim shape.** `Config.shards > 1`
+  *    splits a domain into N independent shard roots
+  *    (`<root>/shard-<k>`, routed by `xxhash64(hash) mod N`): per-shard
+  *    runs, filters, folds and watermarks, with probes routed so each
+  *    shard reads only its own batch slice. Per-batch read and
+  *    per-fold write bounds are unchanged — each shard is simply a
+  *    claim store over 1/N of the key space — and shards can live on
+  *    separate stores/drivers at deployment scale. Shard routing is
+  *    part of the root's identity: mixing sharded and unsharded access
+  *    to one root is refused loudly (a silent mix would re-admit every
+  *    duplicate whose claims live in the other layout).
+  *
+  * Correctness never depends on any filter: filters only PRUNE
+  * definitely-absent probes. A missing/torn/corrupt filter file
+  * degrades to reading that run's chunks in full (recorded in
   * [[Metrics]]), never to a wrong answer; false positives are always
-  * resolved by the exact check.
+  * resolved by the exact check. All driver-side order comparisons
+  * against manifest bounds are done on UTF-8 BYTES — the same order
+  * Spark's min/max computes on UTF8String — so a non-ASCII hash column
+  * cannot make bounds pruning skip a true positive (Java String
+  * ordering is UTF-16 and disagrees above the BMP).
   */
 object ClaimStore {
 
@@ -59,7 +89,13 @@ object ClaimStore {
     * `plannedSeenBytes` is the manifest size of every claim file
     * selected for reading this batch (the driver-side read plan — the
     * parquet reader may read less via row-group pruning, never more
-    * except footers). Reset at batch start, read after.
+    * except footers). `foldSidecarBytes` counts filter-sidecar bytes
+    * WRITTEN by folds — the witness that a fold's sidecar cost is
+    * O(new claims), not O(corpus). `probeFppPpm` is the union-bound
+    * false-positive estimate of the probe filters consulted (parts per
+    * million, max over this batch's probes) — the saturation
+    * observability that replaces the old fixed-size filter's silent
+    * degradation. Reset at batch start, read after.
     */
   object Metrics {
     val plannedSeenBytes = new java.util.concurrent.atomic.AtomicLong(0)
@@ -68,49 +104,119 @@ object ClaimStore {
     val baseFilesTotal = new java.util.concurrent.atomic.AtomicLong(0)
     val positives = new java.util.concurrent.atomic.AtomicLong(0)
     val fullFallbacks = new java.util.concurrent.atomic.AtomicLong(0)
-    def reset(): Unit = Seq(plannedSeenBytes, bloomProbeBytes, baseFilesSelected,
-      baseFilesTotal, positives, fullFallbacks).foreach(_.set(0))
+    val probeFilters = new java.util.concurrent.atomic.AtomicLong(0)
+    val probeFppPpm = new java.util.concurrent.atomic.AtomicLong(0)
+    val foldSidecarBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    /** plannedSeenBytes broken out per (shard) root — the per-shard
+      * batch-boundedness witness for sharded trajectories.
+      */
+    val perRootSeenBytes =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    def reset(): Unit = {
+      Seq(plannedSeenBytes, bloomProbeBytes, baseFilesSelected, baseFilesTotal,
+        positives, fullFallbacks, probeFilters, probeFppPpm, foldSidecarBytes)
+        .foreach(_.set(0))
+      perRootSeenBytes.clear()
+    }
+    private[ClaimStore] def planned(root: String, n: Long): Unit = {
+      plannedSeenBytes.addAndGet(n)
+      perRootSeenBytes.merge(root, java.lang.Long.valueOf(n),
+        (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+    }
   }
 
-  /** Bloom sizing is FIXED per table at first fold (merge requires
-    * identical bit width); a config change triggers a one-time rebuild
-    * from the base. `bloomItems` should be sized for the expected
-    * distinct-claim corpus — overflow only raises the false-positive
-    * rate (more exact-check reads), never breaks correctness.
+  /** `bloomFpp` is the TOTAL probe false-positive budget per store:
+    * each run filter is sized to its run's exact manifest rows at
+    * `bloomFpp / maxRuns`, so the union over ≤ maxRuns filters stays
+    * inside the budget and there is no corpus-size knob to outgrow.
     * `chunkFpp` sizes the PER-CHUNK filters (each to its own chunk's
     * row count): these drive chunk SELECTION, so their fpp bounds the
     * expected spurious chunk reads per batch (positives x chunks x
-    * chunkFpp), not just spurious probe rows. Chunk filters are
-    * WRITE-ONCE per chunk — a `chunkFpp` change applies only to chunks
-    * created after it (existing filters keep their sizing until their
-    * chunk is merged away); it never needs a rebuild because any fpp
-    * only trades read amplification, never correctness.
+    * chunkFpp), not just spurious probe rows. Both filter kinds are
+    * WRITE-ONCE — an fpp change applies only to filters created after
+    * it (existing files keep their sizing until their run/chunk is
+    * merged away); it never needs a rebuild because any fpp only
+    * trades read amplification, never correctness.
     *
     * `maxRuns` caps the number of sorted base RUNS (each fold appends
     * one): when exceeded, [[fold]] merges the smallest runs back to the
     * cap — size-tiered LSM compaction. Per-chunk Blooms already keep
-    * READS independent of run count; the cap bounds the filter-blob
-    * count and fold bookkeeping on an unbounded stream. Merging
+    * READS independent of run count; the cap bounds the probe-filter
+    * count (and the union fpp) on an unbounded stream. Merging
     * smallest-first makes run sizes geometric, so a claim is rewritten
     * O(log batches) times over the stream's life — never the
     * linear-in-history write amplification of a fixed-period major
     * compaction.
+    *
+    * `shards` > 1 splits the domain into that many independent shard
+    * roots routed by hash — the 10^12-claim deployment shape. The
+    * shard count is part of the store's on-disk identity: pick it at
+    * creation and keep passing the same value (re-sharding = stand up
+    * a new root and replay, exactly as for any hash-partitioned
+    * store).
     */
   final case class Config(
-      bloomItems: Long = 4L * 1000 * 1000,
       bloomFpp: Double = 0.01,
       chunkFpp: Double = 1e-4,
       positivesCap: Int = 100000,
       foldTargetBytes: Long = 8L * 1024 * 1024,
       expireKeep: Int = 64,
-      maxRuns: Int = 8)
+      maxRuns: Int = 8,
+      shards: Int = 1)
+
+  private def perRunFpp(cfg: Config): Double =
+    cfg.bloomFpp / math.max(1, cfg.maxRuns)
 
   private def batchOf(e: SnapTable.FileEntry): Option[Long] =
     e.tag.collect { case t if t.startsWith("b:") => t.stripPrefix("b:").toLong }
   private def isBase(e: SnapTable.FileEntry): Boolean = e.tag.contains("base")
 
-  /** The last batch id whose claims are COMMITTED (folds preserve it). */
-  def lastBatch(spark: SparkSession, root: String): Option[Long] = {
+  // ---- hash sharding ---------------------------------------------------
+
+  private def shardRoot(root: String, s: Int): String = s"$root/shard-$s"
+  private def shardExpr(hCol: String, n: Int) =
+    pmod(xxhash64(col(hCol).cast("string")), lit(n.toLong))
+
+  // One-time per-JVM layout guards: touching a root with the WRONG
+  // shard setting must fail loudly, not silently serve an empty seen
+  // set (which would re-admit every duplicate claimed under the other
+  // layout).
+  private val shardGuarded =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def guardSharded(spark: SparkSession, root: String): Unit = {
+    if (shardGuarded.putIfAbsent(root, java.lang.Boolean.TRUE) != null) return
+    try {
+      val rp = new Path(root)
+      val f = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(new Path(rp, "meta")) ||
+          (f.exists(rp) && f.listStatus(rp).exists(s =>
+            s.isDirectory && s.getPath.getName.startsWith("batch="))))
+        throw new IllegalStateException(
+          s"claim root $root holds an UNSHARDED store (meta/ or legacy batch= " +
+            "dirs present) but was opened with Config.shards > 1 — refusing: " +
+            "its claims would be invisible and duplicates re-admitted")
+    } catch {
+      case e: IllegalStateException => shardGuarded.remove(root); throw e
+      case scala.util.control.NonFatal(e) => shardGuarded.remove(root); throw e
+    }
+  }
+
+  /** The last batch id whose claims are COMMITTED (folds preserve it).
+    * Sharded: the minimum over shards — a batch counts only once EVERY
+    * shard has it (a crash between shard appends leaves the batch
+    * uncommitted; the replay re-append is per-shard idempotent).
+    */
+  def lastBatch(spark: SparkSession, root: String,
+                cfg: Config = Config()): Option[Long] =
+    if (cfg.shards <= 1) lastBatch1(spark, root)
+    else {
+      guardSharded(spark, root)
+      val per = (0 until cfg.shards).map(s => lastBatch1(spark, shardRoot(root, s)))
+      if (per.exists(_.isEmpty)) None else Some(per.flatten.min)
+    }
+
+  private def lastBatch1(spark: SparkSession, root: String): Option[Long] = {
     ensureMigrated(spark, root)
     SnapTable.lastWatermark(spark, root).map(_.toLong)
   }
@@ -135,63 +241,85 @@ object ClaimStore {
   // the table's claims-globally-distinct invariant must hold). Legacy
   // dirs are left in place — the import is watermark-idempotent, and
   // deleting user data on upgrade is not this layer's call.
-  // Single-streaming-writer contract as for the Bloom.
+  // Single-streaming-writer contract for the WRITE path; concurrent
+  // READERS (monitoring threads calling lastBatch/seenFor) are safe:
+  // migration runs exactly once per root per JVM and every other
+  // caller BLOCKS on its completion (a mere putIfAbsent marker would
+  // let a second thread read a half-imported claim table).
 
   private val migratedRoots =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.FutureTask[Unit]]()
 
   private def ensureMigrated(spark: SparkSession, root: String): Unit = {
-    if (migratedRoots.putIfAbsent(root, java.lang.Boolean.TRUE) != null) return
-    try {
-      val rp = new Path(root)
-      val f = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!f.exists(rp)) return
-      val legacy = f.listStatus(rp)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath))
-        .sortBy(_._1)
-      if (legacy.isEmpty) return
-      // the hash column is whatever single column the legacy files hold
-      for ((b, dir) <- legacy) {
-        val hasData = f.listStatus(dir).exists(s => s.isFile &&
-          s.getPath.getName.endsWith(".parquet") &&
-          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
-        if (hasData && !SnapTable.lastWatermark(spark, root).map(_.toLong).exists(_ >= b)) {
-          val df = spark.read.parquet(dir.toString)
-          val hc = df.columns.head
-          val cur = df.select(col(hc)).distinct()
-          val imported = SnapTable.snapshot(spark, root) match {
-            case Some(s) if s.files.nonEmpty =>
-              cur.join(SnapTable.read(spark, root).select(col(hc)),
-                Seq(hc), "left_anti")
-            case _ => cur
-          }
-          SnapTable.append(spark, root, imported,
-            watermark = Some(b.toString), tag = Some(s"b:$b"),
-            exactStats = false)
-        }
-      }
-      // trailing empty batches carry no claims but DO advance the
-      // watermark (appendClaims replay-skips on it)
-      val maxB = legacy.map(_._1).max
-      if (!SnapTable.lastWatermark(spark, root).map(_.toLong).exists(_ >= maxB)) {
-        val hc = SnapTable.snapshot(spark, root)
-          .flatMap(_.files.headOption).map(e =>
-            spark.read.parquet(e.path).columns.head).getOrElse("h")
-        SnapTable.append(spark, root,
-          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField(hc,
-                org.apache.spark.sql.types.StringType)))),
-          watermark = Some(maxB.toString), exactStats = false)
-      }
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        migratedRoots.remove(root)
+    val task = migratedRoots.computeIfAbsent(root,
+      _ => new java.util.concurrent.FutureTask[Unit](() => doMigrate(spark, root)))
+    task.run() // first caller executes; concurrent callers no-op here...
+    try task.get() // ...and block on completion (or rethrow its failure)
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        migratedRoots.remove(root, task) // a later touch may retry
         throw new IllegalStateException(
           s"legacy claim-sidecar migration failed for $root — claims from " +
             "the old batch-partitioned layout could not be imported; refusing " +
-            "to continue without them (duplicates would be re-admitted)", e)
+            "to continue without them (duplicates would be re-admitted)",
+          e.getCause)
+    }
+  }
+
+  private def doMigrate(spark: SparkSession, root: String): Unit = {
+    val rp = new Path(root)
+    val f = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // layout cross-guard: this root was previously used SHARDED
+    if (f.exists(new Path(shardRoot(root, 0), "meta")))
+      throw new IllegalStateException(
+        s"claim root $root holds a SHARDED store (shard-0/meta present) but " +
+          "was opened unsharded — refusing: pass the same Config.shards or " +
+          "its claims would be invisible and duplicates re-admitted")
+    if (!f.exists(rp)) return
+    val legacy = f.listStatus(rp)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath))
+      .sortBy(_._1)
+    if (legacy.isEmpty) return
+    // ONE watermark read up front, tracked through the loop (re-reading
+    // the manifest per legacy dir is O(batches) pointless round-trips
+    // on a one-time path); the import itself is watermark-idempotent so
+    // a crash mid-loop resumes exactly where the committed state says
+    var wm: Option[Long] = SnapTable.lastWatermark(spark, root).map(_.toLong)
+    // the hash column is whatever single column the legacy files hold
+    for ((b, dir) <- legacy) {
+      val hasData = f.listStatus(dir).exists(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+      if (hasData && !wm.exists(_ >= b)) {
+        val df = spark.read.parquet(dir.toString)
+        val hc = df.columns.head
+        val cur = df.select(col(hc)).distinct()
+        val imported = SnapTable.snapshot(spark, root) match {
+          case Some(s) if s.files.nonEmpty =>
+            cur.join(SnapTable.read(spark, root).select(col(hc)),
+              Seq(hc), "left_anti")
+          case _ => cur
+        }
+        SnapTable.append(spark, root, imported,
+          watermark = Some(b.toString), tag = Some(s"b:$b"),
+          exactStats = false)
+        wm = Some(b)
+      }
+    }
+    // trailing empty batches carry no claims but DO advance the
+    // watermark (appendClaims replay-skips on it)
+    val maxB = legacy.map(_._1).max
+    if (!wm.exists(_ >= maxB)) {
+      val hc = SnapTable.snapshot(spark, root)
+        .flatMap(_.files.headOption).map(e =>
+          spark.read.parquet(e.path).columns.head).getOrElse("h")
+      SnapTable.append(spark, root,
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(hc,
+              org.apache.spark.sql.types.StringType)))),
+        watermark = Some(maxB.toString), exactStats = false)
     }
   }
 
@@ -202,10 +330,23 @@ object ClaimStore {
     * deterministic function of the batch and the earlier claim state,
     * so the committed set is exactly what this attempt would write.
     * An empty claim set commits as a pure watermark bump (no files).
+    * Sharded: one append per shard (each independently replay-skipped,
+    * so a crash between shard appends resumes exactly).
     */
   def appendClaims(spark: SparkSession, root: String, claims: DataFrame,
-                   hCol: String, batchId: Long): Unit = {
-    if (lastBatch(spark, root).exists(_ >= batchId)) return
+                   hCol: String, batchId: Long,
+                   cfg: Config = Config()): Unit =
+    if (cfg.shards <= 1) appendClaims1(spark, root, claims, hCol, batchId)
+    else {
+      guardSharded(spark, root)
+      for (s <- 0 until cfg.shards)
+        appendClaims1(spark, shardRoot(root, s),
+          claims.where(shardExpr(hCol, cfg.shards) === s), hCol, batchId)
+    }
+
+  private def appendClaims1(spark: SparkSession, root: String, claims: DataFrame,
+                            hCol: String, batchId: Long): Unit = {
+    if (lastBatch1(spark, root).exists(_ >= batchId)) return
     // exactStats off: the claim read path never uses manifest row
     // counts, and skipping the read-back stats job halves the per-batch
     // write cost of each domain
@@ -220,14 +361,29 @@ object ClaimStore {
     * claims). Returns a single-column (`hCol`) frame whose intersection
     * with `batchHashes` equals the true seen set — recent batch files
     * contribute fully (they are small), the folded base contributes
-    * only Bloom-positive probes resolved by a manifest-pruned exact
+    * only filter-positive probes resolved by a manifest-pruned exact
     * check. `batchHashes` must be the batch's distinct claim hashes
-    * (callers pin its lineage: it is collected through the Bloom here
+    * (callers pin its lineage: it is collected through the probe here
     * and reused in their own joins). None = no earlier claims.
+    * Sharded: the union of per-shard reads, each probing only its own
+    * slice of the batch.
     */
   def seenFor(spark: SparkSession, root: String, batchHashes: DataFrame,
               hCol: String, batchId: Long,
-              cfg: Config = Config()): Option[DataFrame] = {
+              cfg: Config = Config()): Option[DataFrame] =
+    if (cfg.shards <= 1) seenFor1(spark, root, batchHashes, hCol, batchId, cfg)
+    else {
+      guardSharded(spark, root)
+      val parts = (0 until cfg.shards).flatMap(s =>
+        seenFor1(spark, shardRoot(root, s),
+          batchHashes.where(shardExpr(hCol, cfg.shards) === s),
+          hCol, batchId, cfg))
+      if (parts.isEmpty) None else Some(parts.reduce(_ union _))
+    }
+
+  private def seenFor1(spark: SparkSession, root: String, batchHashes: DataFrame,
+                       hCol: String, batchId: Long,
+                       cfg: Config): Option[DataFrame] = {
     ensureMigrated(spark, root)
     val snap = SnapTable.snapshot(spark, root).getOrElse(return None)
     val recent = snap.files.filter(e => batchOf(e).exists(_ < batchId))
@@ -235,35 +391,67 @@ object ClaimStore {
     Metrics.baseFilesTotal.addAndGet(base.size.toLong)
     val reads = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (recent.nonEmpty) {
-      Metrics.plannedSeenBytes.addAndGet(recent.map(_.bytes).sum)
+      Metrics.planned(root, recent.map(_.bytes).sum)
       reads += spark.read.parquet(recent.map(_.path): _*)
     }
     if (base.nonEmpty) {
-      val bloom = loadBloom(spark, root)
-      val (covered, uncovered) = bloom match {
-        case Some(b) => base.partition(e => b.covered(new Path(e.path).getName))
-        case None => (Vector.empty[SnapTable.FileEntry], base)
+      // Partition the base at RUN granularity by probe-filter coverage:
+      // a run with its own immutable filter probes through it; a run
+      // without one may still be covered by the read-only legacy
+      // bloom.bin (pre-r8 layout — every chunk inside its covered set);
+      // anything else is read in full (crashed filter write, healed by
+      // the next fold) — correctness first.
+      val runs = base.groupBy(runOf)
+      val covered = Vector.newBuilder[SnapTable.FileEntry]
+      val uncovered = Vector.newBuilder[SnapTable.FileEntry]
+      val probeBcasts = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.broadcast.Broadcast[Array[Byte]]]
+      var probeBytes = 0L
+      var fppSum = 0.0
+      lazy val legacy = loadBloom(spark, root)
+      var legacyUsed = false
+      for ((stamp, fsRun) <- runs) {
+        runFilterFor(spark, root, stamp) match {
+          case Some(rf) =>
+            covered ++= fsRun
+            probeBcasts += rf.bcast
+            probeBytes += rf.bytes.length.toLong
+            fppSum += rf.fpp
+          case None =>
+            if (legacy.exists(lb =>
+                fsRun.forall(e => lb.covered(new Path(e.path).getName)))) {
+              covered ++= fsRun
+              legacyUsed = true
+            } else uncovered ++= fsRun
+        }
       }
-      if (uncovered.nonEmpty) {
-        // chunks the Bloom does not cover yet (crashed Bloom write, or
-        // config-change rebuild pending): read in full — correctness
-        // first, the next fold heals the coverage
+      if (legacyUsed) {
+        probeBcasts += legacy.get.bcast
+        probeBytes += legacy.get.bytes.length.toLong
+      }
+      val coveredV = covered.result()
+      val uncoveredV = uncovered.result()
+      if (uncoveredV.nonEmpty) {
         Metrics.fullFallbacks.incrementAndGet()
-        Metrics.plannedSeenBytes.addAndGet(uncovered.map(_.bytes).sum)
-        reads += spark.read.parquet(uncovered.map(_.path): _*)
+        Metrics.planned(root, uncoveredV.map(_.bytes).sum)
+        reads += spark.read.parquet(uncoveredV.map(_.path): _*)
       }
-      if (covered.nonEmpty) {
-        val pos = probePositives(spark, root, bloom.get, batchHashes, hCol,
+      if (coveredV.nonEmpty) {
+        Metrics.bloomProbeBytes.addAndGet(probeBytes)
+        Metrics.probeFilters.addAndGet(probeBcasts.size.toLong)
+        Metrics.probeFppPpm.getAndAccumulate((fppSum * 1e6).toLong,
+          (a: Long, b: Long) => math.max(a, b))
+        val pos = probePositives(spark, probeBcasts.toSeq, batchHashes, hCol,
           cfg.positivesCap)
         pos match {
           case None =>
             // over the cap: a pathologically duplicate-heavy batch —
             // read the covered base in full (correct, recorded)
             Metrics.fullFallbacks.incrementAndGet()
-            Metrics.plannedSeenBytes.addAndGet(covered.map(_.bytes).sum)
-            reads += spark.read.parquet(covered.map(_.path): _*)
-          case Some(sorted) if sorted.nonEmpty =>
-            Metrics.positives.addAndGet(sorted.length.toLong)
+            Metrics.planned(root, coveredV.map(_.bytes).sum)
+            reads += spark.read.parquet(coveredV.map(_.path): _*)
+          case Some(sorted) if sorted.strs.nonEmpty =>
+            Metrics.positives.addAndGet(sorted.strs.length.toLong)
             // Chunk selection: every LSM fold writes a sorted run
             // spanning the FULL hash range, so [lo,hi] bounds alone
             // would select one chunk from EVERY run for any recurring
@@ -279,18 +467,21 @@ object ClaimStore {
             // <= maxRuns candidates per positive. Only candidates have
             // their filter consulted (lazy-loaded, LRU-cached), so the
             // filters resident per batch are O(positives x maxRuns),
-            // never O(chunks in the base).
-            val picked = covered.filter { e =>
+            // never O(chunks in the base). Bounds compares are on
+            // UTF-8 bytes — the order Spark's min/max computed them in.
+            val picked = coveredV.filter { e =>
               val name = new Path(e.path).getName
               (e.lo, e.hi) match {
                 case (Some(l), Some(h)) =>
-                  val i = lowerBound(sorted, l)
-                  i < sorted.length && sorted(i) <= h && {
-                    chunkBloomFor(spark, root, bloom.get, name) match {
+                  val hb = utf8(h)
+                  val i = lowerBound(sorted.bytes, utf8(l))
+                  i < sorted.strs.length && cmpUtf8(sorted.bytes(i), hb) <= 0 && {
+                    chunkBloomFor(spark, root, legacy, name) match {
                       case Some(cb) =>
                         var sel = false; var k = i
-                        while (!sel && k < sorted.length && sorted(k) <= h) {
-                          sel = cb.mightContainString(sorted(k)); k += 1
+                        while (!sel && k < sorted.strs.length &&
+                            cmpUtf8(sorted.bytes(k), hb) <= 0) {
+                          sel = cb.mightContainString(sorted.strs(k)); k += 1
                         }
                         sel
                       case None => true // no/torn filter: bounds decide
@@ -301,9 +492,9 @@ object ClaimStore {
             }
             Metrics.baseFilesSelected.addAndGet(picked.size.toLong)
             if (picked.nonEmpty) {
-              Metrics.plannedSeenBytes.addAndGet(picked.map(_.bytes).sum)
+              Metrics.planned(root, picked.map(_.bytes).sum)
               reads += spark.read.parquet(picked.map(_.path): _*)
-                .where(col(hCol).isInCollection(sorted))
+                .where(col(hCol).isInCollection(sorted.strs))
             }
           case _ => // zero positives: the whole base costs zero bytes
         }
@@ -315,14 +506,23 @@ object ClaimStore {
 
   /** Fold the claim files of batches <= `upToBatch` into range-clustered
     * sorted base chunks (ONE atomic rewrite — the base is never read or
-    * rewritten, the LSM-append shape), extend the Bloom over the new
-    * chunks (Bloom-of-union = merge, so this too never re-reads the
-    * base), and expire old manifests. Callers pass only COMMITTED
-    * batches (`currentBatchId - 1`), mirroring the engine's commit
-    * order, so no folded batch can replay.
+    * rewritten, the LSM-append shape), write the new run's immutable
+    * probe/selection filters (only the new chunks are read — the fold's
+    * sidecar write is O(new claims)), and expire old manifests. Callers
+    * pass only COMMITTED batches (`currentBatchId - 1`), mirroring the
+    * engine's commit order, so no folded batch can replay.
     */
   def fold(spark: SparkSession, root: String, hCol: String, upToBatch: Long,
-           cfg: Config = Config()): Unit = {
+           cfg: Config = Config()): Unit =
+    if (cfg.shards <= 1) fold1(spark, root, hCol, upToBatch, cfg)
+    else {
+      guardSharded(spark, root)
+      for (s <- 0 until cfg.shards)
+        fold1(spark, shardRoot(root, s), hCol, upToBatch, cfg)
+    }
+
+  private def fold1(spark: SparkSession, root: String, hCol: String,
+                    upToBatch: Long, cfg: Config): Unit = {
     if (upToBatch < 0) return
     ensureMigrated(spark, root)
     val snap = SnapTable.snapshot(spark, root).getOrElse(return)
@@ -335,7 +535,7 @@ object ClaimStore {
         statsCol = Some(hCol), clusterFiles = nOut, tag = Some("base"))
     }
     mergeRunsOverCap(spark, root, hCol, cfg)
-    refreshBloom(spark, root, hCol, cfg)
+    refreshFilters(spark, root, hCol, cfg)
     SnapTable.expire(spark, root, keepLast = cfg.expireKeep)
   }
 
@@ -347,16 +547,15 @@ object ClaimStore {
 
   /** Size-tiered run-count cap: each fold appends one sorted run, so a
     * long-lived stream accumulates runs without bound — reads stay flat
-    * (the per-chunk Blooms select by content) but the filter sidecar
-    * carries one blob per chunk and the fold bookkeeping one entry per
+    * (the per-chunk Blooms select by content) but the probe is a union
+    * over one filter per run and the fold bookkeeping one entry per
     * file. When the base exceeds `maxRuns` runs, merge the SMALLEST
     * runs (by bytes) back down to the cap in one snapshot-isolated
     * rewrite. Smallest-first keeps run sizes geometric — each claim is
     * rewritten O(log batches) times total, the classic size-tiered LSM
-    * bound — and the merged run's chunk filters are rebuilt by the same
-    * [[refreshBloom]] incremental path (only the NEW chunks are read;
-    * re-merging their claims into the global filter is a no-op by
-    * Bloom-union idempotence).
+    * bound — and the merged run's filters are built by the same
+    * [[refreshFilters]] incremental path (only the NEW chunks are
+    * read).
     */
   private def mergeRunsOverCap(spark: SparkSession, root: String, hCol: String,
                                cfg: Config): Unit = {
@@ -376,39 +575,43 @@ object ClaimStore {
     ()
   }
 
-  // ---- Bloom sidecar ---------------------------------------------------
+  // ---- filter sidecars ---------------------------------------------------
   //
-  // Layout: `<root>/bloom.bin` = one JSON header line (covered base file
-  // names, sizing params, CRC of the payload) + the GLOBAL spark-sketch
-  // BloomFilter bytes (prunes PROBES); plus `<root>/bloomchunks/
-  // <chunkFileName>.bf` = one small CRC-trailed PER-CHUNK BloomFilter
-  // file per base chunk (prunes chunk SELECTION — the SSTable
-  // filter-block layout, one file per block). Chunk filter files are
-  // IMMUTABLE like the chunks they describe: written once by the fold
-  // that created the chunk, deleted when the chunk leaves the base —
-  // never rewritten, never carried through the bloom.bin rewrite. That
-  // keeps BOTH scale terms bounded: the per-fold sidecar write is
-  // O(global filter + new chunks), not O(all chunk filters); and the
-  // driver holds only the chunk filters a batch actually consults
-  // (bounds-candidates: <= maxRuns per positive), LRU-cached, never the
-  // whole O(corpus) filter set. bloom.bin is written tmp+rename AFTER
-  // the fold commit; a crash in between leaves a stale file whose
-  // uncovered chunks are read in full until the next fold heals them.
-  // Torn/corrupt content (either file kind) fails its CRC and is
-  // treated as absent — degrading selection to [lo,hi] bounds or reads
-  // to full chunks, never to a wrong answer. The remaining O(corpus)
-  // term is the global filter itself (~1.2 bytes/claim at fpp 0.01),
-  // rewritten per fold and broadcast once per generation; past ~10^9
-  // claims shard it (and the table) by hash prefix — the read bound
-  // per batch is unchanged, each shard serves its prefix.
+  // Layout — every filter file is IMMUTABLE, scoped to immutable data,
+  // and named after it (the 128-bit staging stamp), so caches never go
+  // stale and nothing is rewritten whole:
   //
-  // Legacy (first r7 layout): chunk blobs embedded in bloom.bin after
-  // the global filter, indexed by header offsets. Still readable (the
-  // embedded blobs are served from the validated in-memory payload);
-  // the next fold migrates them to the one-file-per-chunk layout.
+  //   <root>/bloomruns/<runStamp>.gbf   one PROBE filter per sorted run
+  //                                     (blob + CRC32 trailer), sized
+  //                                     from the run's exact manifest
+  //                                     rows at bloomFpp/maxRuns; the
+  //                                     probe is the union over live
+  //                                     run filters. Written by the
+  //                                     fold that created the run —
+  //                                     O(new claims) — and deleted
+  //                                     when the run merges away.
+  //   <root>/bloomchunks/<chunk>.bf     one SELECTION filter per chunk
+  //                                     (same trailer format), prunes
+  //                                     chunk selection — the SSTable
+  //                                     filter-block layout.
+  //
+  // Filter files are written tmp+rename AFTER the fold commit; a crash
+  // in between leaves a run without its filter, read in full until the
+  // next fold heals it. Torn/corrupt content (either kind) fails its
+  // CRC or its parse and is deleted + treated as absent — degrading
+  // probes to full reads or selection to [lo,hi] bounds, never to a
+  // wrong answer.
+  //
+  // Legacy (pre-r8): `<root>/bloom.bin` = one mutable GLOBAL filter
+  // (header line with covered chunk names + payload), rewritten and
+  // re-broadcast whole per fold — the O(corpus)-per-fold term this
+  // layout removes. It is now read-only: runs entirely inside its
+  // covered set probe through it until a merge gives them their own
+  // run filter; once no run needs it, the fold deletes it. First-r7
+  // sidecars additionally embedded per-chunk blobs in bloom.bin; those
+  // are still migrated out to chunk files by the next fold.
 
   private final case class LoadedBloom(bytes: Array[Byte], covered: Set[String],
-                                       items: Long, fpp: Double,
                                        legacyChunks: Map[String, Array[Byte]],
                                        bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]])
 
@@ -426,12 +629,8 @@ object ClaimStore {
       case None => None
       case Some(s) =>
         val key = new Path(root).toString
-        // cache identity is (mtime, length) — mtime alone misses two
-        // folds inside one coarse mtime unit (1 s on several local/NFS
-        // mounts), leaving readers on a filter whose covered set lacks
-        // the new chunks (correct, but full-read fallbacks until a
-        // later fold); the header's covered-names list makes the length
-        // move with every refresh
+        // the legacy file is read-only now, but (mtime, length) identity
+        // is kept: an older engine sharing the root could still fold it
         val stamp = (s.getModificationTime, s.getLen)
         val cached = bloomCache.get(key)
         val cachedValid = cached != null && cached._1 == stamp &&
@@ -449,6 +648,12 @@ object ClaimStore {
           loaded
         }
     }
+  }
+
+  private def dropBloomCache(root: String): Unit = {
+    val old = bloomCache.remove(new Path(root).toString)
+    if (old != null) old._2.foreach(b => try b.bcast.destroy()
+    catch { case scala.util.control.NonFatal(_) => })
   }
 
   private def readFully(f: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {
@@ -479,19 +684,13 @@ object ClaimStore {
         .collect { case graft.json.JStr(s) => s }.toSet
       // pre-chunk-filter files have no glen: the whole payload is the
       // global filter and chunk selection falls back to [lo,hi] bounds
-      // until the next refresh heals the chunk blobs
+      // until the next fold heals the chunk files
       val glen = header("glen") match {
         case graft.json.JNum(l) => l.toLong.toInt
         case _ => payload.length
       }
-      val fpp = header("fpp") match {
-        case graft.json.JNum(l) => l.toDouble
-        case _ => -1.0 // legacy: unknown sizing -> treated as mismatch
-      }
       val global = java.util.Arrays.copyOfRange(payload, 0, glen)
-      // legacy embedded chunk blobs (first r7 layout); the current
-      // layout stores chunk filters as their own files and has no
-      // "chunks" key
+      // first-r7 embedded chunk blobs; migrated to files by the next fold
       val legacyChunks: Map[String, Array[Byte]] = header.get("chunks") match {
         case Some(graft.json.JArr(items)) => items.collect {
           case o: graft.json.JObj =>
@@ -502,8 +701,8 @@ object ClaimStore {
         }.toMap
         case _ => Map.empty
       }
-      Some(LoadedBloom(global, covered, num("items"), fpp,
-        legacyChunks, spark.sparkContext.broadcast(global)))
+      Some(LoadedBloom(global, covered, legacyChunks,
+        spark.sparkContext.broadcast(global)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def serializeBloom(bf: BloomFilter): Array[Byte] = {
@@ -512,57 +711,44 @@ object ClaimStore {
     buf.toByteArray
   }
 
-  private def writeBloomFile(spark: SparkSession, root: String,
-                             covered: Set[String], items: Long, fpp: Double,
-                             global: Array[Byte]): Unit = {
-    val p = bloomPath(root)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val crc = new java.util.zip.CRC32
-    crc.update(global)
-    import graft.json._
-    val header = JObj.of(
-      "items" -> Json.num(items),
-      "fpp" -> JNum(fpp.toString),
-      "glen" -> Json.num(global.length.toLong),
-      "crc" -> Json.num(crc.getValue),
-      "covered" -> JArr(covered.toVector.sorted.map(JStr(_): JValue))).render
-    val tmp = new Path(root, s".bloom.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = f.create(tmp, true)
-    try { out.write(header.getBytes("UTF-8")); out.write('\n'); out.write(global) }
-    finally out.close()
-    f.delete(p, false) // single streaming writer; a torn window reads as absent
-    require(f.rename(tmp, p), s"bloom publish failed: $tmp -> $p")
-  }
-
-  // ---- per-chunk filter files ------------------------------------------
+  // ---- immutable filter files (shared blob + CRC32-trailer format) ----
 
   private def chunkDir(root: String) = new Path(root, "bloomchunks")
   private def chunkFilePath(root: String, chunkName: String) =
     new Path(chunkDir(root), s"$chunkName.bf")
+  private def runsDir(root: String) = new Path(root, "bloomruns")
+  private def runFilePath(root: String, runStamp: String) =
+    new Path(runsDir(root), s"$runStamp.gbf")
 
   /** Blob + 8-byte big-endian CRC32 trailer, tmp+rename. Content is a
-    * deterministic function of the (immutable) chunk and `chunkFpp`, so
-    * overwriting a stray existing file is harmless.
+    * deterministic function of the (immutable) run/chunk and its fpp,
+    * so overwriting a stray existing file is harmless. Returns bytes
+    * written (the fold-cost witness).
     */
-  private def writeChunkFile(f: org.apache.hadoop.fs.FileSystem, root: String,
-                             chunkName: String, blob: Array[Byte]): Unit = {
-    f.mkdirs(chunkDir(root))
+  private def writeTrailedBlob(f: org.apache.hadoop.fs.FileSystem, dir: Path,
+                               name: String, blob: Array[Byte]): Long = {
+    f.mkdirs(dir)
     val crc = new java.util.zip.CRC32
     crc.update(blob)
     val trailer = java.nio.ByteBuffer.allocate(8).putLong(crc.getValue).array()
-    val tmp = new Path(chunkDir(root),
-      s".$chunkName.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val tmp = new Path(dir,
+      s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
     try { out.write(blob); out.write(trailer) } finally out.close()
-    val dst = chunkFilePath(root, chunkName)
+    val dst = new Path(dir, name)
     f.delete(dst, false)
-    require(f.rename(tmp, dst), s"chunk filter publish failed: $tmp -> $dst")
+    require(f.rename(tmp, dst), s"filter publish failed: $tmp -> $dst")
+    blob.length.toLong + 8L
   }
 
-  private def readChunkFile(f: org.apache.hadoop.fs.FileSystem, root: String,
-                            chunkName: String): Option[Array[Byte]] =
+  /** Read + CRC-verify a trailed blob; a definitively-corrupt file
+    * (short, CRC mismatch) is DELETED so the next fold's existence
+    * check recreates it — callers meanwhile degrade, never err.
+    * Transient IO errors delete nothing.
+    */
+  private def readTrailedBlob(f: org.apache.hadoop.fs.FileSystem,
+                              p: Path): Option[Array[Byte]] =
     try {
-      val p = chunkFilePath(root, chunkName)
       if (!f.exists(p)) return None
       val all = readFully(f, p)
       if (all.length < 9) { f.delete(p, false); return None } // definitively torn
@@ -571,23 +757,95 @@ object ClaimStore {
       val crc = new java.util.zip.CRC32
       crc.update(blob)
       if (crc.getValue == stored) Some(blob)
-      else {
-        // fully read but invalid (torn write): delete so the NEXT fold's
-        // existence check recreates it — selection meanwhile degrades to
-        // bounds for this chunk, never to a wrong answer. Transient IO
-        // errors take the catch below and delete nothing.
-        f.delete(p, false)
-        None
-      }
+      else { f.delete(p, false); None }
     } catch {
       // the filesystem's own checksum verification is as definitive as
       // the trailer CRC: delete so the next fold recreates the filter
       case _: org.apache.hadoop.fs.ChecksumException =>
-        try f.delete(chunkFilePath(root, chunkName), false)
+        try f.delete(p, false)
         catch { case scala.util.control.NonFatal(_) => }
         None
       case scala.util.control.NonFatal(_) => None
     }
+
+  // ---- run (probe) filters ---------------------------------------------
+
+  private final case class RunFilter(bytes: Array[Byte], fpp: Double,
+                                     bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+
+  /** Run filter files are immutable and uniquely named (128-bit staging
+    * stamp), so a loaded+broadcast entry is valid for the driver's
+    * lifetime — evicted only when its run merges away or its broadcast
+    * died with a restarted SparkContext. An ABSENT file is never
+    * cached (the next fold may heal it). The parse here also VALIDATES:
+    * CRC-valid garbage is deleted like a torn file.
+    */
+  private val runFilterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, RunFilter]()
+
+  private def runKey(root: String, stamp: String): String =
+    s"${new Path(root).toString}#$stamp"
+
+  private def runFilterFor(spark: SparkSession, root: String,
+                           stamp: String): Option[RunFilter] = {
+    val key = runKey(root, stamp)
+    val cached = runFilterCache.get(key)
+    if (cached != null) {
+      val alive = try { cached.bcast.value; true }
+      catch { case scala.util.control.NonFatal(_) => false }
+      if (alive) return Some(cached)
+      runFilterCache.remove(key, cached)
+    }
+    val p = runFilePath(root, stamp)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readTrailedBlob(f, p).flatMap { blob =>
+      try {
+        val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(blob))
+        val rf = RunFilter(blob, bf.expectedFpp(),
+          spark.sparkContext.broadcast(blob))
+        val old = runFilterCache.put(key, rf)
+        if (old != null) try old.bcast.destroy()
+        catch { case scala.util.control.NonFatal(_) => }
+        Some(rf)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          // CRC-valid but unparseable (sketch-format change): as
+          // definitive as a CRC mismatch — delete for the next fold to
+          // rebuild; this run degrades to a full read meanwhile
+          try f.delete(p, false)
+          catch { case scala.util.control.NonFatal(_) => }
+          None
+      }
+    }
+  }
+
+  private def dropRunFilter(root: String, stamp: String): Unit = {
+    val old = runFilterCache.remove(runKey(root, stamp))
+    if (old != null) try old.bcast.destroy()
+    catch { case scala.util.control.NonFatal(_) => }
+  }
+
+  /** Executor-side parse-once cache for broadcast filter blobs, keyed
+    * by the VALUE ARRAY'S IDENTITY (each executor holds one cached
+    * instance per broadcast, and blobs are immutable) — a WeakHashMap
+    * so an entry lives exactly as long as its broadcast value. Keying
+    * by broadcast id would be wrong across SparkContext restarts in
+    * one JVM (ids restart from 0 and could serve a stale filter).
+    */
+  private object parsedFilters {
+    private val map = new java.util.WeakHashMap[Array[Byte], BloomFilter]()
+    def of(bytes: Array[Byte]): BloomFilter = synchronized {
+      val c = map.get(bytes)
+      if (c != null) c
+      else {
+        val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+        map.put(bytes, bf)
+        bf
+      }
+    }
+  }
+
+  // ---- per-chunk (selection) filters -------------------------------------
 
   /** Chunk filters touched by recent batches, LRU-evicted on a BYTE
     * budget (an entry-count cap would let driver residency scale with
@@ -618,14 +876,15 @@ object ClaimStore {
     }
   }
 
-  private def chunkBloomFor(spark: SparkSession, root: String, b: LoadedBloom,
+  private def chunkBloomFor(spark: SparkSession, root: String,
+                            legacy: => Option[LoadedBloom],
                             chunkName: String): Option[BloomFilter] = {
     val key = s"${new Path(root).toString}#$chunkName"
     val cached = chunkFilterCache.get(key)
     if (cached.isDefined) return cached
     val f = bloomPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fromFile = b.legacyChunks.get(chunkName).isEmpty
-    val bytes = b.legacyChunks.get(chunkName).orElse(readChunkFile(f, root, chunkName))
+    val fromLegacy = legacy.flatMap(_.legacyChunks.get(chunkName))
+    val bytes = fromLegacy.orElse(readTrailedBlob(f, chunkFilePath(root, chunkName)))
     bytes.flatMap { arr =>
       // a CRC-valid but unparseable blob (corrupt legacy header offsets,
       // a sketch-format change) must DEGRADE to bounds, not wedge the
@@ -637,7 +896,7 @@ object ClaimStore {
         Some(bf)
       } catch {
         case scala.util.control.NonFatal(_) =>
-          if (fromFile)
+          if (fromLegacy.isEmpty)
             try f.delete(chunkFilePath(root, chunkName), false)
             catch { case scala.util.control.NonFatal(_) => }
           None
@@ -645,69 +904,76 @@ object ClaimStore {
     }
   }
 
-  /** Extend (or heal, or rebuild-on-resize) the Bloom sidecar so the
-    * global filter covers every current base chunk and every chunk has
-    * its own filter FILE. Only chunks without a filter yet are read —
-    * in steady state exactly the chunks the fold just wrote (legacy
-    * embedded blobs are migrated by copy, not re-read); filter files of
-    * chunks that left the base (merge victims) are deleted. Config
-    * identity is (items, fpp) recorded in the header — NOT a probe
-    * BloomFilter.create, whose corpus-sized allocation per fold just to
-    * learn the bit width would spike the driver heap.
+  // ---- fold-time filter maintenance --------------------------------------
+
+  /** Age-gated sweep of filter tmps stranded by a crash between create
+    * and rename (this fold's own writes are seconds old at most, and
+    * the single-streaming-writer contract means no OTHER writer's
+    * in-flight tmp can be live here).
     */
-  private def refreshBloom(spark: SparkSession, root: String, hCol: String,
-                           cfg: Config): Unit = {
+  private def sweepFilterTmps(f: org.apache.hadoop.fs.FileSystem,
+                              root: String): Unit = {
+    val now = System.currentTimeMillis()
+    def sweep(dir: Path, isTmp: String => Boolean): Unit =
+      try {
+        if (f.exists(dir)) f.listStatus(dir)
+          .filter(s => s.isFile && isTmp(s.getPath.getName) &&
+            now - s.getModificationTime > 15 * 60 * 1000L)
+          .foreach(s => try f.delete(s.getPath, false)
+          catch { case scala.util.control.NonFatal(_) => })
+      } catch { case scala.util.control.NonFatal(_) => }
+    sweep(new Path(root), _.startsWith(".bloom.tmp-")) // legacy writer's tmps
+    sweep(chunkDir(root), n => n.startsWith(".") && n.contains(".tmp-"))
+    sweep(runsDir(root), n => n.startsWith(".") && n.contains(".tmp-"))
+  }
+
+  private def listFilterNames(f: org.apache.hadoop.fs.FileSystem, dir: Path,
+                              suffix: String): Set[String] =
+    if (!f.exists(dir)) Set.empty
+    else f.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.endsWith(suffix) && !n.startsWith("."))
+      .map(_.stripSuffix(suffix)).toSet
+
+  /** Bring the filter sidecars up to date with the base: every chunk
+    * gets its selection filter FILE and every run its probe filter —
+    * reading ONLY chunks that still lack one (in steady state exactly
+    * the chunks the fold just wrote: the sidecar write is O(new
+    * claims)). Runs fully covered by the read-only legacy bloom.bin
+    * are left on it (no upgrade rebuild); once no run needs the legacy
+    * file it is deleted. Filter files of runs/chunks that left the
+    * base (merge victims) are deleted and their caches dropped.
+    */
+  private def refreshFilters(spark: SparkSession, root: String, hCol: String,
+                             cfg: Config): Unit = {
     val snap = SnapTable.snapshot(spark, root).getOrElse(return)
     val base = snap.files.filter(isBase)
     if (base.isEmpty) return
     def name(e: SnapTable.FileEntry): String = new Path(e.path).getName
     val names = base.map(name).toSet
-    val rawOld = loadBloom(spark, root)
-    // a sizing change orphans the old GLOBAL filter (bit widths must
-    // match to merge): rebuild it from the whole base, once. Chunk
-    // filters are sized per chunk by chunkFpp and are unaffected.
-    val old = rawOld.filter(b => b.items == cfg.bloomItems && b.fpp == cfg.bloomFpp)
+    val runs: Map[String, Vector[SnapTable.FileEntry]] =
+      base.toVector.groupBy(runOf)
     val f = bloomPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // sweep bloom.bin tmps orphaned by a crash between create and rename
-    // (same age gate + single-writer argument as the chunk-filter tmps)
-    try {
-      val now = System.currentTimeMillis()
-      f.listStatus(new Path(root)).filter(s => s.isFile &&
-          s.getPath.getName.startsWith(".bloom.tmp-") &&
-          now - s.getModificationTime > 15 * 60 * 1000L)
-        .foreach(s => try f.delete(s.getPath, false)
-        catch { case scala.util.control.NonFatal(_) => })
-    } catch { case scala.util.control.NonFatal(_) => }
-    // ---- chunk filter files: create missing, sweep departed
-    val haveChunk: Set[String] = {
-      val cd = chunkDir(root)
-      if (!f.exists(cd)) Set.empty
-      else {
-        val all = f.listStatus(cd).filter(_.isFile)
-        // sweep tmp files orphaned by a crash between create and rename
-        // (age-gated: this fold's own writes are seconds old at most,
-        // and the single-streaming-writer contract means no OTHER
-        // writer's in-flight tmp can be live here)
-        val now = System.currentTimeMillis()
-        all.filter(s => s.getPath.getName.startsWith(".") &&
-            s.getPath.getName.contains(".tmp-") &&
-            now - s.getModificationTime > 15 * 60 * 1000L)
-          .foreach(s => try f.delete(s.getPath, false)
-          catch { case scala.util.control.NonFatal(_) => })
-        all.map(_.getPath.getName)
-          .filter(n => n.endsWith(".bf") && !n.startsWith("."))
-          .map(_.stripSuffix(".bf")).toSet
-      }
-    }
-    val missing = base.filter(e => !haveChunk(name(e)))
-    val (fromLegacy, toBuild) = missing.partition(e =>
-      rawOld.exists(_.legacyChunks.contains(name(e))))
-    for (e <- fromLegacy)
-      writeChunkFile(f, root, name(e), rawOld.get.legacyChunks(name(e)))
-    val (statful, statless) = toBuild.partition(_.rows >= 0)
-    // unknown-stats files (defensive path): observe all their row
-    // counts in ONE job, then build through the same single-job path
-    // as the stat-bearing chunks — never two sequential jobs per file
+    sweepFilterTmps(f, root)
+    val legacy = loadBloom(spark, root)
+    // ---- chunk selection filters: create missing, sweep departed
+    val haveChunk = listFilterNames(f, chunkDir(root), ".bf")
+    val missingChunks = base.filter(e => !haveChunk(name(e)))
+    val (chunkFromLegacy, chunkBuild) = missingChunks.partition(e =>
+      legacy.exists(_.legacyChunks.contains(name(e))))
+    for (e <- chunkFromLegacy)
+      Metrics.foldSidecarBytes.addAndGet(writeTrailedBlob(f, chunkDir(root),
+        s"${name(e)}.bf", legacy.get.legacyChunks(name(e))))
+    // ---- run probe filters: create missing (unless legacy-covered)
+    val haveRun = listFilterNames(f, runsDir(root), ".gbf")
+    val missingRuns = runs.keysIterator.filterNot(haveRun).toVector
+    val (legacyRuns, buildRuns) = missingRuns.partition(r =>
+      legacy.exists(lb => runs(r).forall(e => lb.covered(name(e)))))
+    // resolve unknown row counts for everything to be read, in ONE job
+    // (defensive: fold-written chunks always carry exact stats)
+    val runChunks = buildRuns.flatMap(runs(_))
+    val toRead0 = (chunkBuild ++ runChunks)
+      .groupBy(_.path).map(_._2.head).toVector
+    val (statful, statless) = toRead0.partition(_.rows >= 0)
     val counted =
       if (statless.isEmpty) Vector.empty[SnapTable.FileEntry]
       else {
@@ -717,120 +983,187 @@ object ClaimStore {
             fn.substring(fn.lastIndexOf('/') + 1) -> r.getLong(1) }).toMap
         statless.map(e => e.copy(rows = counts.getOrElse(name(e), 16L)))
       }
-    val built = buildChunkFilters(spark, statful ++ counted, hCol, cfg.chunkFpp)
-    for (e <- toBuild)
-      writeChunkFile(f, root, name(e), built.getOrElse(name(e),
-        // a chunk whose read yielded no rows: an empty (all-negative)
-        // filter is exactly right
-        serializeBloom(BloomFilter.create(16, cfg.chunkFpp))))
+    val toRead = statful ++ counted
+    val rowsOf: Map[String, Long] =
+      toRead.map(e => name(e) -> math.max(e.rows, 16L)).toMap
+    val runItems: Map[String, Long] = buildRuns.map(r =>
+      r -> runs(r).map(e => rowsOf.getOrElse(name(e), math.max(e.rows, 16L))).sum)
+      .toMap
+    val (chunkBlobs, runBlobs) = buildFilters(spark, toRead, hCol,
+      chunkBuild.map(name).toSet, cfg.chunkFpp, runItems, perRunFpp(cfg))
+    for (e <- chunkBuild)
+      Metrics.foldSidecarBytes.addAndGet(writeTrailedBlob(f, chunkDir(root),
+        s"${name(e)}.bf", chunkBlobs.getOrElse(name(e),
+          // a chunk whose read yielded no rows: an empty (all-negative)
+          // filter is exactly right
+          serializeBloom(BloomFilter.create(16, cfg.chunkFpp)))))
+    for (r <- buildRuns)
+      Metrics.foldSidecarBytes.addAndGet(writeTrailedBlob(f, runsDir(root),
+        s"$r.gbf", runBlobs.getOrElse(r,
+          serializeBloom(BloomFilter.create(16, perRunFpp(cfg))))))
+    // ---- sweep filters of departed chunks/runs
     haveChunk.diff(names).foreach(n => f.delete(chunkFilePath(root, n), false))
-    // ---- global filter
-    val globalTodo = base.filter(e => !old.exists(_.covered(name(e))))
-    if (globalTodo.isEmpty && old.exists(o => o.covered == names && o.legacyChunks.isEmpty))
-      return
-    val global =
-      if (globalTodo.isEmpty) old.get.bytes
-      else serializeBloom {
-        val built = spark.read.parquet(globalTodo.map(_.path): _*)
-          .stat.bloomFilter(hCol, cfg.bloomItems, cfg.bloomFpp)
-        old match {
-          case Some(o) => built.mergeInPlace(
-            BloomFilter.readFrom(new java.io.ByteArrayInputStream(o.bytes)))
-          case None => built
-        }
-      }
-    writeBloomFile(spark, root, names, cfg.bloomItems, cfg.bloomFpp, global)
+    haveRun.diff(runs.keySet).foreach { r =>
+      f.delete(runFilePath(root, r), false)
+      dropRunFilter(root, r)
+    }
+    // ---- retire the legacy global filter once nothing probes through it
+    if (legacy.isDefined && legacyRuns.isEmpty) {
+      f.delete(bloomPath(root), false)
+      dropBloomCache(root)
+    }
   }
 
-  /** Build the missing chunks' filters in ONE Spark job: all files are
-    * read together, each task accumulates PER-FILE partial filters
-    * (keyed by `input_file_name`, each sized from the file's manifest
-    * row count so every partial of one file shares a bit width and
-    * merges by OR), and the driver folds the partials. A merge fold
-    * that produces K chunks costs one job over their bytes instead of
-    * K sequential driver-scheduled jobs — the difference between
-    * seconds and minutes when a size-tiered merge rewrites many chunks
-    * at once. Build and probe use the same sketch primitives
-    * (`putString`/`mightContainString`), so no false negative is
-    * possible by construction; the exact-check still resolves false
-    * positives.
+  /** Build the missing chunk + run filters in ONE Spark job: all files
+    * are read together, each task accumulates PER-FILE and PER-RUN
+    * partial filters (keyed by `input_file_name` / its staging-stamp
+    * prefix, each sized from manifest row counts so every partial of
+    * one key shares a bit width and merges by OR), and the driver
+    * folds the partials. A merge fold that produces K chunks costs one
+    * job over their bytes instead of K sequential driver-scheduled
+    * jobs — the difference between seconds and minutes when a
+    * size-tiered merge rewrites many chunks at once. Build and probe
+    * use the same sketch primitives (`putString`/`mightContainString`),
+    * so no false negative is possible by construction; the exact check
+    * still resolves false positives.
     */
-  private def buildChunkFilters(spark: SparkSession,
-                                files: Seq[SnapTable.FileEntry], hCol: String,
-                                fpp: Double): Map[String, Array[Byte]] = {
-    if (files.isEmpty) return Map.empty
+  private def buildFilters(spark: SparkSession,
+                           files: Seq[SnapTable.FileEntry], hCol: String,
+                           chunkTargets: Set[String], chunkFpp: Double,
+                           runItems: Map[String, Long], runFpp: Double)
+      : (Map[String, Array[Byte]], Map[String, Array[Byte]]) = {
+    if (files.isEmpty || (chunkTargets.isEmpty && runItems.isEmpty))
+      return (Map.empty, Map.empty)
     val rowsByName: Map[String, Long] =
       files.map(e => new Path(e.path).getName -> math.max(e.rows, 16L)).toMap
-    val bc = spark.sparkContext.broadcast(rowsByName)
+    val bc = spark.sparkContext.broadcast(
+      (rowsByName, chunkTargets, runItems, chunkFpp, runFpp))
     val partials = spark.read.parquet(files.map(_.path): _*)
       .select(col(hCol).cast("string"), input_file_name())
       .rdd.mapPartitions { it =>
-        val acc = scala.collection.mutable.HashMap.empty[String, BloomFilter]
+        val (rows, cts, rts, cf, rf) = bc.value
+        val accC = scala.collection.mutable.HashMap.empty[String, BloomFilter]
+        val accR = scala.collection.mutable.HashMap.empty[String, BloomFilter]
         it.foreach { r =>
-          val f = r.getString(1)
-          val nm = f.substring(f.lastIndexOf('/') + 1)
-          val bf = acc.getOrElseUpdate(nm, BloomFilter.create(bc.value(nm), fpp))
+          val fn = r.getString(1)
+          val nm = fn.substring(fn.lastIndexOf('/') + 1)
           val h = r.getString(0)
-          if (h != null) bf.putString(h)
+          if (h != null) {
+            if (cts(nm))
+              accC.getOrElseUpdate(nm, BloomFilter.create(rows(nm), cf)).putString(h)
+            val stamp = nm.takeWhile(_ != '-')
+            if (rts.contains(stamp))
+              accR.getOrElseUpdate(stamp, BloomFilter.create(rts(stamp), rf)).putString(h)
+          }
         }
-        acc.iterator.map { case (nm, bf) => (nm, serializeBloom(bf)) }
+        accC.iterator.map { case (nm, bf) => ((0: Byte, nm), serializeBloom(bf)) } ++
+          accR.iterator.map { case (st, bf) => ((1: Byte, st), serializeBloom(bf)) }
       }.collect()
     bc.destroy() // one broadcast per fold otherwise outlives the stream
-    partials.groupBy(_._1).map { case (nm, parts) =>
-      val merged = BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(parts.head._2))
-      parts.iterator.drop(1).foreach(p => merged.mergeInPlace(
-        BloomFilter.readFrom(new java.io.ByteArrayInputStream(p._2))))
-      nm -> serializeBloom(merged)
-    }
+    def mergeKind(kind: Byte): Map[String, Array[Byte]] =
+      partials.iterator.filter(_._1._1 == kind).toSeq.groupBy(_._1._2)
+        .map { case (k, parts) =>
+          val merged = BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(parts.head._2))
+          parts.iterator.drop(1).foreach(p => merged.mergeInPlace(
+            BloomFilter.readFrom(new java.io.ByteArrayInputStream(p._2))))
+          k -> serializeBloom(merged)
+        }
+    (mergeKind(0), mergeKind(1))
   }
 
-  /** Probe the batch hashes through the Bloom; Some(sorted positives)
-    * or None when they exceed `cap` (caller falls back to a full read).
+  // ---- probe -------------------------------------------------------------
+
+  /** Positives sorted in UTF-8 byte order (the order manifest bounds
+    * were computed in), with the encodings kept for bounds compares.
     */
-  private def probePositives(spark: SparkSession, root: String, b: LoadedBloom,
+  private final class Positives(val strs: Array[String],
+                                val bytes: Array[Array[Byte]])
+
+  /** Probe the batch hashes through the union of the probe filters;
+    * Some(sorted positives) or None when they exceed `cap` (caller
+    * falls back to a full read).
+    */
+  private def probePositives(spark: SparkSession,
+                             filters: Seq[org.apache.spark.broadcast.Broadcast[Array[Byte]]],
                              batchHashes: DataFrame, hCol: String,
-                             cap: Int): Option[Array[String]] = {
-    Metrics.bloomProbeBytes.addAndGet(b.bytes.length.toLong)
-    // loadBloom evicts entries whose broadcast died with its context,
-    // so this fallback is belt-and-braces; a fresh broadcast made here
-    // is destroyed after the probe rather than leaked per batch
-    val (bc, fresh) =
-      try { b.bcast.value; (b.bcast, false) }
-      catch { case scala.util.control.NonFatal(_) =>
-        (spark.sparkContext.broadcast(b.bytes), true)
-      }
-    try {
-      val pos = batchHashes.select(col(hCol).cast("string"))
-        .as[String](Encoders.STRING)
-        .mapPartitions { it =>
-          // callers skip a pre-distinct shuffle over the WHOLE batch;
-          // dedupe per partition so a hot hash (a line present in every
-          // doc) cannot flood downstream — the emitted set is bounded
-          // by the partition's distinct Bloom-positive hashes
-          val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bc.value))
-          val seen = new java.util.HashSet[String]()
-          it.filter(h => h != null && seen.add(h) && bf.mightContainString(h))
-        }(Encoders.STRING)
-        // distinct BEFORE the cap decision: the cap must measure
-        // DISTINCT positives, or a previously-claimed hash appearing in
-        // every partition (boilerplate) counts once per partition and
-        // trips a spurious full-base fallback. This shuffles only the
-        // positives (true duplicates + fpp), never the batch.
-        .distinct()
-        .limit(cap + 1).collect()
-      if (pos.length > cap) None else Some(pos.sorted)
-    } finally {
-      if (fresh) try bc.destroy() catch { case scala.util.control.NonFatal(_) => }
+                             cap: Int): Option[Positives] = {
+    val bcs = filters.toArray
+    val pos = batchHashes.select(col(hCol).cast("string"))
+      .as[String](Encoders.STRING)
+      .mapPartitions { it =>
+        // callers skip a pre-distinct shuffle over the WHOLE batch;
+        // dedupe per partition so a hot hash (a line present in every
+        // doc) cannot flood downstream — the emitted set is bounded
+        // by the partition's distinct filter-positive hashes. Each
+        // blob parses once per executor (parsedFilters), not per task.
+        val bfs = bcs.map(bc => parsedFilters.of(bc.value))
+        val seen = new java.util.HashSet[String]()
+        it.filter { h =>
+          h != null && seen.add(h) && {
+            var i = 0; var hit = false
+            while (!hit && i < bfs.length) {
+              hit = bfs(i).mightContainString(h); i += 1
+            }
+            hit
+          }
+        }
+      }(Encoders.STRING)
+      // distinct BEFORE the cap decision: the cap must measure
+      // DISTINCT positives, or a previously-claimed hash appearing in
+      // every partition (boilerplate) counts once per partition and
+      // trips a spurious full-base fallback. This shuffles only the
+      // positives (true duplicates + fpp), never the batch.
+      .distinct()
+      .limit(cap + 1).collect()
+    if (pos.length > cap) None
+    else {
+      val paired = pos.map(s => (utf8(s), s))
+        .sortWith((a, b) => cmpUtf8(a._1, b._1) < 0)
+      Some(new Positives(paired.map(_._2), paired.map(_._1)))
     }
   }
 
-  /** First index i with xs(i) >= key (xs sorted ascending). */
-  private def lowerBound(xs: Array[String], key: String): Int = {
+  // ---- UTF-8 byte order (matches UTF8String min/max in manifests) -------
+
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def cmpUtf8(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Test hook: drop the driver-side filter caches, as if this were a
+    * fresh driver resuming against the on-disk state (the caches are
+    * keyed by immutable file names, so production code never needs
+    * this — specs that hand-rewind the sidecar layout do).
+    */
+  private[streaming] def resetSidecarCachesForTest(): Unit = {
+    runFilterCache.keySet().forEach { k =>
+      val old = runFilterCache.remove(k)
+      if (old != null) try old.bcast.destroy()
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+    bloomCache.keySet().forEach { k =>
+      val old = bloomCache.remove(k)
+      if (old != null) old._2.foreach(b => try b.bcast.destroy()
+      catch { case scala.util.control.NonFatal(_) => })
+    }
+  }
+
+  /** First index i with xs(i) >= key (xs sorted in UTF-8 byte order). */
+  private def lowerBound(xs: Array[Array[Byte]], key: Array[Byte]): Int = {
     var lo = 0; var hi = xs.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (xs(mid) < key) lo = mid + 1 else hi = mid
+      if (cmpUtf8(xs(mid), key) < 0) lo = mid + 1 else hi = mid
     }
     lo
   }

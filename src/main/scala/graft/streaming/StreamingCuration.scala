@@ -157,7 +157,7 @@ object StreamingCuration {
           case Some(s) => newClaims.join(s, newClaims("lh") === s("lh"), "left_anti")
           case None => newClaims
         }
-        ClaimStore.appendClaims(spark, claimRoot("_lines_seen"), toWrite, "lh", batchId)
+        ClaimStore.appendClaims(spark, claimRoot("_lines_seen"), toWrite, "lh", batchId, claimCfg)
         keepDf.groupBy(col(idCol))
           .agg(concat_ws("\n", expr(
             "transform(array_sort(collect_list(case when keep then struct(idx, line) end)), x -> x.line)"))
@@ -199,7 +199,7 @@ object StreamingCuration {
           case Some(s) => newNg.join(s, newNg("nh") === s("nh"), "left_anti")
           case None => newNg
         }
-        ClaimStore.appendClaims(spark, claimRoot("_ngrams_seen"), toWriteNg, "nh", batchId)
+        ClaimStore.appendClaims(spark, claimRoot("_ngrams_seen"), toWriteNg, "nh", batchId, claimCfg)
         val spans = graft.ops.Dedup.mergeSpans(
           dupIn.union(dupSeen.select(col(idCol), col("i"))), idCol, n)
         toks.join(spans, Seq(idCol), "left")
@@ -276,7 +276,7 @@ object StreamingCuration {
           case Some(s) => newHashes.join(s, newHashes("th") === s("th"), "left_anti")
           case None => newHashes
         }
-        ClaimStore.appendClaims(spark, claimRoot("_texts_seen"), toWrite, "th", batchId)
+        ClaimStore.appendClaims(spark, claimRoot("_texts_seen"), toWrite, "th", batchId, claimCfg)
         withDecontam.withColumn("_h", md5(col("text_curated")))
           .join(ownersUnseen, Seq("_h"), "left")
           .withColumn("keep_exact",

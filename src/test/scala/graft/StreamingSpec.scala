@@ -733,8 +733,11 @@ class StreamingSpec extends AnyFunSuite {
       assert(tags.contains("base"), s"$name: $tags")
       assert(!tags.exists(t => t.startsWith("b:") &&
         t.stripPrefix("b:").toLong < 3), s"$name not folded: $tags")
-      // the fold left a Bloom covering the base
-      assert(new java.io.File(s"$base/out/$name/bloom.bin").exists(), s"$name bloom missing")
+      // the fold left an immutable probe filter per run (and never the
+      // legacy mutable bloom.bin)
+      assert(new java.io.File(s"$base/out/$name/bloomruns").listFiles()
+        .exists(_.getName.endsWith(".gbf")), s"$name run filter missing")
+      assert(!new java.io.File(s"$base/out/$name/bloom.bin").exists(), s"$name wrote bloom.bin")
     }
     // replaying the newest (possibly-uncommitted) batch AFTER compaction
     // stays idempotent: its own claims were never folded

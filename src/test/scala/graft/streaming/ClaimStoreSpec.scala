@@ -110,41 +110,73 @@ class ClaimStoreSpec extends AnyFunSuite {
     assert(ClaimStore.Metrics.fullFallbacks.get >= 1L)
   }
 
-  test("a missing/torn bloom degrades to full reads and the next fold heals it") {
+  test("a missing/torn run filter full-reads ONLY its run and the next fold heals it") {
     val root = tmp("cs5")
+    // two folds -> two runs, each with its own immutable probe filter
     ClaimStore.appendClaims(spark, root, hashes(0 until 200), "h", 0L)
     ClaimStore.fold(spark, root, "h", 0L)
-    // simulate a crash between the fold commit and the Bloom write
-    val bloom = new java.io.File(s"$root/bloom.bin")
-    assert(bloom.exists())
-    java.nio.file.Files.writeString(bloom.toPath, "torn-garbage")
-    ClaimStore.Metrics.reset()
-    assert(seenSet(root, 0 until 300, 1L) == hashSet(0 until 200))
-    assert(ClaimStore.Metrics.fullFallbacks.get >= 1L, "torn bloom must fall back")
-    // more claims + a fold heal the coverage (fold reads only the
-    // uncovered chunks, here all of them)
-    ClaimStore.appendClaims(spark, root, hashes(200 until 250), "h", 1L)
+    ClaimStore.appendClaims(spark, root, hashes(200 until 400), "h", 1L)
     ClaimStore.fold(spark, root, "h", 1L)
+    val runDir = new java.io.File(s"$root/bloomruns")
+    def gbfs = runDir.listFiles().filter(_.getName.endsWith(".gbf"))
+    assert(gbfs.length == 2, s"expected one .gbf per run, got ${gbfs.length}")
+    assert(!new java.io.File(s"$root/bloom.bin").exists(),
+      "fresh stores must never write the legacy mutable bloom.bin")
+    // simulate a crash between a fold commit and its filter write
+    val victim = gbfs.sortBy(_.getName).head
+    java.nio.file.Files.writeString(victim.toPath, "torn-garbage")
+    val baseBytes = SnapTable.snapshot(spark, root).get.files
+      .filter(_.tag.contains("base")).map(_.bytes).sum
+    // probe FRESH hashes: the filterless run is read in full (it must
+    // be — nothing can prune it) but the intact run's filter rejects
+    // every probe, so the fallback is RUN-scoped, below the whole base
     ClaimStore.Metrics.reset()
-    assert(seenSet(root, 0 until 300, 2L) == hashSet(0 until 250))
-    assert(ClaimStore.Metrics.fullFallbacks.get == 0L, "healed bloom must cover the base")
+    assert(seenSet(root, 1000 until 1100, 2L).isEmpty)
+    assert(ClaimStore.Metrics.fullFallbacks.get >= 1L, "torn filter must fall back")
+    assert(!victim.exists(), "a definitively-corrupt run filter is deleted on read")
+    assert(ClaimStore.Metrics.plannedSeenBytes.get < baseBytes,
+      s"read ${ClaimStore.Metrics.plannedSeenBytes.get} of $baseBytes base bytes")
+    // exactness across BOTH runs while one filter is missing
+    assert(seenSet(root, 0 until 500, 2L) == hashSet(0 until 400))
+    // more claims + a fold heal the coverage (the heal reads only the
+    // filterless run, not the whole base)
+    ClaimStore.appendClaims(spark, root, hashes(400 until 450), "h", 2L)
+    ClaimStore.fold(spark, root, "h", 2L)
+    ClaimStore.Metrics.reset()
+    assert(seenSet(root, 0 until 500, 3L) == hashSet(0 until 450))
+    assert(ClaimStore.Metrics.fullFallbacks.get == 0L, "healed filters must cover the base")
     // and a fresh batch is back to zero base bytes
     ClaimStore.Metrics.reset()
-    assert(seenSet(root, 1000 until 1050, 2L).isEmpty)
+    assert(seenSet(root, 1000 until 1050, 3L).isEmpty)
     assert(ClaimStore.Metrics.plannedSeenBytes.get == 0L)
   }
 
-  test("bloom resize triggers a one-time rebuild; answers unchanged") {
+  test("run filters are sized per run from exact rows; config changes never rebuild") {
     val root = tmp("cs6")
     ClaimStore.appendClaims(spark, root, hashes(0 until 100), "h", 0L)
     ClaimStore.fold(spark, root, "h", 0L)
-    ClaimStore.appendClaims(spark, root, hashes(100 until 150), "h", 1L)
-    val resized = ClaimStore.Config(bloomItems = 1000000)
-    ClaimStore.fold(spark, root, "h", 1L, resized)
-    assert(seenSet(root, 0 until 200, 2L, resized) == hashSet(0 until 150))
+    ClaimStore.appendClaims(spark, root, hashes(100 until 3100), "h", 1L)
+    ClaimStore.fold(spark, root, "h", 1L)
+    val runDir = new java.io.File(s"$root/bloomruns")
+    val byName = runDir.listFiles().filter(_.getName.endsWith(".gbf")).sortBy(_.length())
+    assert(byName.length == 2)
+    // exact per-run sizing: the 3000-claim run's filter is strictly
+    // bigger than the 100-claim run's (no global knob to saturate)
+    assert(byName.last.length() > 2 * byName.head.length(),
+      s"sizes ${byName.map(_.length()).mkString(",")}")
+    // an fpp change applies only to FUTURE filters: existing immutable
+    // files are not rewritten by the next fold
+    val before = byName.map(f => f.getName -> f.lastModified()).toMap
+    ClaimStore.appendClaims(spark, root, hashes(3100 until 3150), "h", 2L)
+    ClaimStore.fold(spark, root, "h", 2L, ClaimStore.Config(bloomFpp = 0.10))
+    for (f <- byName)
+      assert(f.lastModified() == before(f.getName), s"${f.getName} was rewritten")
+    assert(seenSet(root, 0 until 3200, 3L) == hashSet(0 until 3150))
     ClaimStore.Metrics.reset()
-    assert(seenSet(root, 500 until 520, 2L, resized).isEmpty)
+    assert(seenSet(root, 5000 until 5020, 3L).isEmpty)
     assert(ClaimStore.Metrics.plannedSeenBytes.get == 0L)
+    // saturation observability: the probe reports its union fpp bound
+    assert(ClaimStore.Metrics.probeFppPpm.get > 0L)
   }
 
   test("chunk selection is bounded by content, not LSM run count") {
@@ -205,12 +237,11 @@ class ClaimStoreSpec extends AnyFunSuite {
     def bfFiles = bfDir.listFiles().filter(_.getName.endsWith(".bf"))
     assert(bfFiles.length == base.size,
       s"expected one filter file per chunk: ${bfFiles.length} vs ${base.size}")
-    // bloom.bin is header + GLOBAL filter only (no embedded chunk blobs)
-    val header = {
-      val in = new java.io.BufferedReader(new java.io.FileReader(s"$root/bloom.bin"))
-      try in.readLine() finally in.close()
-    }
-    assert(!header.contains("\"chunks\""), "bloom.bin must not embed chunk blobs")
+    // the probe side is immutable run filters — no mutable global file
+    assert(!new java.io.File(s"$root/bloom.bin").exists(),
+      "fresh stores must never write the legacy mutable bloom.bin")
+    assert(new java.io.File(s"$root/bloomruns").listFiles()
+      .count(_.getName.endsWith(".gbf")) == 1, "one probe filter per run")
     // corrupt THREE chunk filters, one per failure shape — each must
     // degrade to bounds for its chunk (the positive is still found),
     // be deleted on read, and heal at the next fold; others unaffected
@@ -332,6 +363,116 @@ class ClaimStoreSpec extends AnyFunSuite {
     // the overlap imported exactly once: claims stay globally distinct
     val all = SnapTable.read(spark, root).select("h")
     assert(all.count() == 25 && all.distinct().count() == 25)
+  }
+
+  test("a pre-r8 legacy bloom.bin keeps serving old runs and is retired after merges") {
+    val root = tmp("cs14")
+    ClaimStore.appendClaims(spark, root, hashes(0 until 300), "h", 0L)
+    ClaimStore.fold(spark, root, "h", 0L)
+    ClaimStore.appendClaims(spark, root, hashes(300 until 600), "h", 1L)
+    ClaimStore.fold(spark, root, "h", 1L)
+    // rewind the sidecars to the pre-r8 layout: no run filters, one
+    // mutable global bloom.bin covering every base chunk (per-chunk
+    // files existed in r7 too, so they stay); cold driver caches
+    val runDir = new java.io.File(s"$root/bloomruns")
+    runDir.listFiles().foreach(_.delete())
+    ClaimStore.resetSidecarCachesForTest()
+    val covered = SnapTable.snapshot(spark, root).get.files
+      .filter(_.tag.contains("base"))
+      .map(e => new org.apache.hadoop.fs.Path(e.path).getName)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(10000, 0.001)
+    (0 until 600).foreach(i => bf.putString(StreamingUtil.md5hex(s"claim-$i")))
+    val buf = new java.io.ByteArrayOutputStream()
+    bf.writeTo(buf)
+    val global = buf.toByteArray
+    val crc = new java.util.zip.CRC32
+    crc.update(global)
+    val header = s"""{"glen":${global.length},"crc":${crc.getValue},""" +
+      s""""covered":[${covered.map(c => s""""$c"""").mkString(",")}]}"""
+    locally {
+      val out = new java.io.FileOutputStream(s"$root/bloom.bin")
+      try { out.write(header.getBytes("UTF-8")); out.write('\n'); out.write(global) }
+      finally out.close()
+    }
+    // old runs probe through the legacy filter: exact, zero fallbacks,
+    // fresh batches still read zero base bytes
+    ClaimStore.Metrics.reset()
+    assert(seenSet(root, 0 until 700, 2L) == hashSet(0 until 600))
+    assert(ClaimStore.Metrics.fullFallbacks.get == 0L)
+    ClaimStore.Metrics.reset()
+    assert(seenSet(root, 1000 until 1050, 2L).isEmpty)
+    assert(ClaimStore.Metrics.plannedSeenBytes.get == 0L)
+    // the next fold filters only the NEW run — no O(corpus) upgrade
+    // rebuild — and must keep bloom.bin for the legacy-covered runs
+    ClaimStore.appendClaims(spark, root, hashes(600 until 650), "h", 2L)
+    ClaimStore.fold(spark, root, "h", 2L)
+    assert(runDir.listFiles().count(_.getName.endsWith(".gbf")) == 1,
+      "only the fold's own run gets a filter on upgrade")
+    assert(new java.io.File(s"$root/bloom.bin").exists(),
+      "legacy filter must survive while runs probe through it")
+    ClaimStore.Metrics.reset()
+    assert(seenSet(root, 0 until 700, 3L) == hashSet(0 until 650))
+    assert(ClaimStore.Metrics.fullFallbacks.get == 0L)
+    // a full merge rehomes every claim into filtered runs -> retired
+    ClaimStore.appendClaims(spark, root, hashes(650 until 660), "h", 3L)
+    ClaimStore.fold(spark, root, "h", 3L, ClaimStore.Config(maxRuns = 1))
+    assert(!new java.io.File(s"$root/bloom.bin").exists(),
+      "legacy filter must be deleted once no run needs it")
+    ClaimStore.Metrics.reset()
+    assert(seenSet(root, 0 until 700, 4L) == hashSet(0 until 660))
+    assert(ClaimStore.Metrics.fullFallbacks.get == 0L)
+    ClaimStore.Metrics.reset()
+    assert(seenSet(root, 1000 until 1050, 4L).isEmpty)
+    assert(ClaimStore.Metrics.plannedSeenBytes.get == 0L)
+  }
+
+  test("sharded store matches the unsharded one over a randomized trace; layout guarded") {
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(8142)
+    val rootU = tmp("cs15u")
+    val rootS = tmp("cs15s")
+    val cfgU = ClaimStore.Config(foldTargetBytes = 4096, maxRuns = 3)
+    val cfgS = cfgU.copy(shards = 4)
+    var claimed = Set.empty[Int]
+    for (step <- 0 until 8) {
+      val b = step.toLong
+      val probe = Seq.fill(60)(rnd.nextInt(2000)).distinct
+      val su = seenSet(rootU, probe, b, cfgU)
+      assert(su == seenSet(rootS, probe, b, cfgS),
+        s"step $step: sharded and unsharded stores diverge")
+      assert(su == hashSet(probe.filter(claimed)), s"step $step vs model")
+      val newIds = Seq.fill(rnd.nextInt(60))(rnd.nextInt(2000))
+        .distinct.filterNot(claimed)
+      ClaimStore.appendClaims(spark, rootU, hashes(newIds), "h", b, cfgU)
+      ClaimStore.appendClaims(spark, rootS, hashes(newIds), "h", b, cfgS)
+      claimed ++= newIds
+      assert(ClaimStore.lastBatch(spark, rootU, cfgU) ==
+        ClaimStore.lastBatch(spark, rootS, cfgS))
+      if (rnd.nextInt(3) == 0) {
+        ClaimStore.fold(spark, rootU, "h", b, cfgU)
+        ClaimStore.fold(spark, rootS, "h", b, cfgS)
+      }
+      if (rnd.nextInt(4) == 0) { // replay of a committed batch, both stores
+        ClaimStore.appendClaims(spark, rootU, hashes(newIds), "h", b, cfgU)
+        ClaimStore.appendClaims(spark, rootS, hashes(newIds), "h", b, cfgS)
+      }
+    }
+    // shards PARTITION the claim set (disjoint, union = whole)
+    val counts = (0 until 4).map(s =>
+      try SnapTable.read(spark, s"$rootS/shard-$s").count()
+      catch { case _: IllegalArgumentException => 0L })
+    assert(counts.sum == claimed.size, s"shard counts $counts")
+    // per-shard read accounting: every planned byte is attributed to a
+    // shard root, so a sharded trajectory can pin per-shard bounds
+    ClaimStore.Metrics.reset()
+    assert(seenSet(rootS, 0 until 2000, 8L, cfgS) == hashSet(claimed.toSeq))
+    val perRoot = ClaimStore.Metrics.perRootSeenBytes.keySet().asScala
+    assert(perRoot.nonEmpty && perRoot.forall(_.contains("/shard-")), perRoot.toString)
+    // wrong shard setting is refused loudly, both directions — a silent
+    // mix would serve an empty seen set and re-admit duplicates
+    intercept[IllegalStateException](ClaimStore.lastBatch(spark, rootS))
+    intercept[IllegalStateException](
+      ClaimStore.seenFor(spark, rootU, hashes(0 until 5), "h", 9L, cfgS))
   }
 
   test("empty claim append is a pure watermark bump; fold with nothing to fold is a no-op") {
