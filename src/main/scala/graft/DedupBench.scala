@@ -185,8 +185,14 @@ object DedupBench {
     * sustained micro-batch rate INCLUDING the sidecar reads/writes, and
     * checks the survivor count equals the batch funnel's.
     */
+  private final case class BatchStat(id: Long, sec: Double, seenBytes: Long,
+                                     picked: Long, fallbacks: Long,
+                                     foldSidecarBytes: Long, fppPpm: Long,
+                                     maxRootSeenBytes: Long)
+
   def runCurateStream(cpus: Int, nDocs: Long, dupGroup: Int,
-                      batches: Int, compactEvery: Int = 0): (Double, Long, Long) = {
+                      batches: Int, compactEvery: Int = 0,
+                      shards: Int = 1): (Double, Long, Long) = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-curate-stream-$cpus")
@@ -220,8 +226,9 @@ object DedupBench {
       // TRAJECTORY at constant batch size — late batches carry the full
       // claim history, so late/early per-batch time isolates the
       // history-growth term from the fixed micro-batch floor
+      val claimCfg = graft.streaming.ClaimStore.Config(shards = shards)
       val perBatch =
-        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long, Long, Long)]()
+        new java.util.concurrent.ConcurrentLinkedQueue[BatchStat]()
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/docs")
         .writeStream
@@ -229,14 +236,21 @@ object DedupBench {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
           val s0 = System.nanoTime()
-          graft.streaming.ClaimStore.Metrics.reset()
+          val m = graft.streaming.ClaimStore.Metrics
+          m.reset()
           graft.streaming.StreamingCuration.processBatch(
             b, id, s"$base/out", "doc_id", "text", cfg,
-            compactEvery = compactEvery)
-          perBatch.add((id, (System.nanoTime() - s0) / 1e9,
-            graft.streaming.ClaimStore.Metrics.plannedSeenBytes.get,
-            graft.streaming.ClaimStore.Metrics.baseFilesSelected.get,
-            graft.streaming.ClaimStore.Metrics.fullFallbacks.get))
+            compactEvery = compactEvery, claimCfg = claimCfg)
+          val maxRoot = {
+            val it = m.perRootSeenBytes.values().iterator()
+            var mx = 0L
+            while (it.hasNext) mx = math.max(mx, it.next().longValue)
+            mx
+          }
+          perBatch.add(BatchStat(id, (System.nanoTime() - s0) / 1e9,
+            m.plannedSeenBytes.get, m.baseFilesSelected.get,
+            m.fullFallbacks.get, m.foldSidecarBytes.get, m.probeFppPpm.get,
+            maxRoot))
           ()
         }
         .start()
@@ -244,8 +258,8 @@ object DedupBench {
       val t = (System.nanoTime() - t0) / 1e9
       val kept = spark.read.parquet(s"$base/out/curated").count()
       val keptBatch = graft.ops.Curation.curate(docs, "doc_id", "text", cfg).count()
-      val rows = perBatch.toArray(Array.empty[(Long, Double, Long, Long, Long)]).sortBy(_._1)
-      val times = rows.map(_._2)
+      val rows = perBatch.toArray(Array.empty[BatchStat]).sortBy(_.id)
+      val times = rows.map(_.sec)
       val k = math.min(10, times.length / 2)
       if (k > 0) {
         // medians: robust to host noise and to the periodic fold batch
@@ -261,14 +275,28 @@ object DedupBench {
         // selection tracks the batch's duplicate spread, not the fold
         // history (seen bytes also move with chunk granularity: merges
         // grow chunks toward foldTargetBytes)
-        val bytes = rows.map(_._3.toDouble)
+        val bytes = rows.map(_.seenBytes.toDouble)
         val bEarly = med(bytes.slice(1, 1 + k))
         val bLate = med(bytes.takeRight(k))
-        val picked = rows.map(_._4.toDouble)
+        val picked = rows.map(_.picked.toDouble)
         val pEarly = med(picked.slice(1, 1 + k))
         val pLate = med(picked.takeRight(k))
-        val fallbacks = rows.map(_._5).sum
-        println(f"""{"metric":"curate_stream_per_batch","early$k%d_med_sec":$early%.2f,"late$k%d_med_sec":$late%.2f,"late_over_early":${late / early}%.2f,"batches":${times.length},"seen_bytes_early$k%d_med":${bEarly}%.0f,"seen_bytes_late$k%d_med":${bLate}%.0f,"picked_chunks_early$k%d_med":$pEarly%.0f,"picked_chunks_late$k%d_med":$pLate%.0f,"bloom_full_fallbacks":$fallbacks%d}""")
+        val fallbacks = rows.map(_.fallbacks).sum
+        // fold-cost witness: sidecar (filter) bytes WRITTEN per fold
+        // batch must track the fold's NEW claims, not the claim corpus
+        // — early-half vs late-half medians over the fold batches only
+        // (medians absorb the occasional size-tiered merge, which
+        // rewrites bigger runs but amortizes to O(log batches)/claim)
+        val folds = rows.filter(_.foldSidecarBytes > 0L)
+          .map(_.foldSidecarBytes.toDouble)
+        val (fsEarly, fsLate) =
+          if (folds.length >= 2) {
+            val half = folds.length / 2
+            (med(folds.take(half)), med(folds.drop(folds.length - half)))
+          } else (0.0, 0.0)
+        val fppMax = rows.map(_.fppPpm).max
+        val rootLate = med(rows.map(_.maxRootSeenBytes.toDouble).takeRight(k))
+        println(f"""{"metric":"curate_stream_per_batch","early$k%d_med_sec":$early%.2f,"late$k%d_med_sec":$late%.2f,"late_over_early":${late / early}%.2f,"batches":${times.length},"shards":$shards%d,"seen_bytes_early$k%d_med":${bEarly}%.0f,"seen_bytes_late$k%d_med":${bLate}%.0f,"picked_chunks_early$k%d_med":$pEarly%.0f,"picked_chunks_late$k%d_med":$pLate%.0f,"bloom_full_fallbacks":$fallbacks%d,"fold_sidecar_bytes_early_med":$fsEarly%.0f,"fold_sidecar_bytes_late_med":$fsLate%.0f,"folds":${folds.length}%d,"probe_fpp_ppm_max":$fppMax%d,"max_root_seen_bytes_late$k%d_med":$rootLate%.0f}""")
       }
       (t, kept, keptBatch)
     } finally {
@@ -285,10 +313,11 @@ object DedupBench {
       val dupGroup = if (args.length > 3) args(3).toInt else 5
       val batches = if (args.length > 4) args(4).toInt else 10
       val compactEvery = if (args.length > 5) args(5).toInt else 0
-      runCurateStream(cpus, 5000, dupGroup, 2, compactEvery) // warmup
+      val shards = if (args.length > 6) args(6).toInt else 1
+      runCurateStream(cpus, 5000, dupGroup, 2, compactEvery, shards) // warmup
       val (t, kept, keptBatch) =
-        runCurateStream(cpus, nDocs, dupGroup, batches, compactEvery)
-      println(f"""{"metric":"curate_stream_docs_per_sec","value":${nDocs / t}%.1f,"unit":"docs/sec","docs":$nDocs,"cpus":$cpus,"batches":$batches,"compact_every":$compactEvery,"t_sec":$t%.1f,"kept":$kept,"kept_batch":$keptBatch,"parity":${kept == keptBatch}}""")
+        runCurateStream(cpus, nDocs, dupGroup, batches, compactEvery, shards)
+      println(f"""{"metric":"curate_stream_docs_per_sec","value":${nDocs / t}%.1f,"unit":"docs/sec","docs":$nDocs,"cpus":$cpus,"batches":$batches,"compact_every":$compactEvery,"shards":$shards,"t_sec":$t%.1f,"kept":$kept,"kept_batch":$keptBatch,"parity":${kept == keptBatch}}""")
       return
     }
     if (args.headOption.exists(a => a == "--curate" || a == "--curate-full")) {

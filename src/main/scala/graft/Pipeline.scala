@@ -195,32 +195,77 @@ object Pipeline {
       .parquet(outDir)
   }
 
+  /** Tokens that make hash repartitioning EXACT: `tokens(p)` is a long
+    * whose Murmur3 partition assignment under `repartition(nPart, _)`
+    * is exactly `p` (found by driver-side search over small longs —
+    * coupon-collector, a few hundred hashes). Routing a row through
+    * `tokens(slot)` therefore places slot `slot` in its OWN shuffle
+    * partition, something neither plain hash partitioning (slots
+    * collide) nor range partitioning (sampled boundaries straddle
+    * values) can guarantee.
+    */
+  private def routeTokens(nPart: Int): Array[Long] = {
+    val tokens = Array.fill(nPart)(-1L)
+    var k = 0L
+    var found = 0
+    while (found < nPart) {
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(k, org.apache.spark.sql.types.LongType, 42L).toInt
+      val p = ((h % nPart) + nPart) % nPart
+      if (tokens(p) < 0L) { tokens(p) = k; found += 1 }
+      k += 1
+    }
+    tokens
+  }
+
+  /** Partition a triples frame so every output file holds EXACTLY ONE
+    * `pred_bucket` value (per-file manifest bounds are points, so
+    * [[readTriplesSnap]]'s bucket pruning selects only that bucket's
+    * files), while a head-heavy bucket still spreads over `spread`
+    * tasks/files via the doc-hash salt. Deterministic — no rand — so
+    * output is identical across retries and cluster sizes.
+    */
+  private def routeByBucket(df: DataFrame, spread: Int): DataFrame = {
+    val nPart = PredBuckets * spread
+    val tokens = routeTokens(nPart)
+    df.withColumn("_slot",
+        (col("pred_bucket") * spread +
+          pmod(xxhash64(col("doc_id")), lit(spread.toLong))).cast("int"))
+      .withColumn("_route",
+        element_at(array(tokens.toIndexedSeq.map(lit(_)): _*), col("_slot") + 1))
+      .repartition(nPart, col("_route"))
+      .drop("_slot", "_route")
+  }
+
   /** [[writeTriples]]'s layout committed through [[graft.table
     * .SnapTable]] — the batch triples path on the SAME commit protocol
     * as the streaming [[StreamingPipeline.startSnap]], replacing the
     * directory-swap journal that [[compactTriples]] needs on the raw
-    * layout. Identical physical shape (salted pred-bucket partitioning,
-    * deterministic, skew-proof), but the bucket lands in per-file
-    * manifest bounds instead of partition directories: readers prune
-    * via [[readTriplesSnap]]'s bucket set (manifest-side, before Spark
-    * lists anything), appends/overwrites are atomic manifest commits,
-    * and compaction is a snapshot-isolated [[graft.table.SnapTable
-    * .rewrite]] — concurrent readers keep a consistent view, crash at
-    * any point leaves only orphan stage files (swept by expire), never
-    * a torn table.
+    * layout. Same salted pred-bucket shape (deterministic, skew-proof),
+    * but the bucket lands in per-file manifest bounds instead of
+    * partition directories: [[routeByBucket]] gives every staged file
+    * exactly one bucket value (lo == hi — a point, so
+    * [[readTriplesSnap]]'s bucket pruning reads only the queried
+    * bucket's files, ~1/PredBuckets of the table) with head-predicate
+    * skew spread over `filesPerBucket` files. Readers prune
+    * manifest-side before Spark lists anything, appends/overwrites are
+    * atomic manifest commits, and compaction is a snapshot-isolated
+    * [[graft.table.SnapTable.rewrite]] — concurrent readers keep a
+    * consistent view, crash at any point leaves only orphan stage
+    * files (swept by expire), never a torn table.
     */
   def writeTriplesSnap(ts: Dataset[TripleRow], tableRoot: String,
                        append: Boolean = false,
-                       watermark: Option[String] = None): graft.table.SnapTable.Snapshot = {
+                       watermark: Option[String] = None,
+                       filesPerBucket: Int = 4): graft.table.SnapTable.Snapshot = {
     val spark = ts.sparkSession
-    val df = ts.toDF()
-      .withColumn("pred_bucket", pmod(xxhash64(col("pred")), lit(PredBuckets)))
-      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(DocSalt)))
-      .repartition(col("pred_bucket"), col("salt"))
-      .drop("salt")
-    // clusterFiles = -1: keep the salted bucket partitioning (each file
-    // covers ONE bucket value, so manifest bounds are exact) instead of
-    // letting the stage re-cluster by range and undo the salt
+    val df = routeByBucket(
+      ts.toDF().withColumn("pred_bucket",
+        pmod(xxhash64(col("pred")), lit(PredBuckets))),
+      filesPerBucket)
+    // clusterFiles = -1: keep the exact one-bucket-per-partition
+    // routing (point bounds) instead of letting the stage re-cluster
+    // by range and undo it
     if (append)
       graft.table.SnapTable.append(spark, tableRoot, df, watermark,
         statsCol = Some("pred_bucket"), clusterFiles = -1)
@@ -265,7 +310,7 @@ object Pipeline {
     if (victims.isEmpty) return None
     graft.table.SnapTable.rewrite(spark, tableRoot,
       e => victims(e.path),
-      _.repartition(col("pred_bucket")),
+      routeByBucket(_, 1), // one file per bucket, point bounds preserved
       statsCol = Some("pred_bucket"), clusterFiles = -1)
   }
 

@@ -272,11 +272,17 @@ object SnapTable {
 
   /** Resolve (true max existing id, newest parseable snapshot) from the
     * head hint: the hinted manifest is verified to exist, then existence
-    * is probed FORWARD (ids are dense above any live id, so contiguous
-    * probes find every commit the hint missed). None when the hint is
-    * absent, stale past expiry, or its window is all-torn (the true
-    * head may then be below the hint and only the full listing can
-    * say) — the caller then pays the listing.
+    * is probed FORWARD (ids are dense above any live id except where
+    * [[expire]]'s torn sweep burned a slot, so contiguous probes find
+    * every commit the hint missed). A missing id whose SUCCESSOR exists
+    * is such a swept hole — a stale-low hint stopping there would
+    * resolve a stale head, so the probe looks one id past every miss
+    * and bails to the full listing on a hole (expire also refreshes the
+    * hint above any hole it punches, so this path is a second line of
+    * defense). None when the hint is absent, stale past expiry, a hole
+    * is detected, or the window is all-torn (the true head may then be
+    * below the hint and only the full listing can say) — the caller
+    * then pays the listing.
     */
   private def hintedHead(spark: SparkSession, f: FileSystem,
                          root: String): Option[(Long, Snapshot)] =
@@ -288,10 +294,17 @@ object SnapTable {
         // retained, the probe walks onto them and the hint still
         // recovers without a listing
         var head = h
-        while (f.exists(snapPath(root, head + 1))) head += 1
+        var hole = false
+        var done = false
+        while (!done && !hole) {
+          if (f.exists(snapPath(root, head + 1))) head += 1
+          else if (f.exists(snapPath(root, head + 2))) hole = true
+          else done = true
+        }
+        if (hole) None
         // newest parseable in the verified window [h, head] — the same
         // steps-over-torn rule as every other head resolution
-        latestParseable(spark, root, h to head).map(p => (head, p))
+        else latestParseable(spark, root, h to head).map(p => (head, p))
       }
     }
 
@@ -633,7 +646,17 @@ object SnapTable {
     // parseable id.
     val nowTorn = System.currentTimeMillis()
     val maxParseable = parseable.lastOption.getOrElse(Long.MinValue)
-    allIds.filterNot(byId.contains).foreach { v =>
+    val torn = allIds.filterNot(byId.contains)
+    // deleting a burned slot below the head punches a HOLE in the id
+    // sequence; a reader holding a stale-low HEAD hint (crash between
+    // publish and hint write) could stop its forward existence probe
+    // at the hole and resolve a stale head. Refresh the hint to the
+    // parseable head BEFORE punching the hole (hintedHead additionally
+    // detects single-slot holes by looking one id past a miss).
+    if (torn.exists(_ < maxParseable) &&
+        readHeadHint(f, root).forall(_ < maxParseable))
+      writeHeadHint(f, root, maxParseable)
+    torn.foreach { v =>
       val p = snapPath(root, v)
       val oldEnough =
         try nowTorn - f.getFileStatus(p).getModificationTime > orphanGraceMs

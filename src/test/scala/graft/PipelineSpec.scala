@@ -199,8 +199,15 @@ class PipelineSpec extends AnyFunSuite {
     val fullCnt = Pipeline.readTriplesSnap(spark, s"$base/snap")
       .filter($"pred" === pred).count()
     assert(prunedCnt == fullCnt && fullCnt > 0)
-    assert(graft.table.SnapTable.snapshot(spark, s"$base/snap").get.files
-      .forall(e => e.lo.isDefined && e.hi.isDefined))
+    // the exact slot routing gives every file POINT bounds (lo == hi):
+    // a one-bucket prune selects only that bucket's files, never a
+    // straddler — the headline pruning claim, asserted strictly
+    val snapFiles = graft.table.SnapTable.snapshot(spark, s"$base/snap").get.files
+    assert(snapFiles.forall(e => e.lo.isDefined && e.lo == e.hi),
+      snapFiles.map(e => (e.lo, e.hi)).mkString(", "))
+    val bktFiles = snapFiles.filter(_.lo.get.toInt == bkt)
+    assert(bktFiles.nonEmpty && bktFiles.size <= 4, // filesPerBucket default
+      s"bucket $bkt holds ${bktFiles.size} files")
     // appends accumulate small files; snapshot compaction folds them
     // with identical content and the pre-compaction snapshot intact
     for (k <- 0 until 2) {
@@ -217,8 +224,11 @@ class PipelineSpec extends AnyFunSuite {
     val filesBefore = graft.table.SnapTable.snapshot(spark, s"$base/snap").get.files.size
     assert(Pipeline.compactTriplesSnap(spark, s"$base/snap", minFilesPerBucket = 2).isDefined)
     assert(sig() == before)
-    val filesAfter = graft.table.SnapTable.snapshot(spark, s"$base/snap").get.files.size
+    val afterFiles = graft.table.SnapTable.snapshot(spark, s"$base/snap").get.files
+    val filesAfter = afterFiles.size
     assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    // compaction preserves the point bounds (one bucket per file)
+    assert(afterFiles.forall(e => e.lo.isDefined && e.lo == e.hi))
     // time travel to the pre-append snapshot still reproduces run 1
     assert(Pipeline.readTriplesSnap(spark, s"$base/snap", asOf = Some(s1.id)).count() ==
       spark.read.parquet(s"$base/legacy").count())

@@ -266,6 +266,41 @@ class SnapTableSpec extends AnyFunSuite {
     assert(SnapTable.append(spark, root2, Seq((9L, "c")).toDF("id", "v")).id == 4L)
   }
 
+  test("a swept burned slot cannot make a stale HEAD hint resolve a stale head") {
+    import spark.implicits._
+    val root = tmp("snap15")
+    for (i <- 1 to 3)
+      SnapTable.append(spark, root, Seq((i.toLong, "x")).toDF("id", "v"))
+    // burn slot 4: a crashed publish left a torn manifest under its
+    // committed name (non-atomic-rename filesystem); commits step over
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/meta/snap-00000004.json"), "{\"id\":4,TORN")
+    for (_ <- 0 until 2)
+      SnapTable.append(spark, root, Seq((9L, "y")).toDF("id", "v")) // -> 5, 6
+    def setHint(v: Long): Unit = {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/meta/HEAD"), s"v:$v\n")
+      new java.io.File(s"$root/meta/.HEAD.crc").delete() // hadoop local-fs checksum
+    }
+    def hint(): String = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/meta/HEAD")).trim
+    // the exact crash shape: hint never advanced past an old publish
+    setHint(2L)
+    // expire sweeps burned slot 4 (punching a hole at an id a stale
+    // probe could stop at) — it must lift the hint to the head FIRST
+    SnapTable.expire(spark, root, keepLast = 10)
+    assert(!new java.io.File(s"$root/meta/snap-00000004.json").exists(),
+      "burned slot must still sweep")
+    assert(hint() == "v:6", s"hint not refreshed before the sweep: ${hint()}")
+    assert(SnapTable.snapshot(spark, root).get.id == 6L)
+    // second line of defense: a hint that went stale-low AFTER the
+    // sweep (another writer's crash) must not stop its forward probe
+    // at the hole — hole detection bails to the full listing
+    setHint(2L)
+    assert(SnapTable.snapshot(spark, root).get.id == 6L,
+      "stale hint + swept hole resolved a stale head")
+  }
+
   test("model check: random append/overwrite/rewrite/expire sequences match a reference model") {
     import spark.implicits._
     for (trial <- 0 until 3) {
