@@ -1,6 +1,7 @@
 package graft.table
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => OffsetV2, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -37,10 +38,25 @@ import org.apache.spark.sql.types.StructType
   *    LOUDLY ("re-sync with a full read()") instead of silently
   *    skipping expired lineage — the same guard as `changesBetween`.
   *
+  * `.option("maxSnapshotsPerTrigger", n)` paces a long backfill: each
+  * micro-batch covers at most `n` snapshot ids, via the engine's
+  * admission-control contract ([[SupportsAdmissionControl]] /
+  * [[ReadLimit]]) so the pacing composes with `Trigger.AvailableNow`
+  * ([[SupportsTriggerAvailableNow]] pins the target head at start;
+  * the engine then drains to it in paced batches and exits). The
+  * `snapshot` and `latest` start modes deliver their FIRST offset
+  * un-paced — the initial snapshot is one atomic batch by definition,
+  * and `latest` only anchors the head.
+  *
   * The analogue of Spark's own FileStreamSource, re-expressed over
   * snapshot lineage instead of directory listings: `getBatch` returns a
   * plain parquet scan of the added files, so column pruning and filter
-  * pushdown reach the files exactly as in batch reads.
+  * pushdown reach the files exactly as in batch reads. Deliberately a
+  * V1 `Source` + the V2 admission-control mixins — the exact interface
+  * set of Spark's own `FileStreamSource`: Structured Streaming has no
+  * DSv2 file-scan path, so a `MicroBatchStream` here would mean
+  * hand-rolled parquet `PartitionReader`s that forfeit the vectorized
+  * reader, pushdown, and pruning.
   */
 class SnapSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -75,10 +91,22 @@ class SnapSourceProvider extends StreamSourceProvider with DataSourceRegister {
     m
   }
 
+  private def maxSnapshots(parameters: Map[String, String]): Option[Int] =
+    parameters.get("maxSnapshotsPerTrigger").map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-snap option maxSnapshotsPerTrigger=$v — expected a positive int")
+      }
+      require(n > 0,
+        s"graft-snap option maxSnapshotsPerTrigger=$n — expected a positive int")
+      n
+    }
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     startMode(parameters) // validate at analysis, not first trigger
+    maxSnapshots(parameters)
     (shortName(), schema.getOrElse(tableSchema(sqlContext, parameters)))
   }
 
@@ -87,24 +115,81 @@ class SnapSourceProvider extends StreamSourceProvider with DataSourceRegister {
                             parameters: Map[String, String]): Source =
     new SnapSource(sqlContext, root(parameters),
       schema.getOrElse(tableSchema(sqlContext, parameters)),
-      startMode(parameters))
+      startMode(parameters), maxSnapshots(parameters))
 }
 
 class SnapSource(sqlContext: SQLContext, root: String,
                  override val schema: StructType,
-                 startMode: String) extends Source {
+                 startMode: String,
+                 maxSnapshotsPerTrigger: Option[Int] = None)
+    extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.graftbridge.StreamingFrame
 
   private def spark = sqlContext.sparkSession
 
-  /** Latest committed (parseable) snapshot id; None = nothing yet. */
+  /** Latest committed (parseable) snapshot id; None = nothing yet.
+    * (The engine calls [[latestOffset]] instead once it sees the
+    * [[SupportsAdmissionControl]] mixin; this stays for the `Source`
+    * contract and direct callers.)
+    */
   override def getOffset: Option[OffsetV1] =
     SnapTable.snapshot(spark, root).map(s => LongOffset(s.id))
 
   // LongOffset in-session; the engine replays checkpointed offsets as
   // SerializedOffset, whose json is the same long
   private def id(o: OffsetV1): Long = o.json.trim.toLong
+  private def idV2(o: OffsetV2): Long = o.json.trim.toLong
+
+  // ---- admission control (ReadLimit pacing) ----------------------------
+
+  /** Under Trigger.AvailableNow the engine prepares, then drains to the
+    * target in [[latestOffset]]-paced batches; pinning the head HERE
+    * keeps commits racing the drain out of this run (they are the next
+    * run's work — AvailableNow's contract).
+    */
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = SnapTable.snapshot(spark, root).map(_.id)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSnapshotsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  /** Max snapshot ids one batch may cover under `limit` ("files" =
+    * snapshots here, the unit the source admits by). None = unbounded.
+    */
+  private def snapshotCap(limit: ReadLimit): Option[Int] = limit match {
+    case f: ReadMaxFiles => Some(f.maxFiles())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(snapshotCap).reduceOption(math.min)
+    case _: ReadAllAvailable => None
+    case _ => None // rows/bytes limits: snapshots are the only unit here
+  }
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val head0 = SnapTable.snapshot(spark, root).map(_.id)
+    val head = (head0, availableNowTarget) match {
+      case (Some(h), Some(t)) => Some(math.min(h, t))
+      case (h, _) => h
+    }
+    head match {
+      case None => null // nothing committed yet
+      case Some(h) =>
+        val end = snapshotCap(limit) match {
+          case Some(n) =>
+            startOffset match {
+              case null =>
+                // first batch: genesis pacing chunks the replay from
+                // id 0; snapshot/latest first offsets are atomic (the
+                // initial snapshot is ONE batch; latest only anchors)
+                if (startMode == "genesis") math.min(h, n.toLong) else h
+              case so => math.min(h, idV2(so) + n)
+            }
+          case None => h
+        }
+        LongOffset(end)
+    }
+  }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame =
     start match {

@@ -108,6 +108,53 @@ class SnapSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("maxSnapshotsPerTrigger paces the backfill via ReadLimit admission control") {
+    import spark.implicits._
+    val base = tmp("snapsrc5")
+    val root = s"$base/tbl"
+    for (k <- 0 until 6)
+      SnapTable.append(spark, root, (5L * k until 5L * k + 5).toDF("id"))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    def runOnce(ckpt: String, maxSnaps: String, start: String = "genesis"): (Seq[Long], Seq[Int]) = {
+      got.clear(); batchSizes.clear()
+      val q = spark.readStream.format("graft-snap").option("path", root)
+        .option("start", start)
+        .option("maxSnapshotsPerTrigger", maxSnaps).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.select("id").as[Long].collect()
+          rows.foreach(got.add)
+          batchSizes.add(rows.length)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      (got.toArray(Array.empty[java.lang.Long]).map(_.longValue()).toSeq,
+        batchSizes.toArray(Array.empty[java.lang.Integer]).map(_.intValue()).toSeq)
+    }
+    // 6 snapshots at 2 per trigger: everything arrives, in >= 3 paced
+    // batches of <= 10 rows (2 snapshots x 5 rows) each
+    val (rows1, sizes1) = runOnce(s"$base/ckpt", "2")
+    assert(rows1.sorted == (0L until 30L))
+    assert(sizes1.count(_ > 0) >= 3, sizes1.toString)
+    assert(sizes1.forall(_ <= 10), sizes1.toString)
+    // restart resumes the checkpoint and drains only the new commits
+    SnapTable.append(spark, root, (30L until 35L).toDF("id"))
+    val (rows2, _) = runOnce(s"$base/ckpt", "2")
+    assert(rows2.sorted == (30L until 35L))
+    // the snapshot start mode's FIRST batch is atomic — never paced
+    val (rows3, sizes3) = runOnce(s"$base/ckpt-snap", "1", start = "snapshot")
+    assert(rows3.sorted == (0L until 35L))
+    assert(sizes3.count(_ > 0) == 1, sizes3.toString)
+    // a bogus cap is rejected at analysis
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-snap").option("path", root)
+        .option("maxSnapshotsPerTrigger", "0").load()
+    }
+  }
+
   test("schema comes from the table; an empty table demands an explicit schema") {
     import spark.implicits._
     val root = s"${tmp("snapsrc2")}/tbl"
