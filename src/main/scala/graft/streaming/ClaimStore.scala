@@ -177,15 +177,54 @@ object ClaimStore {
   private def shardExpr(hCol: String, n: Int) =
     pmod(xxhash64(col(hCol).cast("string")), lit(n.toLong))
 
+  // Shard stores are fully independent (disjoint roots, disjoint key
+  // slices), so their per-batch actions run CONCURRENTLY from a small
+  // driver pool — N sequential probe/append/fold jobs per domain would
+  // otherwise serialize a deployment-scale shard count onto the batch
+  // critical path. Results keep shard order; the first failure
+  // propagates (a missed shard means missed claims — never best-effort).
+  private lazy val shardPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+      val t = new Thread(r, "graft-claim-shard")
+      t.setDaemon(true)
+      t
+    })
+
+  private def perShard[T](n: Int)(body: Int => T): Vector[T] = {
+    val futs = (0 until n).map(s =>
+      shardPool.submit(new java.util.concurrent.Callable[T] {
+        override def call(): T = body(s)
+      }))
+    try futs.map(_.get()).toVector
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        futs.foreach(_.cancel(false))
+        throw e.getCause
+    }
+  }
+
   // One-time per-JVM layout guards: touching a root with the WRONG
   // shard setting must fail loudly, not silently serve an empty seen
   // set (which would re-admit every duplicate claimed under the other
-  // layout).
+  // layout). The shard COUNT is persisted in a `<root>/shards` marker
+  // at first sharded touch — without it a 4-shard store opened with
+  // shards=8 routes probes to the wrong (often empty) shard roots and
+  // re-admits every duplicate with no error anywhere.
   private val shardGuarded =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  private def guardSharded(spark: SparkSession, root: String): Unit = {
-    if (shardGuarded.putIfAbsent(root, java.lang.Boolean.TRUE) != null) return
+  private def shardMarkerPath(root: String) = new Path(root, "shards")
+
+  private def guardSharded(spark: SparkSession, root: String, shards: Int): Unit = {
+    val prior = shardGuarded.putIfAbsent(root, Integer.valueOf(shards))
+    if (prior != null) {
+      if (prior.intValue != shards)
+        throw new IllegalStateException(
+          s"claim root $root was already opened with shards=$prior in this " +
+            s"JVM but is now asked for shards=$shards — the shard count is " +
+            "part of the store's on-disk identity (re-sharding = new root)")
+      return
+    }
     try {
       val rp = new Path(root)
       val f = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -196,9 +235,72 @@ object ClaimStore {
           s"claim root $root holds an UNSHARDED store (meta/ or legacy batch= " +
             "dirs present) but was opened with Config.shards > 1 — refusing: " +
             "its claims would be invisible and duplicates re-admitted")
+      val marker = shardMarkerPath(root)
+      readShardMarker(f, marker) match {
+        case Some(n) if n != shards =>
+          throw new IllegalStateException(
+            s"claim root $root is a $n-shard store (per its shards marker) " +
+              s"but was opened with shards=$shards — refusing: probes would " +
+              "route to the wrong shard roots and duplicates be re-admitted")
+        case Some(_) => ()
+        case None =>
+          // adopt-or-refuse: shard dirs without a marker (a pre-marker
+          // store) are counted — they must all fit under the declared
+          // count, and the marker is then written for future opens
+          val present = if (!f.exists(rp)) Seq.empty
+          else f.listStatus(rp).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard-"))
+            .flatMap(s => scala.util.Try(
+              s.getPath.getName.stripPrefix("shard-").toInt).toOption)
+          if (present.exists(_ >= shards))
+            throw new IllegalStateException(
+              s"claim root $root has shard dirs up to shard-${present.max} " +
+                s"but was opened with shards=$shards — refusing: claims above " +
+                "the declared count would be invisible")
+          writeShardMarker(f, root, shards)
+      }
     } catch {
       case e: IllegalStateException => shardGuarded.remove(root); throw e
       case scala.util.control.NonFatal(e) => shardGuarded.remove(root); throw e
+    }
+  }
+
+  private def readShardMarker(f: org.apache.hadoop.fs.FileSystem,
+                              p: Path): Option[Int] =
+    if (!f.exists(p)) None
+    else {
+      // a torn/corrupt marker must REFUSE, not silently pass: the
+      // marker exists precisely because guessing the shard count wrong
+      // is a silent-duplicate bug
+      val in = f.open(p)
+      val s = try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim
+      } finally in.close()
+      val v = scala.util.Try(s.toInt).toOption.filter(_ > 0)
+      if (v.isEmpty) throw new IllegalStateException(
+        s"claim-shard marker $p is unreadable ('$s') — refusing to guess the " +
+          "shard count; restore the marker (a single positive int) to proceed")
+      v
+    }
+
+  private def writeShardMarker(f: org.apache.hadoop.fs.FileSystem, root: String,
+                               shards: Int): Unit = {
+    val tmp = new Path(root,
+      s".shards.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    f.mkdirs(new Path(root))
+    val out = f.create(tmp, true)
+    try out.write(s"$shards\n".getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, shardMarkerPath(root))) {
+      f.delete(tmp, false)
+      // lost a create race: the winner's marker decides — re-validate
+      readShardMarker(f, shardMarkerPath(root)) match {
+        case Some(n) if n != shards => throw new IllegalStateException(
+          s"claim root $root concurrently marked as a $n-shard store; " +
+            s"this open asked for shards=$shards — refusing")
+        case _ => ()
+      }
     }
   }
 
@@ -211,8 +313,8 @@ object ClaimStore {
                 cfg: Config = Config()): Option[Long] =
     if (cfg.shards <= 1) lastBatch1(spark, root)
     else {
-      guardSharded(spark, root)
-      val per = (0 until cfg.shards).map(s => lastBatch1(spark, shardRoot(root, s)))
+      guardSharded(spark, root, cfg.shards)
+      val per = perShard(cfg.shards)(s => lastBatch1(spark, shardRoot(root, s)))
       if (per.exists(_.isEmpty)) None else Some(per.flatten.min)
     }
 
@@ -338,10 +440,11 @@ object ClaimStore {
                    cfg: Config = Config()): Unit =
     if (cfg.shards <= 1) appendClaims1(spark, root, claims, hCol, batchId)
     else {
-      guardSharded(spark, root)
-      for (s <- 0 until cfg.shards)
+      guardSharded(spark, root, cfg.shards)
+      perShard(cfg.shards)(s =>
         appendClaims1(spark, shardRoot(root, s),
-          claims.where(shardExpr(hCol, cfg.shards) === s), hCol, batchId)
+          claims.where(shardExpr(hCol, cfg.shards) === s), hCol, batchId))
+      ()
     }
 
   private def appendClaims1(spark: SparkSession, root: String, claims: DataFrame,
@@ -373,11 +476,11 @@ object ClaimStore {
               cfg: Config = Config()): Option[DataFrame] =
     if (cfg.shards <= 1) seenFor1(spark, root, batchHashes, hCol, batchId, cfg)
     else {
-      guardSharded(spark, root)
-      val parts = (0 until cfg.shards).flatMap(s =>
+      guardSharded(spark, root, cfg.shards)
+      val parts = perShard(cfg.shards)(s =>
         seenFor1(spark, shardRoot(root, s),
           batchHashes.where(shardExpr(hCol, cfg.shards) === s),
-          hCol, batchId, cfg))
+          hCol, batchId, cfg)).flatten
       if (parts.isEmpty) None else Some(parts.reduce(_ union _))
     }
 
@@ -428,6 +531,7 @@ object ClaimStore {
       if (legacyUsed) {
         probeBcasts += legacy.get.bcast
         probeBytes += legacy.get.bytes.length.toLong
+        fppSum += legacy.get.fpp // the one saturable (fixed-size) filter
       }
       val coveredV = covered.result()
       val uncoveredV = uncovered.result()
@@ -516,9 +620,10 @@ object ClaimStore {
            cfg: Config = Config()): Unit =
     if (cfg.shards <= 1) fold1(spark, root, hCol, upToBatch, cfg)
     else {
-      guardSharded(spark, root)
-      for (s <- 0 until cfg.shards)
-        fold1(spark, shardRoot(root, s), hCol, upToBatch, cfg)
+      guardSharded(spark, root, cfg.shards)
+      perShard(cfg.shards)(s =>
+        fold1(spark, shardRoot(root, s), hCol, upToBatch, cfg))
+      ()
     }
 
   private def fold1(spark: SparkSession, root: String, hCol: String,
@@ -613,6 +718,7 @@ object ClaimStore {
 
   private final case class LoadedBloom(bytes: Array[Byte], covered: Set[String],
                                        legacyChunks: Map[String, Array[Byte]],
+                                       fpp: Double,
                                        bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]])
 
   private val bloomCache =
@@ -632,21 +738,20 @@ object ClaimStore {
         // the legacy file is read-only now, but (mtime, length) identity
         // is kept: an older engine sharing the root could still fold it
         val stamp = (s.getModificationTime, s.getLen)
-        val cached = bloomCache.get(key)
-        val cachedValid = cached != null && cached._1 == stamp &&
-          // a SparkContext restart kills the broadcast under a cached
-          // entry; serving it would force a fresh (leaked) broadcast on
-          // every probe — evict and reload instead
-          cached._2.forall(b => try { b.bcast.value; true }
-          catch { case scala.util.control.NonFatal(_) => false })
-        if (cachedValid) cached._2
-        else {
-          val loaded = readBloomFile(spark, f, p)
-          val old = bloomCache.put(key, (stamp, loaded))
-          if (old != null) old._2.foreach(b => try b.bcast.destroy()
-          catch { case scala.util.control.NonFatal(_) => })
-          loaded
-        }
+        // atomic check-and-load (compute), NOT get-then-put: two threads
+        // racing the same miss must converge on one broadcast. A
+        // replaced entry's broadcast (stamp change — rare, the file is
+        // read-only here) is NOT destroyed: a racing probe may still
+        // hold it, and a bounded leak beats a crashed job.
+        bloomCache.compute(key, (_, cur) => {
+          val curValid = cur != null && cur._1 == stamp &&
+            // a SparkContext restart kills the broadcast under a cached
+            // entry; serving it would force a fresh (leaked) broadcast
+            // on every probe — evict and reload instead
+            cur._2.forall(b => try { b.bcast.value; true }
+            catch { case scala.util.control.NonFatal(_) => false })
+          if (curValid) cur else (stamp, readBloomFile(spark, f, p))
+        })._2
     }
   }
 
@@ -701,7 +806,13 @@ object ClaimStore {
         }.toMap
         case _ => Map.empty
       }
-      Some(LoadedBloom(global, covered, legacyChunks,
+      // parsing here both VALIDATES the blob (CRC-valid garbage is as
+      // absent as a torn file) and yields the saturation estimate the
+      // probe metric needs: a legacy filter overflowed past its fixed
+      // sizing is exactly the case probeFppPpm exists to expose
+      val fpp = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(global)).expectedFpp()
+      Some(LoadedBloom(global, covered, legacyChunks, fpp,
         spark.sparkContext.broadcast(global)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -803,10 +914,16 @@ object ClaimStore {
         val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(blob))
         val rf = RunFilter(blob, bf.expectedFpp(),
           spark.sparkContext.broadcast(blob))
-        val old = runFilterCache.put(key, rf)
-        if (old != null) try old.bcast.destroy()
-        catch { case scala.util.control.NonFatal(_) => }
-        Some(rf)
+        // putIfAbsent, NOT put: two threads (the stream plus a
+        // monitoring seenFor) racing the same miss must converge on one
+        // broadcast — put-then-destroy-old would destroy a broadcast
+        // the other thread's in-flight probe job is about to read
+        val prior = runFilterCache.putIfAbsent(key, rf)
+        if (prior != null) {
+          try rf.bcast.destroy() // loser tears down its OWN broadcast
+          catch { case scala.util.control.NonFatal(_) => }
+          Some(prior)
+        } else Some(rf)
       } catch {
         case scala.util.control.NonFatal(_) =>
           // CRC-valid but unparseable (sketch-format change): as
@@ -1146,6 +1263,7 @@ object ClaimStore {
     * this — specs that hand-rewind the sidecar layout do).
     */
   private[streaming] def resetSidecarCachesForTest(): Unit = {
+    shardGuarded.clear() // a fresh driver re-validates the marker
     runFilterCache.keySet().forEach { k =>
       val old = runFilterCache.remove(k)
       if (old != null) try old.bcast.destroy()

@@ -146,11 +146,14 @@ class SnapSource(sqlContext: SQLContext, root: String,
   /** Under Trigger.AvailableNow the engine prepares, then drains to the
     * target in [[latestOffset]]-paced batches; pinning the head HERE
     * keeps commits racing the drain out of this run (they are the next
-    * run's work — AvailableNow's contract).
+    * run's work — AvailableNow's contract). An EMPTY table at prepare
+    * time pins "nothing": without the explicit marker, commits racing
+    * the drain would keep extending the run and a sustained writer
+    * could keep it from ever terminating.
     */
-  @volatile private var availableNowTarget: Option[Long] = None
+  @volatile private var availableNowTarget: Option[Option[Long]] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = SnapTable.snapshot(spark, root).map(_.id)
+    availableNowTarget = Some(SnapTable.snapshot(spark, root).map(_.id))
 
   override def getDefaultReadLimit: ReadLimit =
     maxSnapshotsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
@@ -167,10 +170,10 @@ class SnapSource(sqlContext: SQLContext, root: String,
   }
 
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val head0 = SnapTable.snapshot(spark, root).map(_.id)
-    val head = (head0, availableNowTarget) match {
-      case (Some(h), Some(t)) => Some(math.min(h, t))
-      case (h, _) => h
+    val head = availableNowTarget match {
+      case Some(pinned) => pinned // AvailableNow: the prepared target,
+      // even when it is "nothing yet" — never the live head
+      case None => SnapTable.snapshot(spark, root).map(_.id)
     }
     head match {
       case None => null // nothing committed yet

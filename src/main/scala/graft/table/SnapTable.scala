@@ -647,21 +647,31 @@ object SnapTable {
     val nowTorn = System.currentTimeMillis()
     val maxParseable = parseable.lastOption.getOrElse(Long.MinValue)
     val torn = allIds.filterNot(byId.contains)
-    // deleting a burned slot below the head punches a HOLE in the id
+    // Deleting a burned slot below the head punches a HOLE in the id
     // sequence; a reader holding a stale-low HEAD hint (crash between
-    // publish and hint write) could stop its forward existence probe
-    // at the hole and resolve a stale head. Refresh the hint to the
-    // parseable head BEFORE punching the hole (hintedHead additionally
-    // detects single-slot holes by looking one id past a miss).
-    if (torn.exists(_ < maxParseable) &&
-        readHeadHint(f, root).forall(_ < maxParseable))
-      writeHeadHint(f, root, maxParseable)
+    // publish and hint write) could stop its forward existence probe at
+    // the hole and resolve a stale head — hintedHead's one-slot
+    // look-ahead covers a single hole, but a sweep may burn ADJACENT
+    // slots. So below-head deletions are GATED on a hint verifiably at
+    // or above this head: commit ids only grow, so every later hint
+    // (even a stale one from a crashed publish) stays above every hole
+    // this sweep can punch. If the hint cannot be written/read back,
+    // the burned slots simply wait for the next expire.
+    val hintSafe = !torn.exists(_ < maxParseable) || {
+      readHeadHint(f, root).exists(_ >= maxParseable) || {
+        writeHeadHint(f, root, maxParseable)
+        readHeadHint(f, root).exists(_ >= maxParseable) // verified, not assumed
+      }
+    }
     torn.foreach { v =>
       val p = snapPath(root, v)
       val oldEnough =
         try nowTorn - f.getFileStatus(p).getModificationTime > orphanGraceMs
         catch { case scala.util.control.NonFatal(_) => false }
-      if (v < maxParseable || oldEnough) f.delete(p, false)
+      // above the head only age-gated (may be a slow in-flight publish);
+      // below the head only hint-gated (may punch a probe-visible hole)
+      if ((v < maxParseable && hintSafe) || (v > maxParseable && oldEnough))
+        f.delete(p, false)
     }
     // orphan sweep — compare by file NAME (uuid-stamped, unique within
     // data/): manifests may record unqualified paths while listStatus

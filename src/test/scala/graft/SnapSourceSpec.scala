@@ -155,6 +155,23 @@ class SnapSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("AvailableNow on an empty-at-prepare table pins 'nothing' — racing commits are the next run's work") {
+    import spark.implicits._
+    val root = s"${tmp("snapsrc6")}/tbl"
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+    val src = new graft.table.SnapSource(spark.sqlContext, root, schema, "genesis")
+    src.prepareForTriggerAvailableNow()
+    // a writer races the drain: without the explicit empty pin this
+    // would surface as a live head and keep extending the run
+    SnapTable.append(spark, root, Seq(1L).toDF("id"))
+    val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    assert(src.latestOffset(null, limit) == null)
+    // a fresh (non-AvailableNow) source sees the commit immediately
+    val live = new graft.table.SnapSource(spark.sqlContext, root, schema, "genesis")
+    assert(live.latestOffset(null, limit).json.trim.toLong == 1L)
+  }
+
   test("schema comes from the table; an empty table demands an explicit schema") {
     import spark.implicits._
     val root = s"${tmp("snapsrc2")}/tbl"

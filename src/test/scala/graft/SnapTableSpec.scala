@@ -299,6 +299,29 @@ class SnapTableSpec extends AnyFunSuite {
     setHint(2L)
     assert(SnapTable.snapshot(spark, root).get.id == 6L,
       "stale hint + swept hole resolved a stale head")
+    // ADJACENT burned slots (repeated crashed publishes between two
+    // successful ones) punch a hole wider than the probe's one-slot
+    // look-ahead — which is exactly why the sweep is gated on a
+    // verified hint at/above the head: any hint written after the
+    // sweep is above the hole by id monotonicity
+    val root2 = tmp("snap16")
+    for (i <- 1 to 3)
+      SnapTable.append(spark, root2, Seq((i.toLong, "x")).toDF("id", "v"))
+    for (b <- 4 to 5)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        f"$root2/meta/snap-$b%08d.json"), s"""{"id":$b,TORN""")
+    SnapTable.append(spark, root2, Seq((9L, "y")).toDF("id", "v")) // -> 6
+    // the crash shape again: hint stuck at an old publish
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root2/meta/HEAD"), "v:2\n")
+    new java.io.File(s"$root2/meta/.HEAD.crc").delete()
+    SnapTable.expire(spark, root2, keepLast = 10)
+    assert(!new java.io.File(f"$root2/meta/snap-${4}%08d.json").exists())
+    assert(!new java.io.File(f"$root2/meta/snap-${5}%08d.json").exists())
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root2/meta/HEAD")).trim == "v:6")
+    assert(SnapTable.snapshot(spark, root2).get.id == 6L,
+      "adjacent burned slots + stale hint resolved a stale head")
   }
 
   test("model check: random append/overwrite/rewrite/expire sequences match a reference model") {

@@ -473,6 +473,40 @@ class ClaimStoreSpec extends AnyFunSuite {
     intercept[IllegalStateException](ClaimStore.lastBatch(spark, rootS))
     intercept[IllegalStateException](
       ClaimStore.seenFor(spark, rootU, hashes(0 until 5), "h", 9L, cfgS))
+    // wrong shard COUNT too: a 4-shard store opened as 8 shards routes
+    // probes to the wrong (mostly empty) roots — silent re-admission.
+    // Same-JVM opens hit the in-memory guard; a fresh driver must hit
+    // the persisted marker instead
+    intercept[IllegalStateException](
+      ClaimStore.lastBatch(spark, rootS, cfgS.copy(shards = 8)))
+    ClaimStore.resetSidecarCachesForTest() // "fresh driver"
+    val exMarker = intercept[IllegalStateException](
+      ClaimStore.lastBatch(spark, rootS, cfgS.copy(shards = 8)))
+    assert(exMarker.getMessage.contains("marker"), exMarker.getMessage)
+    // the right count keeps working after the failed opens
+    assert(ClaimStore.lastBatch(spark, rootS, cfgS).contains(7L))
+    // an unreadable marker refuses rather than guesses
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$rootS/shards"), "garbage")
+    new java.io.File(s"$rootS/.shards.crc").delete()
+    ClaimStore.resetSidecarCachesForTest()
+    intercept[IllegalStateException](ClaimStore.lastBatch(spark, rootS, cfgS))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$rootS/shards"), "4\n")
+    new java.io.File(s"$rootS/.shards.crc").delete()
+    ClaimStore.resetSidecarCachesForTest()
+    assert(ClaimStore.lastBatch(spark, rootS, cfgS).contains(7L))
+    // a marker-less store (pre-marker layout) with shard dirs above the
+    // declared count refuses; at/below the count it adopts + marks
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$rootS/shards"))
+    new java.io.File(s"$rootS/.shards.crc").delete()
+    ClaimStore.resetSidecarCachesForTest()
+    intercept[IllegalStateException](
+      ClaimStore.lastBatch(spark, rootS, cfgS.copy(shards = 2)))
+    ClaimStore.resetSidecarCachesForTest()
+    assert(ClaimStore.lastBatch(spark, rootS, cfgS).contains(7L))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$rootS/shards")).trim == "4")
   }
 
   test("empty claim append is a pure watermark bump; fold with nothing to fold is a no-op") {
