@@ -257,7 +257,7 @@ object ClaimStore {
               s"claim root $root has shard dirs up to shard-${present.max} " +
                 s"but was opened with shards=$shards — refusing: claims above " +
                 "the declared count would be invisible")
-          writeShardMarker(f, root, shards)
+          writeShardMarker(spark, f, root, shards)
       }
     } catch {
       case e: IllegalStateException => shardGuarded.remove(root); throw e
@@ -285,16 +285,20 @@ object ClaimStore {
       v
     }
 
-  private def writeShardMarker(f: org.apache.hadoop.fs.FileSystem, root: String,
+  private def writeShardMarker(spark: SparkSession,
+                               f: org.apache.hadoop.fs.FileSystem, root: String,
                                shards: Int): Unit = {
     val tmp = new Path(root,
       s".shards.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     f.mkdirs(new Path(root))
     val out = f.create(tmp, true)
     try out.write(s"$shards\n".getBytes("UTF-8")) finally out.close()
-    if (!f.rename(tmp, shardMarkerPath(root))) {
+    // true no-clobber CAS (hard link / Rename.NONE): a plain rename on
+    // the local filesystem silently OVERWRITES, so two first-openers
+    // declaring different counts could both "win" and proceed split-
+    // brained — the loser must instead re-validate against the winner
+    if (!SnapTable.publishNoClobber(f, spark, tmp, shardMarkerPath(root))) {
       f.delete(tmp, false)
-      // lost a create race: the winner's marker decides — re-validate
       readShardMarker(f, shardMarkerPath(root)) match {
         case Some(n) if n != shards => throw new IllegalStateException(
           s"claim root $root concurrently marked as a $n-shard store; " +
