@@ -206,62 +206,106 @@ object ClaimStore {
   // One-time per-JVM layout guards: touching a root with the WRONG
   // shard setting must fail loudly, not silently serve an empty seen
   // set (which would re-admit every duplicate claimed under the other
-  // layout). The shard COUNT is persisted in a `<root>/shards` marker
-  // at first sharded touch — without it a 4-shard store opened with
-  // shards=8 routes probes to the wrong (often empty) shard roots and
-  // re-admits every duplicate with no error anywhere.
-  private val shardGuarded =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  // layout). The shard COUNT is persisted in a `<root>/shards` marker,
+  // written by the first WRITE-path touch — without it a 4-shard store
+  // opened with shards=8 routes probes to the wrong (often empty)
+  // shard roots and re-admits every duplicate with no error anywhere.
+  // The per-JVM cache holds a validation FUTURE, published before the
+  // validation runs and removed on failure: a concurrent same-count
+  // caller must BLOCK on the outcome, not sail past a marker check
+  // that is about to refuse (it would run mis-sharded probes with no
+  // error on its own path). Only a DECIDED count (marker present or
+  // written) is cached — a read on a still-empty root validates
+  // vacuously and leaves the decision to the first writer.
+  private val shardGuarded = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.FutureTask[Int]]()
 
   private def shardMarkerPath(root: String) = new Path(root, "shards")
 
-  private def guardSharded(spark: SparkSession, root: String, shards: Int): Unit = {
-    val prior = shardGuarded.putIfAbsent(root, Integer.valueOf(shards))
-    if (prior != null) {
-      if (prior.intValue != shards)
-        throw new IllegalStateException(
-          s"claim root $root was already opened with shards=$prior in this " +
-            s"JVM but is now asked for shards=$shards — the shard count is " +
-            "part of the store's on-disk identity (re-sharding = new root)")
-      return
-    }
-    try {
-      val rp = new Path(root)
-      val f = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (f.exists(new Path(rp, "meta")) ||
-          (f.exists(rp) && f.listStatus(rp).exists(s =>
-            s.isDirectory && s.getPath.getName.startsWith("batch="))))
-        throw new IllegalStateException(
-          s"claim root $root holds an UNSHARDED store (meta/ or legacy batch= " +
-            "dirs present) but was opened with Config.shards > 1 — refusing: " +
-            "its claims would be invisible and duplicates re-admitted")
-      val marker = shardMarkerPath(root)
-      readShardMarker(f, marker) match {
-        case Some(n) if n != shards =>
-          throw new IllegalStateException(
-            s"claim root $root is a $n-shard store (per its shards marker) " +
-              s"but was opened with shards=$shards — refusing: probes would " +
-              "route to the wrong shard roots and duplicates be re-admitted")
-        case Some(_) => ()
-        case None =>
-          // adopt-or-refuse: shard dirs without a marker (a pre-marker
-          // store) are counted — they must all fit under the declared
-          // count, and the marker is then written for future opens
-          val present = if (!f.exists(rp)) Seq.empty
-          else f.listStatus(rp).toSeq
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard-"))
-            .flatMap(s => scala.util.Try(
-              s.getPath.getName.stripPrefix("shard-").toInt).toOption)
-          if (present.exists(_ >= shards))
-            throw new IllegalStateException(
-              s"claim root $root has shard dirs up to shard-${present.max} " +
-                s"but was opened with shards=$shards — refusing: claims above " +
-                "the declared count would be invisible")
-          writeShardMarker(spark, f, root, shards)
+  private def guardSharded(spark: SparkSession, root: String, shards: Int,
+                           persist: Boolean): Unit = {
+    while (true) {
+      val cached = shardGuarded.get(root)
+      if (cached != null) {
+        cached.run() // no-op if already running/finished elsewhere
+        val n = try cached.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            shardGuarded.remove(root, cached) // a later open may retry
+            throw e.getCause
+        }
+        if (n != shards) throw new IllegalStateException(
+          s"claim root $root is a $n-shard store but was opened with " +
+            s"shards=$shards — the shard count is part of the store's " +
+            "on-disk identity (re-sharding = new root)")
+        return
       }
-    } catch {
-      case e: IllegalStateException => shardGuarded.remove(root); throw e
-      case scala.util.control.NonFatal(e) => shardGuarded.remove(root); throw e
+      val task = new java.util.concurrent.FutureTask[Int](() =>
+        decideShardCount(spark, root, shards, persist))
+      if (shardGuarded.putIfAbsent(root, task) == null) {
+        task.run()
+        val n = try task.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            shardGuarded.remove(root, task)
+            throw e.getCause
+        }
+        // undecided (read path on an empty root): validated vacuously —
+        // uncache so the first WRITER's count decides, not a reader's
+        if (n < 0) shardGuarded.remove(root, task)
+        return
+      }
+      // lost the publish race: loop and block on the winner's outcome
+    }
+  }
+
+  /** The store's shard count as decided by disk state, or -1 when
+    * nothing on disk decides it and `persist` is false. Throws on any
+    * mismatch with the requested `shards`.
+    */
+  private def decideShardCount(spark: SparkSession, root: String,
+                               shards: Int, persist: Boolean): Int = {
+    val rp = new Path(root)
+    val f = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(new Path(rp, "meta")) ||
+        (f.exists(rp) && f.listStatus(rp).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch="))))
+      throw new IllegalStateException(
+        s"claim root $root holds an UNSHARDED store (meta/ or legacy batch= " +
+          "dirs present) but was opened with Config.shards > 1 — refusing: " +
+          "its claims would be invisible and duplicates re-admitted")
+    readShardMarker(f, shardMarkerPath(root)) match {
+      case Some(n) if n != shards =>
+        throw new IllegalStateException(
+          s"claim root $root is a $n-shard store (per its shards marker) " +
+            s"but was opened with shards=$shards — refusing: probes would " +
+            "route to the wrong shard roots and duplicates be re-admitted")
+      case Some(n) => n
+      case None =>
+        val present = (if (!f.exists(rp)) Seq.empty[Int]
+        else f.listStatus(rp).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard-"))
+          .flatMap(s => scala.util.Try(
+            s.getPath.getName.stripPrefix("shard-").toInt).toOption)).toSet
+        if (present.nonEmpty) {
+          // shard dirs without a marker = the marker was lost (the
+          // marker is written before the first shard dir ever is).
+          // Adopt ONLY on an exact match — dirs under a larger declared
+          // count would silently re-route half the key space (and then
+          // persist the wrong count); anything else needs the operator
+          // to restore the marker
+          if (present != (0 until shards).toSet)
+            throw new IllegalStateException(
+              s"claim root $root has shard dirs {${present.toSeq.sorted
+                .mkString(",")}} and no shards marker, which does not match " +
+                s"shards=$shards exactly — refusing to guess; restore the " +
+                "marker (a single positive int in <root>/shards)")
+          writeShardMarker(spark, f, root, shards)
+          shards
+        } else if (persist) {
+          writeShardMarker(spark, f, root, shards)
+          shards
+        } else -1 // nothing decides the count yet; don't let a read fix it
     }
   }
 
@@ -271,12 +315,20 @@ object ClaimStore {
     else {
       // a torn/corrupt marker must REFUSE, not silently pass: the
       // marker exists precisely because guessing the shard count wrong
-      // is a silent-duplicate bug
+      // is a silent-duplicate bug. Read-until-full (a single read() may
+      // legally return a prefix — '16' truncated to '1' would refuse a
+      // correctly-configured open).
       val in = f.open(p)
       val s = try {
         val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), "UTF-8").trim
+        var off = 0
+        var n = in.read(buf, off, buf.length - off)
+        while (n > 0 && off + n < buf.length) {
+          off += n
+          n = in.read(buf, off, buf.length - off)
+        }
+        if (n > 0) off = buf.length
+        new String(buf, 0, off, "UTF-8").trim
       } finally in.close()
       val v = scala.util.Try(s.toInt).toOption.filter(_ > 0)
       if (v.isEmpty) throw new IllegalStateException(
@@ -317,7 +369,7 @@ object ClaimStore {
                 cfg: Config = Config()): Option[Long] =
     if (cfg.shards <= 1) lastBatch1(spark, root)
     else {
-      guardSharded(spark, root, cfg.shards)
+      guardSharded(spark, root, cfg.shards, persist = false)
       val per = perShard(cfg.shards)(s => lastBatch1(spark, shardRoot(root, s)))
       if (per.exists(_.isEmpty)) None else Some(per.flatten.min)
     }
@@ -444,7 +496,7 @@ object ClaimStore {
                    cfg: Config = Config()): Unit =
     if (cfg.shards <= 1) appendClaims1(spark, root, claims, hCol, batchId)
     else {
-      guardSharded(spark, root, cfg.shards)
+      guardSharded(spark, root, cfg.shards, persist = true)
       perShard(cfg.shards)(s =>
         appendClaims1(spark, shardRoot(root, s),
           claims.where(shardExpr(hCol, cfg.shards) === s), hCol, batchId))
@@ -480,7 +532,7 @@ object ClaimStore {
               cfg: Config = Config()): Option[DataFrame] =
     if (cfg.shards <= 1) seenFor1(spark, root, batchHashes, hCol, batchId, cfg)
     else {
-      guardSharded(spark, root, cfg.shards)
+      guardSharded(spark, root, cfg.shards, persist = false)
       val parts = perShard(cfg.shards)(s =>
         seenFor1(spark, shardRoot(root, s),
           batchHashes.where(shardExpr(hCol, cfg.shards) === s),
@@ -624,7 +676,7 @@ object ClaimStore {
            cfg: Config = Config()): Unit =
     if (cfg.shards <= 1) fold1(spark, root, hCol, upToBatch, cfg)
     else {
-      guardSharded(spark, root, cfg.shards)
+      guardSharded(spark, root, cfg.shards, persist = true)
       perShard(cfg.shards)(s =>
         fold1(spark, shardRoot(root, s), hCol, upToBatch, cfg))
       ()

@@ -302,6 +302,13 @@ object SnapTable {
           else done = true
         }
         if (hole) None
+        // the one-slot look-ahead cannot see a MULTI-slot hole (adjacent
+        // burned slots swept while this reader was between its hint read
+        // and the probe) — so cross-check against the CURRENT hint: the
+        // sweep verifiably lifts the hint to its head before punching
+        // any hole, so a probe that stopped inside one resolves below
+        // the now-persisted hint and must pay the listing instead
+        else if (readHeadHint(f, root).exists(_ > head)) None
         // newest parseable in the verified window [h, head] — the same
         // steps-over-torn rule as every other head resolution
         else latestParseable(spark, root, h to head).map(p => (head, p))

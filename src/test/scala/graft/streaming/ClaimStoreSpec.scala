@@ -496,17 +496,35 @@ class ClaimStoreSpec extends AnyFunSuite {
     new java.io.File(s"$rootS/.shards.crc").delete()
     ClaimStore.resetSidecarCachesForTest()
     assert(ClaimStore.lastBatch(spark, rootS, cfgS).contains(7L))
-    // a marker-less store (pre-marker layout) with shard dirs above the
-    // declared count refuses; at/below the count it adopts + marks
+    // a marker-less store (lost marker) with shard dirs adopts ONLY on
+    // an exact dir/count match — a larger declared count would silently
+    // re-route half the key space (and persist the wrong count), a
+    // smaller one would hide claims; both refuse
     java.nio.file.Files.delete(java.nio.file.Paths.get(s"$rootS/shards"))
     new java.io.File(s"$rootS/.shards.crc").delete()
     ClaimStore.resetSidecarCachesForTest()
     intercept[IllegalStateException](
       ClaimStore.lastBatch(spark, rootS, cfgS.copy(shards = 2)))
     ClaimStore.resetSidecarCachesForTest()
+    intercept[IllegalStateException](
+      ClaimStore.lastBatch(spark, rootS, cfgS.copy(shards = 8)))
+    assert(!java.nio.file.Files.exists( // and no wrong marker persisted
+      java.nio.file.Paths.get(s"$rootS/shards")))
+    ClaimStore.resetSidecarCachesForTest()
     assert(ClaimStore.lastBatch(spark, rootS, cfgS).contains(7L))
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$rootS/shards")).trim == "4")
+    // READ paths never fix an undecided store's identity: a monitoring
+    // read with the wrong count on a fresh root writes nothing, and the
+    // first WRITER's count then decides (same JVM, no cache reset)
+    val rootFresh = tmp("cs15f")
+    assert(ClaimStore.lastBatch(spark, rootFresh, cfgS.copy(shards = 8)).isEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$rootFresh/shards")))
+    ClaimStore.appendClaims(spark, rootFresh, hashes(0 until 5), "h", 0L, cfgS)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$rootFresh/shards")).trim == "4")
+    assert(seenSet(rootFresh, 0 until 10, 1L, cfgS) == hashSet(0 until 5))
   }
 
   test("empty claim append is a pure watermark bump; fold with nothing to fold is a no-op") {
