@@ -225,7 +225,7 @@ object Pipeline {
     * tasks/files via the doc-hash salt. Deterministic — no rand — so
     * output is identical across retries and cluster sizes.
     */
-  private def routeByBucket(df: DataFrame, spread: Int): DataFrame = {
+  private[graft] def routeByBucket(df: DataFrame, spread: Int): DataFrame = {
     val nPart = PredBuckets * spread
     val tokens = routeTokens(nPart)
     df.withColumn("_slot",

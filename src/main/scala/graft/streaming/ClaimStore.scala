@@ -811,9 +811,12 @@ object ClaimStore {
     }
   }
 
+  /** Evict the retired legacy filter — unpersist, not destroy, for the
+    * same concurrent-holder reason as [[dropRunFilter]].
+    */
   private def dropBloomCache(root: String): Unit = {
     val old = bloomCache.remove(new Path(root).toString)
-    if (old != null) old._2.foreach(b => try b.bcast.destroy()
+    if (old != null) old._2.foreach(b => try b.bcast.unpersist(false)
     catch { case scala.util.control.NonFatal(_) => })
   }
 
@@ -992,9 +995,15 @@ object ClaimStore {
     }
   }
 
+  /** Evict a merged-away run's filter. `unpersist`, NOT `destroy`:
+    * destroy poisons a broadcast a concurrent monitoring probe may
+    * still hold (its task would throw), while unpersist frees executor
+    * blocks and lets any in-flight holder lazily re-fetch; the driver
+    * copy is reclaimed once the last reference drops.
+    */
   private def dropRunFilter(root: String, stamp: String): Unit = {
     val old = runFilterCache.remove(runKey(root, stamp))
-    if (old != null) try old.bcast.destroy()
+    if (old != null) try old.bcast.unpersist(false)
     catch { case scala.util.control.NonFatal(_) => }
   }
 

@@ -52,6 +52,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("triples bucket routing: exactly one exchange, no sort, exact slot partitioning") {
+    import spark.implicits._
+    val dict = Pipeline.broadcastDict(spark)
+    val docs = graft.ingest.SynthCorpus.corpus(spark, 8)
+    val routed = Pipeline.routeByBucket(
+      Pipeline.triples(docs, dict).toDF()
+        .withColumn("pred_bucket",
+          pmod(xxhash64(col("pred")), lit(Pipeline.PredBuckets))),
+      2)
+    val p = routed.queryExecution.executedPlan.toString
+    // one hash repartition on the route token — never a range exchange
+    // (sampled boundaries would straddle buckets) and never a sort
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1, p.take(1500))
+    assert(!p.contains("Sort"), p.take(1500))
+    // the routing is EXACT: within every physical partition exactly one
+    // bucket value (the property the manifest point bounds come from)
+    val perPart = routed
+      .select(spark_partition_id().as("p"), col("pred_bucket"))
+      .groupBy("p").agg(countDistinct("pred_bucket").as("n"))
+      .agg(max("n")).head.getLong(0)
+    assert(perPart == 1L, s"a partition mixed $perPart bucket values")
+  }
+
   test("pipeline prunes media_ref out of the parquet scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune").toString

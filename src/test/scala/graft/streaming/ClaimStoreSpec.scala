@@ -527,6 +527,41 @@ class ClaimStoreSpec extends AnyFunSuite {
     assert(seenSet(rootFresh, 0 until 10, 1L, cfgS) == hashSet(0 until 5))
   }
 
+  test("concurrent monitoring reads during appends and folds stay exact and crash-free") {
+    // lastBatch/seenFor are public and callable from monitoring threads
+    // (the migration scaladoc promises this); this leg hammers them
+    // against live appends + folds (run merges, filter drops, legacy
+    // retirement) — pinning the cache races fixed in r8: putIfAbsent
+    // convergence, compute-based legacy load, unpersist-not-destroy
+    // eviction (a destroyed broadcast would throw in a monitor's task)
+    val root = tmp("cs16")
+    val cfg = ClaimStore.Config(foldTargetBytes = 4096, maxRuns = 2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var stop = false
+    val monitors = (0 until 3).map(i => new Thread(() => {
+      while (!stop) {
+        try {
+          ClaimStore.lastBatch(spark, root, cfg)
+          ClaimStore.seenFor(spark, root, hashes(i * 30 until i * 30 + 60),
+            "h", 1000L, cfg).foreach(_.count())
+        } catch { case t: Throwable => errs.add(t); stop = true }
+      }
+    }, s"cs16-monitor-$i"))
+    monitors.foreach(_.start())
+    try {
+      for (b <- 0 until 10) {
+        ClaimStore.appendClaims(spark, root,
+          hashes(b * 20 until b * 20 + 20), "h", b.toLong, cfg)
+        if (b % 3 == 2) ClaimStore.fold(spark, root, "h", b.toLong, cfg)
+      }
+    } finally {
+      stop = true
+      monitors.foreach(_.join(60000))
+    }
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    assert(seenSet(root, 0 until 300, 100L, cfg) == hashSet(0 until 200))
+  }
+
   test("empty claim append is a pure watermark bump; fold with nothing to fold is a no-op") {
     val root = tmp("cs7")
     ClaimStore.appendClaims(spark, root, hashes(Nil), "h", 0L)
