@@ -352,6 +352,17 @@ object Pipeline {
       .withColumn("stage", lit(stage))
   }
 
+  /** The metrics table on the SAME commit protocol as the data it
+    * describes: one atomic manifest commit per run/batch (watermarked,
+    * so replays skip exactly like data appends), snapshot-isolated
+    * readers, time travel over the metric history. Read it back with
+    * [[graft.table.SnapTable.read]].
+    */
+  def writeMetricsSnap(m: DataFrame, tableRoot: String,
+                       watermark: Option[String] = None): graft.table.SnapTable.Snapshot =
+    graft.table.SnapTable.append(m.sparkSession, tableRoot, m,
+      watermark = watermark, exactStats = false)
+
   /** Snapshot-commit sidecar dir under the triples table. */
   private def commitsDir(triplesDir: String) = triplesDir + "_doc_commits"
 
@@ -759,9 +770,32 @@ object StreamingPipeline {
               batch.join(seen, batch("doc_id") === seen("doc_id"), "left_anti")
                 .as[graft.ingest.Doc]
             } else batch
-          val ts = Pipeline.triples(todo, dict).toDF()
-          SnapTable.append(spark, tableRoot, ts,
-            watermark = Some(s"$epoch:$id"), statsCol = Some("pred"))
+          // persist: the expansion feeds BOTH the data append and the
+          // per-batch metrics commit — without the pin it would run
+          // twice per batch
+          val ts = Pipeline.triples(todo, dict).toDF().persist()
+          try {
+            SnapTable.append(spark, tableRoot, ts,
+              watermark = Some(s"$epoch:$id"), statsCol = Some("pred"))
+            // per-partition lineage metrics into <tableRoot>_metrics on
+            // the SAME watermark protocol: replays skip on the metrics
+            // table's own watermark exactly like data appends. A crash
+            // between the two commits leaves that one batch's metrics
+            // row absent — detectable (metrics watermark behind the
+            // table's), never wrong: the data replay branch cannot
+            // recompute a fresh-epoch fold batch's post-anti-join
+            // metrics, so it does not guess.
+            val mRoot = tableRoot + "_metrics"
+            val (mE, mB) = parseWm(SnapTable.lastWatermark(spark, mRoot))
+            if (mE < epoch || (mE == epoch && mB < id)) {
+              implicit val tEnc = Encoders.product[TripleRow]
+              Pipeline.writeMetricsSnap(
+                Pipeline.metrics(ts.as[TripleRow],
+                  runId = s"$epoch:$id", stage = "stream-append"),
+                mRoot, watermark = Some(s"$epoch:$id"))
+              ()
+            }
+          } finally ts.unpersist()
         }
         ()
       }

@@ -9,7 +9,8 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *
   * Writes: <outDir>/metadata (parquet), <outDir>/triples (parquet,
   * pred-bucket partitioned), <outDir>/ntriples (sorted text),
-  * <outDir>/metrics (parquet).
+  * <outDir>/metrics (a [[graft.table.SnapTable]] — read with
+  * `SnapTable.read`; atomic watermarked commits per run).
   */
 object RunPipeline {
 
@@ -70,9 +71,12 @@ object RunPipeline {
       tl = lap("compact", tl)
     }
     val tsOut = spark.read.parquet(s"$outDir/triples")
-    Pipeline.metrics(tsOut.select($"doc_id", $"subj", $"pred", $"obj").as[TripleRow],
-        runId = what, stage = "materialize")
-      .write.mode("append").parquet(s"$outDir/metrics")
+    // metrics commit through the snapshot layer: atomic, watermarked by
+    // run id, snapshot-readable (SnapTable.read(outDir + "/metrics"))
+    Pipeline.writeMetricsSnap(
+      Pipeline.metrics(tsOut.select($"doc_id", $"subj", $"pred", $"obj").as[TripleRow],
+        runId = what, stage = "materialize"),
+      s"$outDir/metrics", watermark = Some(what))
     tl = lap("metrics", tl)
     Pipeline.writeSortedNTriples(
       tsOut.select($"doc_id", $"subj", $"pred", $"obj").as[TripleRow], s"$outDir/ntriples")

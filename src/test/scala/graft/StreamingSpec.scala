@@ -108,6 +108,19 @@ class StreamingSpec extends AnyFunSuite {
     val full = SnapTable.read(spark, s"$base/tbl")
       .filter($"pred" === somePred).count()
     assert(pruned == full && full > 0)
+    // per-batch lineage metrics landed in the snapshot-committed
+    // metrics table, one commit per DATA-WRITING batch (replays and
+    // empty folds wrote none), watermark in step with the data table
+    val m = SnapTable.read(spark, s"$base/tbl_metrics")
+    assert(m.columns.toSet == Set("partition_id", "doc_count",
+      "triple_count", "min_doc", "max_doc", "run_id", "stage"))
+    val runs = m.select("run_id").distinct().as[String].collect().toSet
+    assert(runs == Set("1:0", "3:0", "3:1", "4:0"), runs.toString) // 2:0 wrote no data
+    assert(SnapTable.lastWatermark(spark, s"$base/tbl_metrics").contains("4:0"))
+    // metric totals reconcile with the table itself
+    val mTriples = m.agg(org.apache.spark.sql.functions.sum($"triple_count"))
+      .head.getLong(0)
+    assert(mTriples == SnapTable.read(spark, s"$base/tbl").count(), s"$mTriples")
   }
 
   test("streaming foreachBatch into the bucketed table == batch layout; resume sees it") {
