@@ -154,6 +154,14 @@ object ClaimStore {
     * creation and keep passing the same value (re-sharding = stand up
     * a new root and replay, exactly as for any hash-partitioned
     * store).
+    *
+    * Sizing `foldTargetBytes` at deployment scale: commit metadata is
+    * amortized O(delta + files/checkpointEvery) (SnapTable delta
+    * manifests), but each CHECKPOINT manifest still lists the table's
+    * live files and each head resolution reads one — keep files ≈
+    * corpus/foldTargetBytes in the low thousands per shard (e.g. ~1 GB
+    * chunks per 10 TB shard, vs the sandbox-tuned 8 MB default).
+    * Sharding divides both the file count and the manifest term by N.
     */
   final case class Config(
       bloomFpp: Double = 0.01,

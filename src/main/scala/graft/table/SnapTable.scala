@@ -40,10 +40,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: manifests hold file-level metadata only (path, rows,
   * bytes, per-file min/max of an optional partition/sort column) —
-  * never data. A 10^12-row table at 128MB files is a few-MB manifest,
-  * and [[read]]'s bounds pruning drops files manifest-side before
-  * Spark lists anything. Data files are immutable and uuid-named, so
-  * writers never conflict on data — only on the manifest CAS.
+  * never data. A 10^12-row table at 128MB files is a few-MB CHECKPOINT
+  * manifest, and commits in between write DELTA manifests (added
+  * entries + removed paths against the parent) so the per-commit
+  * metadata write is O(the commit), not O(the table) — the Delta-log/
+  * Iceberg-manifest-list answer, amortized O(delta + files/K) at
+  * `checkpointEvery` = K. [[read]]'s bounds pruning drops files
+  * manifest-side before Spark lists anything. Data files are immutable
+  * and uuid-named, so writers never conflict on data — only on the
+  * manifest CAS.
   *
   * Determinism: snapshot ids are dense sequence numbers (no wall
   * clock); manifests serialize file lists sorted by path.
@@ -63,13 +68,29 @@ object SnapTable {
                        lo: Option[String], hi: Option[String],
                        tag: Option[String] = None)
 
-  /** One committed snapshot: dense id, the COMPLETE file list after
-    * this commit, the producing operation, added/removed lineage, and
-    * the application watermark at commit time.
+  /** One committed snapshot: dense id, the COMPLETE (resolved) file
+    * list after this commit, the producing operation, added/removed
+    * lineage, and the application watermark at commit time. `depth` is
+    * the snapshot's position in its delta chain — 0 means the on-disk
+    * manifest is a full CHECKPOINT listing every file; > 0 means it is
+    * a DELTA (added entries + removed paths against its parent),
+    * resolved transparently on read.
     */
   case class Snapshot(id: Long, op: String, files: Vector[FileEntry],
                       added: Vector[String], removed: Vector[String],
-                      watermark: Option[String])
+                      watermark: Option[String], depth: Int = 0)
+
+  /** Write a full checkpoint manifest every `checkpointEvery`-th commit
+    * and DELTAS in between: a full manifest lists the table's every
+    * live file, so writing one per commit is an O(table) term in the
+    * commit path — linear in table size no matter how small the commit
+    * (the Delta-Lake/Iceberg-manifest-list problem). With deltas the
+    * amortized manifest write is O(commit delta + files/K); readers
+    * resolve a snapshot from its nearest checkpoint plus at most K-1
+    * deltas (point reads). 1 restores the legacy every-manifest-full
+    * behavior. Var (private[graft]) so tests can tighten the chain.
+    */
+  @volatile private[graft] var checkpointEvery: Int = 10
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -88,8 +109,24 @@ object SnapTable {
     v match { case JStr(x) => Some(x); case _ => None }
   private def jNum(v: JValue): Long = v.asInstanceOf[JNum].literal.toLong
 
-  private def render(s: Snapshot): String =
-    JObj.of(
+  /** The on-disk manifest record. `depth == 0`: a full checkpoint —
+    * `files` is the table's complete list (byte-identical to the
+    * pre-delta manifest format, so legacy manifests parse as
+    * checkpoints and new checkpoints stay legacy-readable). `depth >
+    * 0`: a delta — `files` holds ONLY the entries this commit added,
+    * `removed` the paths it dropped, `parent` the previous parseable
+    * snapshot; the complete list is resolved by walking to the nearest
+    * checkpoint (≤ checkpointEvery-1 point reads).
+    */
+  private final case class RawManifest(id: Long, op: String,
+                                       files: Vector[FileEntry],
+                                       added: Vector[String],
+                                       removed: Vector[String],
+                                       watermark: Option[String],
+                                       parent: Option[Long], depth: Int)
+
+  private def render(s: RawManifest): String = {
+    val base = Vector[(String, JValue)](
       "id" -> Json.num(s.id),
       "op" -> JStr(s.op),
       "watermark" -> jOpt(s.watermark),
@@ -100,9 +137,19 @@ object SnapTable {
         "bytes" -> Json.num(f.bytes),
         "lo" -> jOpt(f.lo), "hi" -> jOpt(f.hi),
         "tag" -> jOpt(f.tag)): JValue))
-    ).render
+    )
+    // checkpoint manifests omit the delta fields — byte-compatible with
+    // the pre-delta format in both directions
+    val delta =
+      if (s.depth == 0) Vector.empty[(String, JValue)]
+      else Vector[(String, JValue)](
+        "depth" -> Json.num(s.depth.toLong),
+        "parent" -> Json.num(s.parent.getOrElse(
+          throw new IllegalStateException("delta manifest without parent"))))
+    JObj.of((base ++ delta): _*).render
+  }
 
-  private def parse(json: String): Snapshot = {
+  private def parse(json: String): RawManifest = {
     val o = Json.parse(json).asInstanceOf[JObj]
     def arr(v: JValue): Vector[String] = v.asInstanceOf[JArr].items.flatMap(jStr)
     val files = o("files").asInstanceOf[JArr].items.map { fv =>
@@ -112,8 +159,10 @@ object SnapTable {
         jNum(f("rows")), jNum(f("bytes")), jStr(f("lo")), jStr(f("hi")),
         jStr(f("tag")))
     }
-    Snapshot(jNum(o("id")), jStr(o("op")).getOrElse(""), files,
-      arr(o("added")), arr(o("removed")), jStr(o("watermark")))
+    val depth = o.get("depth").map(jNum(_).toInt).getOrElse(0)
+    val parent = o.get("parent").map(jNum)
+    RawManifest(jNum(o("id")), jStr(o("op")).getOrElse(""), files,
+      arr(o("added")), arr(o("removed")), jStr(o("watermark")), parent, depth)
   }
 
   // ---- snapshot resolution -------------------------------------------
@@ -143,17 +192,17 @@ object SnapTable {
     * failing — the same stance Iceberg takes (its manifests are only
     * valid once the catalog points at them).
     */
-  private def renderFile(s: Snapshot): Array[Byte] = {
+  private def renderFile(s: RawManifest): Array[Byte] = {
     val json = render(s)
     val crc = new java.util.zip.CRC32
     crc.update(json.getBytes("UTF-8"))
     s"$json\ncrc:${crc.getValue}\n".getBytes("UTF-8")
   }
 
-  /** Parse a manifest if structurally sound AND its CRC (when present)
-    * matches; None for torn/corrupt content.
+  /** Parse a raw manifest if structurally sound AND its CRC (when
+    * present) matches; None for torn/corrupt content.
     */
-  private def readSnap(spark: SparkSession, root: String, v: Long): Option[Snapshot] =
+  private def readRaw(spark: SparkSession, root: String, v: Long): Option[RawManifest] =
     try {
       val p = snapPath(root, v)
       val in = fs(spark, p).open(p)
@@ -171,6 +220,48 @@ object SnapTable {
       }
       if (ok) Some(parse(json)) else None
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** A snapshot with its COMPLETE file list: a checkpoint is itself,
+    * a delta resolves by walking parents to the nearest checkpoint and
+    * replaying each delta's removals + additions in commit order. None
+    * for torn/corrupt content OR a broken chain (an ancestor torn or
+    * missing) — an unresolvable snapshot is as uncommitted as a torn
+    * one, and both are stepped over by head resolution. Chains of live
+    * snapshots cannot break: a commit's parent was parseable at commit
+    * time and immutable after, and [[expire]] only cuts at checkpoint
+    * boundaries, so every retained delta's chain stays retained.
+    */
+  private def readSnap(spark: SparkSession, root: String, v: Long): Option[Snapshot] =
+    readRaw(spark, root, v).flatMap { raw =>
+      if (raw.depth == 0)
+        Some(Snapshot(raw.id, raw.op, raw.files, raw.added, raw.removed,
+          raw.watermark, 0))
+      else resolveDelta(spark, root, raw)
+    }
+
+  private def resolveDelta(spark: SparkSession, root: String,
+                           raw: RawManifest): Option[Snapshot] = {
+    val deltas = scala.collection.mutable.ArrayBuffer(raw)
+    var cur = raw
+    while (cur.depth > 0) {
+      cur.parent.flatMap(readRaw(spark, root, _)) match {
+        // chains must strictly descend — a forged/corrupt parent
+        // pointer must degrade to unresolvable, never loop
+        case Some(p) if p.id < cur.id && (p.depth == 0 || p.depth < cur.depth) =>
+          if (p.depth > 0) deltas += p
+          cur = p
+        case _ => return None
+      }
+    }
+    val byPath = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    cur.files.foreach(e => byPath(e.path) = e)
+    deltas.reverseIterator.foreach { d =>
+      d.removed.foreach(byPath.remove)
+      d.files.foreach(e => byPath(e.path) = e)
+    }
+    Some(Snapshot(raw.id, raw.op, byPath.values.toVector.sortBy(_.path),
+      raw.added, raw.removed, raw.watermark, raw.depth))
+  }
 
   /** The snapshot record for `asOf` (default: latest committed). None
     * for an empty/nonexistent table; IllegalArgumentException for an
@@ -396,11 +487,30 @@ object SnapTable {
               latestParseable(spark, root, idsNow))
         }
         val (op, files, added, removed, wm) = make(parent)
-        val snap = Snapshot(v, op, files, added, removed, wm)
+        // Delta-vs-checkpoint decision: a delta writes O(this commit)
+        // of manifest instead of O(table files); every Kth commit (and
+        // every overwrite — its removal list IS the whole table) is a
+        // full checkpoint so chains stay <= K-1 reads and expire always
+        // has a cut point. make() returns the RESOLVED list either way;
+        // the delta serializes only the added entries + removed paths,
+        // which reconstruct it exactly (parent - removed + added).
+        val depth = parent match {
+          case Some(p) if op != "overwrite" && p.depth + 1 < checkpointEvery =>
+            p.depth + 1
+          case _ => 0
+        }
+        val raw =
+          if (depth == 0) RawManifest(v, op, files, added, removed, wm, None, 0)
+          else {
+            val addedSet = added.toSet
+            RawManifest(v, op, files.filter(e => addedSet(e.path)), added,
+              removed, wm, parent.map(_.id), depth)
+          }
+        val snap = Snapshot(v, op, files, added, removed, wm, depth)
         val tmp = new Path(metaDir(root),
           f"snap-$v%08d.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
         val out = f.create(tmp, true)
-        try out.write(renderFile(snap)) finally out.close()
+        try out.write(renderFile(raw)) finally out.close()
         // the CAS: never clobber an existing snap-<v>.json (hard-link
         // EEXIST on local, no-clobber FileContext rename elsewhere;
         // same-JVM racers are additionally serialized above)
@@ -629,7 +739,15 @@ object SnapTable {
     val keep =
       if (parseable.length <= keepLast) parseable
       else {
-        val (drop, keep) = parseable.splitAt(parseable.length - keepLast)
+        // the cut must land on a CHECKPOINT manifest: retained deltas
+        // resolve through their parents, so cutting mid-chain would
+        // orphan every retained snapshot below the next checkpoint.
+        // keepLast is therefore a minimum — the cut extends down at
+        // most checkpointEvery-1 slots to the nearest full manifest
+        // (the genesis commit is always one, so the walk terminates)
+        var cut = parseable.length - keepLast
+        while (cut > 0 && byId(parseable(cut)).depth > 0) cut -= 1
+        val (drop, keep) = parseable.splitAt(cut)
         val live: Set[String] = keep.flatMap(v => byId(v).files.map(_.path)).toSet
         drop.foreach { v =>
           byId(v).files

@@ -18,7 +18,17 @@ class SnapSourceSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  // the expire legs pin EXACT retention boundaries; checkpointEvery=1
+  // (every manifest a full checkpoint) keeps the cut at keepLast
+  // precisely instead of extending to the nearest checkpoint
+  private def withCheckpointEvery[T](k: Int)(body: => T): T = {
+    val old = SnapTable.checkpointEvery
+    SnapTable.checkpointEvery = k
+    try body finally SnapTable.checkpointEvery = old
+  }
+
   test("incremental reader sees exactly the appended rows; compaction invisible; expire fails loudly") {
+    withCheckpointEvery(1) {
     import spark.implicits._
     val base = tmp("snapsrc")
     val root = s"$base/tbl"
@@ -60,9 +70,11 @@ class SnapSourceSpec extends AnyFunSuite {
       if (t == null) Nil else t :: chain(t.getCause)
     assert(chain(ex).exists(c => c.getMessage != null &&
       c.getMessage.contains("re-sync")), chain(ex).map(_.getMessage).toString)
+    }
   }
 
   test("start=snapshot serves current content as batch one on an expired-genesis table; start=latest serves only new commits") {
+    withCheckpointEvery(1) {
     import spark.implicits._
     val base = tmp("snapsrc4")
     val root = s"$base/tbl"
@@ -105,6 +117,7 @@ class SnapSourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       spark.readStream.format("graft-snap").option("path", root)
         .option("start", "bogus").load()
+    }
     }
   }
 

@@ -17,6 +17,12 @@ class SnapTableSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString + "/tbl"
 
+  private def withCheckpointEvery[T](k: Int)(body: => T): T = {
+    val old = SnapTable.checkpointEvery
+    SnapTable.checkpointEvery = k
+    try body finally SnapTable.checkpointEvery = old
+  }
+
   test("append/read roundtrip, lineage, and watermark resume") {
     import spark.implicits._
     val root = tmp("snap1")
@@ -145,6 +151,7 @@ class SnapTableSpec extends AnyFunSuite {
   }
 
   test("torn state is invisible: tmp manifests and stage orphans are ignored") {
+    withCheckpointEvery(1) { // pins EXACT keepLast retention boundaries
     import spark.implicits._
     val root = tmp("snap7")
     SnapTable.append(spark, root, Seq((1L, "a")).toDF("id", "v"))
@@ -180,6 +187,7 @@ class SnapTableSpec extends AnyFunSuite {
     SnapTable.expire(spark, root, keepLast = 1)
     assert(SnapTable.snapshotIds(spark, root) == Seq(5L))
     assert(SnapTable.read(spark, root).count() == 3)
+    }
   }
 
   test("HEAD hint is an optimization only: absent/corrupt/stale/forged hints never misplace a commit") {
@@ -235,17 +243,24 @@ class SnapTableSpec extends AnyFunSuite {
   test("an expired cursor with intact lineage recovers; torn ids sweep even without drops") {
     import spark.implicits._
     val root = tmp("snap13")
+    withCheckpointEvery(3) {
     for (i <- 1 to 6)
       SnapTable.append(spark, root, Seq((i.toLong, "x")).toDF("id", "v"))
-    SnapTable.expire(spark, root, keepLast = 2) // retains {5, 6}
-    assert(SnapTable.snapshotIds(spark, root) == Seq(5L, 6L))
-    // cursor 4 was just expired, but (4, 6] lineage is fully retained:
-    // the consumer one keep-window behind is exactly recoverable
+    // checkpoints at 1 and 4 (K=3): the keepLast=2 cut extends down to
+    // the nearest checkpoint, retaining {4, 5, 6}
+    SnapTable.expire(spark, root, keepLast = 2)
+    assert(SnapTable.snapshotIds(spark, root) == Seq(4L, 5L, 6L))
+    // cursor 4 retained: exact incremental recovery
     val ch = SnapTable.changesBetween(spark, root, 4L)
     assert(ch.coveredThrough == 6L)
     assert(ch.rows.get.select("id").as[Long].collect().toSet == Set(5L, 6L))
-    // cursor 3 needs snapshot 4's lineage, which is gone: loud
-    intercept[IllegalArgumentException] { SnapTable.changesBetween(spark, root, 3L) }
+    // cursor 3 was just expired, but (3, 6] lineage is fully retained:
+    // the consumer one keep-window behind is exactly recoverable
+    assert(SnapTable.changesBetween(spark, root, 3L).rows.get
+      .select("id").as[Long].collect().toSet == Set(4L, 5L, 6L))
+    // cursor 2 needs snapshot 3's lineage, which is gone: loud
+    intercept[IllegalArgumentException] { SnapTable.changesBetween(spark, root, 2L) }
+    }
     // torn-id sweep no longer depends on a drop happening: a burned
     // slot below the parseable head goes even at keepLast > count
     val root2 = tmp("snap14")
@@ -326,6 +341,10 @@ class SnapTableSpec extends AnyFunSuite {
 
   test("model check: random append/overwrite/rewrite/expire sequences match a reference model") {
     import spark.implicits._
+    // checkpointEvery=2 forces the delta/checkpoint boundary on nearly
+    // every commit, so every structural path (delta resolution, cut
+    // alignment, overwrite reset) is crossed repeatedly
+    withCheckpointEvery(2) {
     for (trial <- 0 until 3) {
       val rnd = new scala.util.Random(4242 + trial)
       val root = tmp(s"snapm$trial")
@@ -365,9 +384,54 @@ class SnapTableSpec extends AnyFunSuite {
         }
       }
     }
+    }
+  }
+
+  test("delta manifests: O(commit) deltas, checkpoint cadence, resolution, aligned expire") {
+    import spark.implicits._
+    val root = tmp("snap17")
+    def manifest(v: Long): String = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(f"$root/meta/snap-$v%08d.json"))
+    withCheckpointEvery(3) {
+      for (i <- 1 to 7)
+        SnapTable.append(spark, root, Seq((i.toLong, "x")).toDF("id", "v"))
+      // cadence: 1 full, 2-3 deltas, 4 full, 5-6 deltas, 7 full
+      for (v <- Seq(1L, 4L, 7L))
+        assert(!manifest(v).contains("\"depth\""), s"snap $v should be full")
+      for (v <- Seq(2L, 3L, 5L, 6L))
+        assert(manifest(v).contains("\"depth\""), s"snap $v should be a delta")
+      // the O(commit-delta) witness: a delta manifest lists ONE file
+      // (this commit's), a checkpoint lists the table's seven
+      assert(manifest(6).length < manifest(7).length,
+        s"${manifest(6).length} !< ${manifest(7).length}")
+      assert("\"path\"".r.findAllIn(manifest(6)).size == 1)
+      assert("\"path\"".r.findAllIn(manifest(7)).size == 7)
+      // resolution: the head and a mid-chain time travel are complete
+      def ids(asOf: Option[Long]) = SnapTable.read(spark, root, asOf)
+        .select("id").as[Long].collect().toSet
+      assert(ids(None) == (1L to 7L).toSet)
+      assert(ids(Some(3L)) == (1L to 3L).toSet) // resolved via 1 <- 2 <- 3
+      assert(SnapTable.snapshot(spark, root).get.depth == 0)
+      assert(SnapTable.snapshot(spark, root, Some(6L)).get.depth == 2)
+      // expire cuts at a checkpoint so retained deltas keep resolving:
+      // keepLast=2 extends down to full snap 4 (wait... 7 is full, so
+      // the cut lands exactly at keepLast here) — use keepLast=3 to
+      // force the walk: cut index at snap 5 (delta) walks down to 4
+      SnapTable.expire(spark, root, keepLast = 3)
+      assert(SnapTable.snapshotIds(spark, root) == Seq(4L, 5L, 6L, 7L))
+      assert(ids(None) == (1L to 7L).toSet)
+      assert(ids(Some(5L)) == (1L to 5L).toSet)
+      assert(SnapTable.changesBetween(spark, root, 5L).rows.get
+        .select("id").as[Long].collect().toSet == Set(6L, 7L))
+      // an overwrite resets the chain with a full checkpoint
+      val ow = SnapTable.overwrite(spark, root, Seq((99L, "y")).toDF("id", "v"))
+      assert(ow.depth == 0 && !manifest(ow.id).contains("\"depth\""))
+      assert(ids(None) == Set(99L))
+    }
   }
 
   test("changesSince: incremental capture, compaction invisible, expired cursor rejected") {
+    withCheckpointEvery(1) { // pins EXACT keepLast retention boundaries
     import spark.implicits._
     val root = tmp("snap9")
     def ids(df: Option[org.apache.spark.sql.DataFrame]): Set[Long] =
@@ -394,9 +458,11 @@ class SnapTableSpec extends AnyFunSuite {
     }
     // full-read re-sync still consistent
     assert(SnapTable.read(spark, root).count() == 25)
+    }
   }
 
   test("expire: drops old manifests, GCs orphan data, keeps live files") {
+    withCheckpointEvery(1) { // pins EXACT keepLast retention boundaries
     import spark.implicits._
     val root = tmp("snap8")
     SnapTable.append(spark, root, (0 until 20).map(i => (i.toLong, "a")).toDF("id", "v"))
@@ -412,6 +478,7 @@ class SnapTableSpec extends AnyFunSuite {
     assert(dataFiles == liveFiles.map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath))
     assert(SnapTable.read(spark, root).count() == 40)
     intercept[IllegalArgumentException] { SnapTable.read(spark, root, Some(1L)) }
+    }
   }
 
   test("changesBetween: covered head advances the cursor safely across a racing writer") {
