@@ -359,9 +359,25 @@ object Pipeline {
     * [[graft.table.SnapTable.read]].
     */
   def writeMetricsSnap(m: DataFrame, tableRoot: String,
-                       watermark: Option[String] = None): graft.table.SnapTable.Snapshot =
-    graft.table.SnapTable.append(m.sparkSession, tableRoot, m,
+                       watermark: Option[String] = None): graft.table.SnapTable.Snapshot = {
+    val spark = m.sparkSession
+    val rp = new org.apache.hadoop.fs.Path(tableRoot)
+    val f = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a pre-snapshot metrics dir holds flat part-*.parquet at the top
+    // level; committing a SnapTable beside them would make the old
+    // runs' metrics silently invisible (manifests become the source of
+    // truth) — refuse with the recipe instead
+    if (!f.exists(new org.apache.hadoop.fs.Path(rp, "meta")) && f.exists(rp) &&
+        f.listStatus(rp).exists(s => s.isFile &&
+          s.getPath.getName.endsWith(".parquet") &&
+          !s.getPath.getName.startsWith(".")))
+      throw new IllegalStateException(
+        s"$tableRoot holds a legacy flat parquet metrics dir — move its " +
+          "part files aside (or point at a fresh dir); the snapshot-" +
+          "committed metrics table would silently shadow them")
+    graft.table.SnapTable.append(spark, tableRoot, m,
       watermark = watermark, exactStats = false)
+  }
 
   /** Snapshot-commit sidecar dir under the triples table. */
   private def commitsDir(triplesDir: String) = triplesDir + "_doc_commits"

@@ -125,34 +125,47 @@ object SnapTable {
                                        watermark: Option[String],
                                        parent: Option[Long], depth: Int)
 
+  private def jFiles(files: Vector[FileEntry]): JValue =
+    JArr(files.sortBy(_.path).map(f => JObj.of(
+      "path" -> JStr(f.path), "rows" -> Json.num(f.rows),
+      "bytes" -> Json.num(f.bytes),
+      "lo" -> jOpt(f.lo), "hi" -> jOpt(f.hi),
+      "tag" -> jOpt(f.tag)): JValue))
+
   private def render(s: RawManifest): String = {
-    val base = Vector[(String, JValue)](
+    val head = Vector[(String, JValue)](
       "id" -> Json.num(s.id),
       "op" -> JStr(s.op),
-      "watermark" -> jOpt(s.watermark),
-      "added" -> JArr(s.added.sorted.map(JStr(_): JValue)),
-      "removed" -> JArr(s.removed.sorted.map(JStr(_): JValue)),
-      "files" -> JArr(s.files.sortBy(_.path).map(f => JObj.of(
-        "path" -> JStr(f.path), "rows" -> Json.num(f.rows),
-        "bytes" -> Json.num(f.bytes),
-        "lo" -> jOpt(f.lo), "hi" -> jOpt(f.hi),
-        "tag" -> jOpt(f.tag)): JValue))
-    )
-    // checkpoint manifests omit the delta fields — byte-compatible with
-    // the pre-delta format in both directions
-    val delta =
-      if (s.depth == 0) Vector.empty[(String, JValue)]
+      "watermark" -> jOpt(s.watermark))
+    // A checkpoint keeps the exact pre-delta byte format. A DELTA uses
+    // a DIFFERENT files key ("adds"): a pre-delta binary sharing the
+    // root would otherwise parse the delta's partial files array as the
+    // complete table — silently truncated reads and an old-binary
+    // expire GC'ing live files. With the renamed key the old parser
+    // fails on the missing "files" and treats the delta as torn —
+    // stale-but-consistent reads, never a truncated view. "added" is
+    // also omitted from deltas: it is exactly adds.map(_.path),
+    // reconstructed at parse (paths dominate manifest bytes; writing
+    // each twice would double the artifact this format exists to keep
+    // O(commit)-small).
+    val body =
+      if (s.depth == 0) Vector[(String, JValue)](
+        "added" -> JArr(s.added.sorted.map(JStr(_): JValue)),
+        "removed" -> JArr(s.removed.sorted.map(JStr(_): JValue)),
+        "files" -> jFiles(s.files))
       else Vector[(String, JValue)](
+        "removed" -> JArr(s.removed.sorted.map(JStr(_): JValue)),
         "depth" -> Json.num(s.depth.toLong),
         "parent" -> Json.num(s.parent.getOrElse(
-          throw new IllegalStateException("delta manifest without parent"))))
-    JObj.of((base ++ delta): _*).render
+          throw new IllegalStateException("delta manifest without parent"))),
+        "adds" -> jFiles(s.files))
+    JObj.of((head ++ body): _*).render
   }
 
   private def parse(json: String): RawManifest = {
     val o = Json.parse(json).asInstanceOf[JObj]
     def arr(v: JValue): Vector[String] = v.asInstanceOf[JArr].items.flatMap(jStr)
-    val files = o("files").asInstanceOf[JArr].items.map { fv =>
+    def fileArr(v: JValue): Vector[FileEntry] = v.asInstanceOf[JArr].items.map { fv =>
       val f = fv.asInstanceOf[JObj]
       FileEntry(jStr(f("path")).getOrElse(
           throw new IllegalArgumentException("manifest file entry missing path")),
@@ -160,9 +173,20 @@ object SnapTable {
         jStr(f("tag")))
     }
     val depth = o.get("depth").map(jNum(_).toInt).getOrElse(0)
+    // forged/corrupt structure degrades to unparseable (torn), never to
+    // a partial view served as complete: a negative/absent-parent delta
+    // must not skip the resolution walk
+    require(depth >= 0, s"negative manifest depth $depth")
     val parent = o.get("parent").map(jNum)
-    RawManifest(jNum(o("id")), jStr(o("op")).getOrElse(""), files,
-      arr(o("added")), arr(o("removed")), jStr(o("watermark")), parent, depth)
+    require(depth == 0 || parent.nonEmpty, "delta manifest without parent")
+    if (depth == 0)
+      RawManifest(jNum(o("id")), jStr(o("op")).getOrElse(""), fileArr(o("files")),
+        arr(o("added")), arr(o("removed")), jStr(o("watermark")), parent, 0)
+    else {
+      val adds = fileArr(o("adds"))
+      RawManifest(jNum(o("id")), jStr(o("op")).getOrElse(""), adds,
+        adds.map(_.path), arr(o("removed")), jStr(o("watermark")), parent, depth)
+    }
   }
 
   // ---- snapshot resolution -------------------------------------------
@@ -224,33 +248,46 @@ object SnapTable {
   /** A snapshot with its COMPLETE file list: a checkpoint is itself,
     * a delta resolves by walking parents to the nearest checkpoint and
     * replaying each delta's removals + additions in commit order. None
-    * for torn/corrupt content OR a broken chain (an ancestor torn or
-    * missing) — an unresolvable snapshot is as uncommitted as a torn
-    * one, and both are stepped over by head resolution. Chains of live
-    * snapshots cannot break: a commit's parent was parseable at commit
-    * time and immutable after, and [[expire]] only cuts at checkpoint
-    * boundaries, so every retained delta's chain stays retained.
+    * only for torn/corrupt CONTENT of `v` itself (an in-flight writer's
+    * partial publish — steppable). A parseable delta whose ANCESTOR is
+    * torn/missing throws instead: chains of live snapshots cannot break
+    * (a commit's parent was parseable at commit time and immutable
+    * after; [[expire]] cuts only at checkpoint ancestors), so a broken
+    * chain is table DAMAGE — stepping over it would silently rewind the
+    * head by up to checkpointEvery-1 committed snapshots (a regressed
+    * watermark re-admits replayed batches as new), and expire would
+    * sweep the "torn" deltas, turning one damaged checkpoint into
+    * permanent loss of every commit above it. Loud, with the file to
+    * restore named.
     */
   private def readSnap(spark: SparkSession, root: String, v: Long): Option[Snapshot] =
-    readRaw(spark, root, v).flatMap { raw =>
+    readRaw(spark, root, v).map { raw =>
       if (raw.depth == 0)
-        Some(Snapshot(raw.id, raw.op, raw.files, raw.added, raw.removed,
-          raw.watermark, 0))
+        Snapshot(raw.id, raw.op, raw.files, raw.added, raw.removed,
+          raw.watermark, 0)
       else resolveDelta(spark, root, raw)
     }
 
+  private def chainBroken(root: String, at: Long, missing: Long): Nothing =
+    throw new IllegalStateException(
+      s"manifest chain broken in $root: snapshot $at needs ancestor " +
+        f"$missing (meta/snap-$missing%08d.json), which is torn or missing — " +
+        "committed state above the damage would otherwise be silently lost; " +
+        "restore the file from a replica/backup (or expire the table past it)")
+
   private def resolveDelta(spark: SparkSession, root: String,
-                           raw: RawManifest): Option[Snapshot] = {
+                           raw: RawManifest): Snapshot = {
     val deltas = scala.collection.mutable.ArrayBuffer(raw)
     var cur = raw
     while (cur.depth > 0) {
-      cur.parent.flatMap(readRaw(spark, root, _)) match {
+      val pid = cur.parent.getOrElse(chainBroken(root, cur.id, cur.id))
+      readRaw(spark, root, pid) match {
         // chains must strictly descend — a forged/corrupt parent
-        // pointer must degrade to unresolvable, never loop
+        // pointer must degrade loudly, never loop
         case Some(p) if p.id < cur.id && (p.depth == 0 || p.depth < cur.depth) =>
           if (p.depth > 0) deltas += p
           cur = p
-        case _ => return None
+        case _ => chainBroken(root, cur.id, pid)
       }
     }
     val byPath = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
@@ -259,8 +296,8 @@ object SnapTable {
       d.removed.foreach(byPath.remove)
       d.files.foreach(e => byPath(e.path) = e)
     }
-    Some(Snapshot(raw.id, raw.op, byPath.values.toVector.sortBy(_.path),
-      raw.added, raw.removed, raw.watermark, raw.depth))
+    Snapshot(raw.id, raw.op, byPath.values.toVector.sortBy(_.path),
+      raw.added, raw.removed, raw.watermark, raw.depth)
   }
 
   /** The snapshot record for `asOf` (default: latest committed). None
@@ -695,9 +732,11 @@ object SnapTable {
     }
     // every manifest INSIDE the range must parse — silently skipping a
     // torn/corrupt one would hand the consumer a partial result that
-    // looks complete (same invariant as the cursor guard above)
+    // looks complete (same invariant as the cursor guard above). RAW
+    // manifests suffice: the added lineage is carried by the delta
+    // itself, so incremental capture never pays a chain resolution
     val range = ids.filter(v => v > fromExclusive && v <= covered)
-      .map(v => v -> readSnap(spark, root, v))
+      .map(v => v -> readRaw(spark, root, v))
     val corrupt = range.collect { case (v, None) => v }
     require(corrupt.isEmpty,
       s"corrupt manifest(s) ${corrupt.mkString(",")} inside the change range of $root — " +
@@ -731,22 +770,53 @@ object SnapTable {
     // non-atomic-rename filesystem): not counted, not deleted, and
     // contributing nothing to the live set.
     val allIds = snapshotIds(spark, root)
-    // parse each manifest ONCE (remote filesystems pay per round-trip)
-    val byId: Map[Long, Snapshot] =
-      allIds.flatMap(v => readSnap(spark, root, v).map(v -> _)).toMap
-    val parseable = allIds.filter(byId.contains)
+    // parse each manifest ONCE (remote filesystems pay per round-trip):
+    // raws are read in one pass and delta chains resolved INCREMENTALLY
+    // ascending (a parent always precedes its child), so expire costs
+    // O(snapshots) manifest reads, not O(snapshots x chain length)
+    val raws: Map[Long, RawManifest] =
+      allIds.flatMap(v => readRaw(spark, root, v).map(v -> _)).toMap
+    val parseable = allIds.filter(raws.contains)
+    val resolvedFiles = scala.collection.mutable.Map.empty[Long, Vector[FileEntry]]
+    val byId = scala.collection.mutable.Map.empty[Long, Snapshot]
+    for (v <- parseable) {
+      val raw = raws(v)
+      val files =
+        if (raw.depth == 0) raw.files
+        else {
+          val pid = raw.parent.getOrElse(chainBroken(root, v, v))
+          val pf = resolvedFiles.getOrElse(pid, chainBroken(root, v, pid))
+          val rm = raw.removed.toSet
+          pf.filterNot(e => rm(e.path)) ++ raw.files
+        }
+      resolvedFiles(v) = files
+      byId(v) = Snapshot(raw.id, raw.op, files, raw.added, raw.removed,
+        raw.watermark, raw.depth)
+    }
     val f = fs(spark, dataDir(root))
     val keep =
       if (parseable.length <= keepLast) parseable
       else {
-        // the cut must land on a CHECKPOINT manifest: retained deltas
-        // resolve through their parents, so cutting mid-chain would
-        // orphan every retained snapshot below the next checkpoint.
-        // keepLast is therefore a minimum — the cut extends down at
-        // most checkpointEvery-1 slots to the nearest full manifest
-        // (the genesis commit is always one, so the walk terminates)
-        var cut = parseable.length - keepLast
-        while (cut > 0 && byId(parseable(cut)).depth > 0) cut -= 1
+        // the cut must land on a checkpoint that is a chain ANCESTOR of
+        // every retained snapshot: retained deltas resolve through
+        // their parents, so cutting mid-chain would orphan them —
+        // and LIST position is not ancestry (a slow writer's torn
+        // checkpoint can complete late and resurrect as a parseable
+        // orphan that nothing chains through; stopping a positional
+        // walk there would drop a kept delta's real parent). keepLast
+        // is therefore a minimum — the cut extends down to the OLDEST
+        // checkpoint any kept snapshot's chain rests on (genesis is
+        // always one, so the walk terminates).
+        val cut0 = parseable.length - keepLast
+        def chainBase(v: Long): Long = {
+          var c = raws(v)
+          while (c.depth > 0)
+            c = raws.getOrElse(c.parent.getOrElse(chainBroken(root, c.id, c.id)),
+              chainBroken(root, c.id, c.parent.get))
+          c.id
+        }
+        val cutId = (cut0 until parseable.length).map(i => chainBase(parseable(i))).min
+        val cut = parseable.indexOf(cutId)
         val (drop, keep) = parseable.splitAt(cut)
         val live: Set[String] = keep.flatMap(v => byId(v).files.map(_.path)).toSet
         drop.foreach { v =>

@@ -21,11 +21,7 @@ class SnapSourceSpec extends AnyFunSuite {
   // the expire legs pin EXACT retention boundaries; checkpointEvery=1
   // (every manifest a full checkpoint) keeps the cut at keepLast
   // precisely instead of extending to the nearest checkpoint
-  private def withCheckpointEvery[T](k: Int)(body: => T): T = {
-    val old = SnapTable.checkpointEvery
-    SnapTable.checkpointEvery = k
-    try body finally SnapTable.checkpointEvery = old
-  }
+  import TestSnapKnobs.withCheckpointEvery
 
   test("incremental reader sees exactly the appended rows; compaction invisible; expire fails loudly") {
     withCheckpointEvery(1) {

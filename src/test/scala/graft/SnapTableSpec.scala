@@ -17,11 +17,7 @@ class SnapTableSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString + "/tbl"
 
-  private def withCheckpointEvery[T](k: Int)(body: => T): T = {
-    val old = SnapTable.checkpointEvery
-    SnapTable.checkpointEvery = k
-    try body finally SnapTable.checkpointEvery = old
-  }
+  import TestSnapKnobs.withCheckpointEvery
 
   test("append/read roundtrip, lineage, and watermark resume") {
     import spark.implicits._
@@ -423,10 +419,58 @@ class SnapTableSpec extends AnyFunSuite {
       assert(ids(Some(5L)) == (1L to 5L).toSet)
       assert(SnapTable.changesBetween(spark, root, 5L).rows.get
         .select("id").as[Long].collect().toSet == Set(6L, 7L))
+      // delta shape: a pre-delta reader must fail its parse (torn) on a
+      // delta rather than serve its partial file list as the table —
+      // the files live under a DIFFERENT key, and "added" (derivable)
+      // is not written twice
+      assert(manifest(6).contains("\"adds\""))
+      assert(!manifest(6).contains("\"files\"") && !manifest(6).contains("\"added\""))
+      assert(manifest(7).contains("\"files\"") && !manifest(7).contains("\"adds\""))
       // an overwrite resets the chain with a full checkpoint
       val ow = SnapTable.overwrite(spark, root, Seq((99L, "y")).toDF("id", "v"))
       assert(ow.depth == 0 && !manifest(ow.id).contains("\"depth\""))
       assert(ids(None) == Set(99L))
+    }
+  }
+
+  test("a damaged checkpoint is LOUD, never a silent head rewind or sweep") {
+    import spark.implicits._
+    import TestSnapKnobs.withCheckpointEvery
+    val root = tmp("snap18")
+    withCheckpointEvery(3) {
+      for (i <- 1 to 6) // checkpoints at 1 and 4; 5-6 are deltas on 4
+        SnapTable.append(spark, root, Seq((i.toLong, "x")).toDF("id", "v"))
+      val cp = java.nio.file.Paths.get(s"$root/meta/snap-00000004.json")
+      val original = java.nio.file.Files.readAllBytes(cp)
+      java.nio.file.Files.writeString(cp, "{\"id\":4,ROT") // bit rot / partial loss
+      new java.io.File(s"$root/meta/.snap-00000004.json.crc").delete()
+      // head resolution must NOT silently serve snapshot 3 (a rewound
+      // watermark would re-admit replayed batches as new), and expire
+      // must NOT sweep 5-6 as "torn" (one damaged file would become
+      // permanent loss of every commit above it) — both fail loudly,
+      // naming the file to restore
+      val e1 = intercept[IllegalStateException] { SnapTable.snapshot(spark, root) }
+      assert(e1.getMessage.contains("snap-00000004"), e1.getMessage)
+      val e2 = intercept[IllegalStateException] {
+        SnapTable.expire(spark, root, keepLast = 2)
+      }
+      assert(e2.getMessage.contains("chain broken"), e2.getMessage)
+      // restoring the damaged file fully recovers
+      java.nio.file.Files.write(cp, original)
+      new java.io.File(s"$root/meta/.snap-00000004.json.crc").delete()
+      assert(SnapTable.snapshot(spark, root).get.id == 6L)
+      assert(SnapTable.read(spark, root).count() == 6)
+      // forged structure (negative depth) is TORN — stepped over, never
+      // a partial view served as complete
+      val forged = """{"id": 7, "op": "append", "watermark": null, """ +
+        """"removed": [], "depth": -1, "parent": 6, "adds": []}"""
+      val crc = new java.util.zip.CRC32
+      crc.update(forged.getBytes("UTF-8"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/meta/snap-00000007.json"),
+        s"$forged\ncrc:${crc.getValue}\n")
+      assert(SnapTable.snapshot(spark, root).get.id == 6L)
+      assert(SnapTable.read(spark, root).count() == 6)
     }
   }
 
