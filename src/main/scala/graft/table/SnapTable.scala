@@ -183,9 +183,13 @@ object SnapTable {
       RawManifest(jNum(o("id")), jStr(o("op")).getOrElse(""), fileArr(o("files")),
         arr(o("added")), arr(o("removed")), jStr(o("watermark")), parent, 0)
     else {
-      val adds = fileArr(o("adds"))
+      // first-cut delta manifests (same round, pre-key-rename) carried
+      // the delta files under "files" with an explicit "added" — read
+      // both shapes so a table written hours apart never loses commits
+      val adds = fileArr(o.get("adds").getOrElse(o("files")))
+      val added = o.get("added").map(arr).getOrElse(adds.map(_.path))
       RawManifest(jNum(o("id")), jStr(o("op")).getOrElse(""), adds,
-        adds.map(_.path), arr(o("removed")), jStr(o("watermark")), parent, depth)
+        added, arr(o("removed")), jStr(o("watermark")), parent, depth)
     }
   }
 
@@ -273,7 +277,20 @@ object SnapTable {
       s"manifest chain broken in $root: snapshot $at needs ancestor " +
         f"$missing (meta/snap-$missing%08d.json), which is torn or missing — " +
         "committed state above the damage would otherwise be silently lost; " +
-        "restore the file from a replica/backup (or expire the table past it)")
+        "restore the file from a replica/backup (or, if a concurrent expire " +
+        "just dropped it, simply retry)")
+
+  /** The ONE delta-replay rule, shared by every resolver: parent files
+    * minus this delta's removals plus its adds (replace-by-path).
+    */
+  private def applyDelta(parentFiles: Vector[FileEntry],
+                         d: RawManifest): Vector[FileEntry] = {
+    val byPath = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    parentFiles.foreach(e => byPath(e.path) = e)
+    d.removed.foreach(byPath.remove)
+    d.files.foreach(e => byPath(e.path) = e)
+    byPath.values.toVector
+  }
 
   private def resolveDelta(spark: SparkSession, root: String,
                            raw: RawManifest): Snapshot = {
@@ -290,13 +307,9 @@ object SnapTable {
         case _ => chainBroken(root, cur.id, pid)
       }
     }
-    val byPath = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
-    cur.files.foreach(e => byPath(e.path) = e)
-    deltas.reverseIterator.foreach { d =>
-      d.removed.foreach(byPath.remove)
-      d.files.foreach(e => byPath(e.path) = e)
-    }
-    Snapshot(raw.id, raw.op, byPath.values.toVector.sortBy(_.path),
+    var files = cur.files
+    deltas.reverseIterator.foreach(d => files = applyDelta(files, d))
+    Snapshot(raw.id, raw.op, files.sortBy(_.path),
       raw.added, raw.removed, raw.watermark, raw.depth)
   }
 
@@ -777,22 +790,30 @@ object SnapTable {
     val raws: Map[Long, RawManifest] =
       allIds.flatMap(v => readRaw(spark, root, v).map(v -> _)).toMap
     val parseable = allIds.filter(raws.contains)
-    val resolvedFiles = scala.collection.mutable.Map.empty[Long, Vector[FileEntry]]
-    val byId = scala.collection.mutable.Map.empty[Long, Snapshot]
+    // One ascending pass resolves every intact chain incrementally
+    // (files + chain base per id — a parent always precedes its child,
+    // so expire costs O(snapshots) manifest reads, not O(snapshots x
+    // chain length)) and resolves TOLERANTLY: damage anywhere below the
+    // cut must not brick GC forever (the old eager version threw for a
+    // rotted manifest no kept snapshot depends on, making its own
+    // "expire the table past it" recovery advice impossible). Only the
+    // KEPT snapshots — the table's live state — must resolve, loudly.
+    val resolved = scala.collection.mutable.Map.empty[Long, (Vector[FileEntry], Long)]
     for (v <- parseable) {
       val raw = raws(v)
-      val files =
-        if (raw.depth == 0) raw.files
-        else {
-          val pid = raw.parent.getOrElse(chainBroken(root, v, v))
-          val pf = resolvedFiles.getOrElse(pid, chainBroken(root, v, pid))
-          val rm = raw.removed.toSet
-          pf.filterNot(e => rm(e.path)) ++ raw.files
-        }
-      resolvedFiles(v) = files
-      byId(v) = Snapshot(raw.id, raw.op, files, raw.added, raw.removed,
-        raw.watermark, raw.depth)
+      if (raw.depth == 0) resolved(v) = (raw.files, v)
+      else raw.parent.flatMap(resolved.get).foreach { case (pf, base) =>
+        resolved(v) = (applyDelta(pf, raw), base)
+      }
     }
+    def resolvedOrBroken(v: Long): (Vector[FileEntry], Long) =
+      resolved.getOrElse(v, {
+        // name the first missing/unresolvable ancestor for the operator
+        var c = raws(v)
+        while (c.depth > 0 && c.parent.exists(raws.contains))
+          c = raws(c.parent.get)
+        chainBroken(root, v, c.parent.getOrElse(c.id))
+      })
     val f = fs(spark, dataDir(root))
     val keep =
       if (parseable.length <= keepLast) parseable
@@ -808,25 +829,28 @@ object SnapTable {
         // checkpoint any kept snapshot's chain rests on (genesis is
         // always one, so the walk terminates).
         val cut0 = parseable.length - keepLast
-        def chainBase(v: Long): Long = {
-          var c = raws(v)
-          while (c.depth > 0)
-            c = raws.getOrElse(c.parent.getOrElse(chainBroken(root, c.id, c.id)),
-              chainBroken(root, c.id, c.parent.get))
-          c.id
-        }
-        val cutId = (cut0 until parseable.length).map(i => chainBase(parseable(i))).min
+        val cutId = (cut0 until parseable.length)
+          .map(i => resolvedOrBroken(parseable(i))._2).min
         val cut = parseable.indexOf(cutId)
         val (drop, keep) = parseable.splitAt(cut)
-        val live: Set[String] = keep.flatMap(v => byId(v).files.map(_.path)).toSet
+        val live: Set[String] = keep.flatMap(v => resolved(v)._1.map(_.path)).toSet
         drop.foreach { v =>
-          byId(v).files
+          // an unresolvable DROPPED snapshot (damage below the cut)
+          // cannot enumerate its files — skip the targeted GC and let
+          // the age-gated orphan sweep below collect them; the manifest
+          // itself still goes (nothing kept references it)
+          resolved.get(v).foreach(_._1
             .filterNot(e => live(e.path))
-            .foreach(e => f.delete(new Path(e.path), false))
+            .foreach(e => f.delete(new Path(e.path), false)))
           f.delete(snapPath(root, v), false)
         }
         keep
       }
+    // every KEPT snapshot must resolve: the orphan sweep's live set is
+    // built from kept files, and an unresolvable kept snapshot would
+    // read as file-less — its data would be swept as orphans
+    val liveKeep: Set[String] =
+      keep.flatMap(v => resolvedOrBroken(v)._1.map(e => new Path(e.path).getName)).toSet
     // Torn-manifest sweep, regardless of whether anything was dropped:
     // a torn id BELOW the latest parseable snapshot lost its slot to a
     // newer committed head — it can never become committed state
@@ -841,7 +865,7 @@ object SnapTable {
     // parseable id.
     val nowTorn = System.currentTimeMillis()
     val maxParseable = parseable.lastOption.getOrElse(Long.MinValue)
-    val torn = allIds.filterNot(byId.contains)
+    val torn = allIds.filterNot(raws.contains)
     // Deleting a burned slot below the head punches a HOLE in the id
     // sequence; a reader holding a stale-low HEAD hint (crash between
     // publish and hint write) could stop its forward existence probe at
@@ -871,8 +895,7 @@ object SnapTable {
     // orphan sweep — compare by file NAME (uuid-stamped, unique within
     // data/): manifests may record unqualified paths while listStatus
     // returns fully-qualified ones
-    val liveNames: Set[String] =
-      keep.flatMap(v => byId(v).files.map(e => new Path(e.path).getName)).toSet
+    val liveNames: Set[String] = liveKeep
     val now = System.currentTimeMillis()
     val dd = dataDir(root)
     if (f.exists(dd)) f.listStatus(dd).foreach { s =>

@@ -335,6 +335,39 @@ class SnapTableSpec extends AnyFunSuite {
       "adjacent burned slots + stale hint resolved a stale head")
   }
 
+  test("damage BELOW the cut never bricks expire; first-cut delta key shape still reads") {
+    import spark.implicits._
+    import TestSnapKnobs.withCheckpointEvery
+    val root = tmp("snap19")
+    withCheckpointEvery(3) {
+      for (i <- 1 to 8) // checkpoints 1,4,7; deltas 2,3,5,6,8
+        SnapTable.append(spark, root, Seq((i.toLong, "x")).toDF("id", "v"))
+      // rot a delta deep in history: head reads are unaffected (its
+      // chain is above), and expire must STILL work — the kept chains
+      // don't depend on it, and "expire the table past it" is exactly
+      // the recovery the error message advertises for kept-range damage
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/meta/snap-00000002.json"), "{\"id\":2,ROT")
+      new java.io.File(s"$root/meta/.snap-00000002.json.crc").delete()
+      assert(SnapTable.read(spark, root).count() == 8)
+      SnapTable.expire(spark, root, keepLast = 2) // cut at checkpoint 7
+      assert(SnapTable.snapshotIds(spark, root) == Seq(7L, 8L))
+      assert(SnapTable.read(spark, root).count() == 8) // data intact
+      // first-cut r8 deltas carried their files under "files" (+ an
+      // explicit "added"); the parser keeps reading that shape
+      val m8 = java.nio.file.Paths.get(s"$root/meta/snap-00000008.json")
+      val lines = java.nio.file.Files.readString(m8).split("\n")
+      val oldShape = lines(0).replace("\"adds\":", "\"files\":")
+      assert(oldShape != lines(0))
+      val crc = new java.util.zip.CRC32
+      crc.update(oldShape.getBytes("UTF-8"))
+      java.nio.file.Files.writeString(m8, s"$oldShape\ncrc:${crc.getValue}\n")
+      new java.io.File(s"$root/meta/.snap-00000008.json.crc").delete()
+      assert(SnapTable.snapshot(spark, root).get.id == 8L)
+      assert(SnapTable.read(spark, root).count() == 8)
+    }
+  }
+
   test("model check: random append/overwrite/rewrite/expire sequences match a reference model") {
     import spark.implicits._
     // checkpointEvery=2 forces the delta/checkpoint boundary on nearly
