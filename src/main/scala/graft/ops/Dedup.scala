@@ -80,13 +80,23 @@ object Dedup {
                      n: Int = 8): DataFrame = {
     require(n >= 1)
     val toks = df.select(col(idCol), split(col(textCol), "\\s+").as("_ts"))
-    val occ = toks.select(col(idCol), posexplode(expr(
-        s"""case when size(_ts) >= $n
-           |  then transform(sequence(1, size(_ts) - ${n - 1}),
-           |         i -> concat_ws(' ', slice(_ts, i, $n)))
-           |  else array() end""".stripMargin)).as(Seq("i", "ng")))
+    // r9 (guide §2.3/§2.4): n-grams via the native one-pass
+    // [[graft.expr.NgramsOf]] kernel (replaces the interpreted
+    // transform/slice/concat_ws lambda chain — the occ subtree is
+    // evaluated on both sides of the ownership join, so the kernel pays
+    // twice over); ownership stays the skew-safe min-agg. Only n-grams
+    // with >= 2 occurrences can own a duplicate, so `first` is filtered
+    // before the broadcast/join — the build side shrinks from every
+    // distinct n-gram in the corpus to just the repeated tail, and the
+    // dup set is provably unchanged (a 1-occurrence n-gram's only
+    // occurrence IS its first: the old join always filtered it out).
+    val occ = df.select(col(idCol),
+      posexplode(graft.expr.NgramsOf(col(textCol), n)).as(Seq("i", "ng")))
     val first = occ.groupBy("ng")
-      .agg(min(struct(col(idCol), col("i"))).as("_f"))
+      .agg(min(struct(col(idCol), col("i"))).as("_f"),
+        count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= 2)
+      .select(col("ng"), col("_f"))
     val dup = occ.join(first, "ng")
       .filter(!(col(idCol) === col(s"_f.$idCol") && col("i") === col("_f.i")))
     val excised = dup
@@ -141,7 +151,7 @@ object Dedup {
     require(minLen >= 1)
     val n = minLen
     val toks = df.select(col(idCol), split(col(textCol), "\\s+").as("_ts"))
-    val spans = dupSpanSets(toks, idCol, n)
+    val spans = dupSpanSetsText(df, idCol, textCol, n)
     toks.join(spans, Seq(idCol), "left")
       .select(col(idCol),
         size(col("_ts")).cast("long").as("n_tokens"),
@@ -194,6 +204,25 @@ object Dedup {
            |  end)""".stripMargin))
       .select(col(idCol), col("spans"))
 
+  /** [[dupSpanSets]] over the raw text column — the batch form: occ via
+    * the native [[graft.expr.NgramsOf]] kernel and the `first` side
+    * filtered to n-grams with >= 2 occurrences before the join (same
+    * r9 reasoning as [[exciseDupSpans]]; dup set provably unchanged).
+    */
+  private[graft] def dupSpanSetsText(df: DataFrame, idCol: String,
+                                     textCol: String, n: Int): DataFrame = {
+    val occ = df.select(col(idCol),
+      posexplode(graft.expr.NgramsOf(col(textCol), n)).as(Seq("i", "ng")))
+    val first = occ.groupBy("ng")
+      .agg(min(struct(col(idCol), col("i"))).as("_f"),
+        count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= 2)
+      .select(col("ng"), col("_f"))
+    val dup = occ.join(first, "ng")
+      .filter(!(col(idCol) === col(s"_f.$idCol") && col("i") === col("_f.i")))
+    mergeSpans(dup, idCol, n)
+  }
+
   private[graft] def dupSpanSets(toks: DataFrame, idCol: String, n: Int): DataFrame = {
     val occ = ngramOccurrences(toks, idCol, n)
     val first = occ.groupBy("ng")
@@ -212,7 +241,7 @@ object Dedup {
                     minLen: Int = 50): DataFrame = {
     require(minLen >= 1)
     val toks = df.select(col(idCol), split(col(textCol), "\\s+").as("_ts"))
-    toks.join(dupSpanSets(toks, idCol, minLen), Seq(idCol), "left")
+    toks.join(dupSpanSetsText(df, idCol, textCol, minLen), Seq(idCol), "left")
       .select(col(idCol),
         concat_ws(" ", expr(
           """transform(
@@ -250,15 +279,28 @@ object Dedup {
 
   /** MinHash signatures: sig_j = min md5(j || ':' || shingle); k salts.
     * md5-string recipe — cross-engine reproducible (the DuckDB-parity
-    * form the query battery uses). For the pure-Spark scale path prefer
+    * form the query battery uses). r9: fully NARROW via the one-pass
+    * [[graft.expr.MinHashMd5Of]] kernel — no shingle explode, no
+    * aggregation shuffle; bit-identical to the exploded
+    * `min(md5(j || ':' || sh))` form ([[minhashSignaturesAgg]], pinned
+    * by OpsSpec). For the pure-Spark scale path prefer
     * [[minhashSignaturesFast]]: xxhash64 longs are ~4.5x faster to
     * compute and 4x smaller to shuffle, with the same MinHash
     * collision statistics.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, shingleN: Int = 3): DataFrame = {
-    // explode + groupBy-agg: the shingle array is computed once per row
-    // (k parallel min-aggregates), instead of k inlined recomputations
+    val sigs = df.select(col(idCol),
+      graft.expr.MinHashMd5Of(col(textCol), shingleN, k).as("_sigs"))
+    sigs.select(col(idCol) +:
+      (0 until k).map(j => col("_sigs").getItem(j).as(s"sig$j")): _*)
+  }
+
+  /** The exploded-aggregation formulation, kept as the equality
+    * reference for [[minhashSignatures]].
+    */
+  def minhashSignaturesAgg(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, shingleN: Int = 3): DataFrame = {
     val sh = df.select(col(idCol), explode(shingles(textCol, shingleN)).as("sh"))
     val aggs = (0 until k).map(j =>
       min(md5(concat(lit(s"$j:"), col("sh")))).as(s"sig$j"))
@@ -419,8 +461,12 @@ object Dedup {
     */
   def verifyPairs(pairs: DataFrame, df: DataFrame, idCol: String,
                   textCol: String, n: Int = 3): DataFrame = {
-    val ids = pairs.select(col("id1").as("_vid"))
-      .union(pairs.select(col("id2").as("_vid"))).distinct()
+    // r9 (guide §2.4): referenced ids via ONE explode pass over `pairs`
+    // instead of a two-branch self-union — the (possibly expensive)
+    // upstream pair pipeline is evaluated once here, not twice; same
+    // distinct id set.
+    val ids = pairs
+      .select(explode(array(col("id1"), col("id2"))).as("_vid")).distinct()
     val refd = df.join(ids, df(idCol) === col("_vid"), "left_semi")
     val sh = refd.select(col(idCol).as("_vid"), shingles(textCol, n).as("_vsh"))
     pairs.select(col("id1"), col("id2"))
@@ -639,8 +685,30 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         nPlanes: Int, threshold: Double,
                         maxBucket: Int = 1024): DataFrame = {
-    val bucketed = Similarity.annBuckets(df, idCol, vecCol, nPlanes)
-      .join(df.select(col(idCol), col(vecCol)), idCol)
+    // r9 (guide §2.4): the nPlanes projection planes are a driver-sized
+    // constant (dataset vectors 1..nPlanes) — collect them once and
+    // compute the bucket string NARROW per row (plane_id-ascending bit
+    // order and graft_dot arithmetic identical to the previous
+    // Similarity.annBuckets + id-join formulation, pinned by OpsSpec).
+    // Removes the plane crossJoin (nPlanes x row blowup), the per-id
+    // collect_list shuffle, AND the id-keyed join that re-attached the
+    // vectors; the bucket window is now the first exchange.
+    val planes = df.filter(col(idCol).between(1, nPlanes))
+      .select(col(idCol), col(vecCol)).orderBy(idCol).collect()
+    if (planes.isEmpty)
+      // no planes -> the old crossJoin produced no bucket rows at all
+      return df.select(col(idCol).as("id1"), col(idCol).as("id2"),
+        lit(0.0).as("cos")).limit(0)
+    val bits = planes.toSeq.map { r =>
+      val v = r.getSeq[Any](1)
+      val pv =
+        if (v.headOption.exists(_.isInstanceOf[Double]))
+          typedlit(v.map(_.asInstanceOf[Double]).toVector)
+        else typedlit(v.map(_.asInstanceOf[Float]).toVector)
+      when(Similarity.dot(col(vecCol), pv) > 0, "1").otherwise("0")
+    }
+    val bucketed = df.select(col(idCol), col(vecCol))
+      .withColumn("bucket", concat(bits: _*))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy(idCol)
     bucketed

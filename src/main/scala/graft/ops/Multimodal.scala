@@ -26,6 +26,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // r9: ImageIO's default stream cache spools every encode/decode
+  // through a TEMP FILE (create + write + delete per image) — pure
+  // filesystem overhead for the small in-memory payloads this engine
+  // handles. Memory-cached streams produce byte-identical results.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val MediaSchema: StructType = StructType(Seq(
     StructField("media_id", StringType, nullable = false),
     StructField("kind", StringType, nullable = false), // image | audio | video

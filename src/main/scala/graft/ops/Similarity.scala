@@ -75,12 +75,16 @@ object Similarity {
 
   /** Assignment against an explicit codebook DataFrame (cell_id, cv) —
     * broadcast argmax-cosine, narrow except the tiny codebook broadcast.
+    * r9 (guide §2.3): the vector and centroid columns are projected away
+    * BEFORE the argmax window's exchange — the shuffle carries
+    * (id, cell_id, d), not k copies of the embedding + centroid per id
+    * (~20x fewer bytes at dim 64); rows, ordering, and result identical.
     */
   def ivfAssignWith(df: DataFrame, idCol: String, vecCol: String,
                     codebook: DataFrame): DataFrame =
     df.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(codebook))
-      .withColumn("d", cosine(col(vecCol), col("cv")))
+      .select(col(idCol), col("cell_id"), cosine(col(vecCol), col("cv")).as("d"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("d").desc, col("cell_id"))))
       .filter(col("rk") === 1)
@@ -128,11 +132,18 @@ object Similarity {
     */
   def ivfTopKWith(df: DataFrame, idCol: String, vecCol: String,
                   codebook: DataFrame, queryId: Long, k: Int): DataFrame = {
+    // r9 (guide §2.4): the query's vector and cell only need the QUERY
+    // ROW — derive both from a one-row filtered slice instead of the
+    // full corpus-wide assignment join (which the previous shape
+    // re-evaluated once per broadcast side, 3x total). Values identical:
+    // the assignment of queryId is the same whether computed alone or
+    // inside the corpus pass, and qVec never needed the join at all.
     val assign = ivfAssignWith(df, idCol, vecCol, codebook)
-    val joined = df.join(assign, idCol)
-    val qCell = joined.filter(col(idCol) === queryId).select(col("cell_id"))
-    val qVec = joined.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
-    joined.join(broadcast(qCell), "cell_id")
+    val qRow = df.filter(col(idCol) === queryId)
+    val qCell = ivfAssignWith(qRow, idCol, vecCol, codebook).select(col("cell_id"))
+    val qVec = qRow.select(col(vecCol).as("qv"))
+    df.join(assign, idCol)
+      .join(broadcast(qCell), "cell_id")
       .filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(qVec))
       .withColumn("cos", cosine(col(vecCol), col("qv")))

@@ -82,29 +82,24 @@ object TextAnalysis {
     * Output: idCol, n_tokens, dup_token_ratio_u, top_bigram_n,
     * top_bigram_frac_u.
     */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = df
-      .withColumn("_toks", split(col(textCol), "\\s+"))
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // r9 (guide §2.4): the top-bigram count is a PER-DOCUMENT statistic —
+    // the native one-pass [[graft.expr.TopBigramOf]] kernel computes it
+    // narrow (local count table per row), replacing the per-occurrence
+    // bigram explode, the two aggregation shuffles, and the doc-keyed
+    // join back. Bit-identical to the exploded groupBy formulation
+    // (pinned by OpsSpec); the whole operator is now ZERO-shuffle.
+    df.withColumn("_toks", split(col(textCol), "\\s+"))
       .select(col(idCol),
         size(col("_toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("_toks"))).cast("long").as("_nd"),
-        col("_toks"))
-    val bigrams = base.select(col(idCol), explode(expr(
-      """case when size(_toks) >= 2
-        |  then transform(sequence(1, size(_toks) - 1),
-        |         i -> concat(try_element_at(_toks, i), ' ',
-        |                     try_element_at(_toks, i + 1)))
-        |  else array() end""".stripMargin)).as("_bg"))
-    val top = bigrams.groupBy(col(idCol), col("_bg")).count()
-      .groupBy(col(idCol)).agg(max("count").as("top_bigram_n"))
-    base.join(top, Seq(idCol), "left")
+        graft.expr.TopBigramOf(col(textCol)).as("top_bigram_n"))
       .select(col(idCol), col("n_tokens"),
         expr("cast(round(1000000.0 * (n_tokens - _nd) / greatest(n_tokens, 1)) as bigint)")
           .as("dup_token_ratio_u"),
-        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
-        expr("cast(round(1000000.0 * coalesce(top_bigram_n, 0) / greatest(n_tokens - 1, 1)) as bigint)")
+        col("top_bigram_n"),
+        expr("cast(round(1000000.0 * top_bigram_n / greatest(n_tokens - 1, 1)) as bigint)")
           .as("top_bigram_frac_u"))
-  }
 
   /** The Gopher quality-filter rules (Rae et al. 2021, §A1.1 — the
     * public rule set every LLM curation pipeline reimplements), with
@@ -174,18 +169,15 @@ object TextAnalysis {
     * count-distinct over hits. The corpus itself never shuffles, and
     * the output is O(contaminated docs), not corpus-sized.
     */
-  /** Lowered token n-gram array bound as `_ng` (tokens in `_ts`): the
-    * shared primitive of [[decontaminate]] and [[dupNgrams]]. Narrow;
-    * the split is bound once per row.
+  /** Lowered token n-gram array bound as `_ng`: the shared primitive of
+    * [[decontaminate]] and [[dupNgrams]]. r9: ONE native pass
+    * ([[graft.expr.NgramsOf]] with lower + drop-empty — bit-identical to
+    * the previous `filter(split(lower(text)), x -> x <> '')` +
+    * interpreted transform/slice/concat_ws chain, pinned by OpsSpec).
     */
   private[graft] def withTokenNgrams(df: DataFrame, textCol: String, n: Int): DataFrame =
-    df.withColumn("_ts",
-        expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x <> '')"))
-      .withColumn("_ng", expr(
-        s"""case when size(_ts) >= $n
-           |  then transform(sequence(1, size(_ts) - ${n - 1}),
-           |         i -> concat_ws(' ', slice(_ts, i, $n)))
-           |  else array() end""".stripMargin))
+    df.withColumn("_ng", graft.expr.NgramsOf(col(textCol), n,
+      lower = true, dropEmpty = true))
 
   /** The distinct benchmark n-gram set `decontaminate` joins against —
     * exposed so a STATIC bench can compute (and persist) it ONCE and
@@ -297,9 +289,16 @@ object TextAnalysis {
       .withColumn("ng",
         if (hashed) when(col("_s").isNotNull, xxhash64(col("_s")))
         else col("_s"))
-    exploded.groupBy("ng")
-      .agg(countDistinct(col(idCol)).cast("long").as("n_docs"),
-        count(lit(1)).cast("long").as("n_total"))
+    // r9 (guide §2.3): countDistinct mixed with count(*) makes the
+    // planner Expand every row into two aggregation streams; the manual
+    // two-level form shuffles each occurrence once as an (ng, id)
+    // partial count, then folds (n_docs = group count, n_total = count
+    // sum) — same results, half the pre-shuffle rows.
+    exploded.groupBy(col("ng"), col(idCol))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy("ng")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("_c")).cast("long").as("n_total"))
       .filter(col("n_docs") >= minDocs && col("ng").isNotNull)
   }
 

@@ -348,12 +348,16 @@ object Queries {
     */
   def q13UnitLink(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dict = graft.link.UnitDict.defaultRows
-      .toDF("key", "key_kind", "parse_order", "unit_iri", "unit_type")
-    // deterministic winner per key: min (key_kind, parse_order)
-    val winner = dict.groupBy("key")
-      .agg(min(struct(col("key_kind"), col("parse_order"), col("unit_iri"), col("unit_type"))).as("w"))
-      .select(col("key"), col("w.unit_iri").as("unit_iri"), col("w.unit_type").as("unit_type"))
+    // deterministic winner per key: min (key_kind, parse_order) — the
+    // exact rule UnitDict.fromRows applies when building `default.entries`
+    // ((key_kind, parse_order) is unique per row, so min-of-struct is
+    // decided by those two fields alone). r9: build the broadcast side
+    // directly from the already-materialized winner map instead of
+    // re-deriving it with a distributed groupBy every run (OracleSpec pins
+    // the dictionary derivation; QuerySpec pins groupBy == entries).
+    val winner = graft.link.UnitDict.default.entries.toSeq.sortBy(_._1)
+      .map { case (k, h) => (k, h.iri, h.rdfType) }
+      .toDF("key", "unit_iri", "unit_type")
     val toks = q12UnitNormalize(s, dir).select(col("p_partkey"), col("pos"), col("norm"))
     toks.join(broadcast(winner), toks("norm") === winner("key"), "inner")
       .select(col("p_partkey"), col("pos"), col("norm"), col("unit_iri"), col("unit_type"))
@@ -396,16 +400,20 @@ object Queries {
   /** Q15 — MinHash + LSH banding for near-duplicate detection. Signature
     * j = lexicographic min of md5(j || ':' || shingle) over distinct token
     * 3-shingles; two 4-row bands hashed into bucket keys.
+    *
+    * r9 (guide §2.4): signatures via the narrow one-pass
+    * [[graft.expr.MinHashMd5Of]] kernel — bit-identical to the previous
+    * `explode(shingles) -> groupBy(doc_id) -> 8 min(md5(...))` plan
+    * (pinned by OpsSpec) but with NO shingle explode and NO aggregation
+    * shuffle: zero exchanges, signatures at scan speed.
     */
   def q15MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = s.read.parquet(p(dir, "documents"))
-      .select(col("doc_id"), explode(sparkShingles(3)).as("sh"))
-    val aggs = (0 until MinhashK).map(j =>
-      min(md5(concat(lit(s"$j:"), col("sh")))).as(s"sig$j"))
-    val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sigs = s.read.parquet(p(dir, "documents"))
+      .select(col("doc_id"),
+        graft.expr.MinHashMd5Of(col("text"), 3, MinhashK).as("_sigs"))
     sigs.select(col("doc_id"),
-      md5(concat_ws("|", (0 until 4).map(j => col(s"sig$j")): _*)).as("band1"),
-      md5(concat_ws("|", (4 until 8).map(j => col(s"sig$j")): _*)).as("band2"))
+      md5(concat_ws("|", (0 until 4).map(j => col("_sigs").getItem(j)): _*)).as("band1"),
+      md5(concat_ws("|", (4 until 8).map(j => col("_sigs").getItem(j)): _*)).as("band2"))
   }
 
   val q15Sql: String = {
@@ -458,25 +466,15 @@ object Queries {
   /** Q17 — SimHash (16-bit demo width): per bit, majority vote of token
     * md5 hex digits; fingerprint reassembled as a bit string.
     */
-  def q17Simhash(s: SparkSession, dir: String): DataFrame = {
-    // Single-pass shape: one row per distinct token (not x16 via an
-    // explode over bits), 16 per-bit +/-1 votes as map-side-combined sum
-    // aggregates -> ONE shuffle, 1/16th the shuffled rows (r01 used two
-    // aggregations over a 16x-exploded stream).
-    val toks = s.read.parquet(p(dir, "documents"))
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(split(text, '$TokenSplitSql'))")).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    def vote(bit: Int): Column = {
-      val nib = bit / 4; val shift = 1 << (3 - bit % 4)
-      expr(s"""case when ((cast(conv(substring(h, ${nib + 1}, 1), 16, 10) as int)
-        | div $shift) % 2) = 1 then 1 else -1 end""".stripMargin)
-    }
-    val sums = (0 until 16).map(b => sum(vote(b)).as(s"sv$b"))
-    toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), concat(
-        (0 until 16).map(b => when(col(s"sv$b") > 0, "1").otherwise("0")): _*).as("simhash"))
-  }
+  def q17Simhash(s: SparkSession, dir: String): DataFrame =
+    // r9 (guide §2.4): the whole fingerprint via the narrow one-pass
+    // [[graft.expr.SimHashMd5Of]] kernel — bit-identical to the exploded
+    // distinct-token + 16 vote-sum aggregation (pinned by OpsSpec), but
+    // with NO token explode and NO shuffle (r8 shape: one shuffle on the
+    // doc id; r01: two aggregations over a 16x-exploded stream).
+    s.read.parquet(p(dir, "documents"))
+      .select(col("doc_id"),
+        graft.expr.SimHashMd5Of(col("text"), 16).as("simhash"))
 
   val q17Sql: String =
     """WITH toks AS (
@@ -564,15 +562,22 @@ object Queries {
     */
   def q20AnnBuckets(s: SparkSession, dir: String): DataFrame = {
     val e = s.read.parquet(p(dir, "embeddings"))
+    // r9 (guide §2.4): the 8 hyperplanes are a driver-sized constant of
+    // the query (dataset vectors 1..8) — collect them once and compute
+    // the bucket string NARROW (8 codegen dots + concat per row) instead
+    // of a plane crossJoin (8x row blowup) + a per-id collect_list
+    // shuffle. Bit rule, plane order (plane_id ascending ==
+    // sort_array(struct(plane_id, bit))), and ArrayDot arithmetic are
+    // identical; one exchange (the bucket groupBy) instead of two.
     val planes = e.filter(col("vec_id").between(1, 8))
-      .select(col("vec_id").as("plane_id"), col("embedding").as("pv"))
-    e.crossJoin(broadcast(planes))
-      .withColumn("dot_u", round(lit(1000000.0) *
-        graft.expr.ArrayDot(col("embedding"), col("pv"))).cast("long"))
-      .withColumn("bit", when(col("dot_u") > 0, "1").otherwise("0"))
-      .groupBy("vec_id")
-      .agg(concat_ws("", expr(
-        "transform(sort_array(collect_list(struct(plane_id, bit))), x -> x.bit)")).as("bucket"))
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect()
+    val bits = planes.map { r =>
+      val pv = typedlit(r.getSeq[Float](1))
+      when(round(lit(1000000.0) * graft.expr.ArrayDot(col("embedding"), pv))
+        .cast("long") > 0, "1").otherwise("0")
+    }.toSeq
+    e.select(col("vec_id"), concat(bits: _*).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))
   }
@@ -1565,26 +1570,46 @@ object Queries {
       StructField("sum_b", LongType, nullable = false)))
     implicit val enc = org.apache.spark.sql.Encoders.row(schema)
     docs.mapPartitions { it =>
+      // r9 per-task tuning (guide §1.2 step 2; the encode/decode round
+      // trip itself is the operator and stays): no ImageIO temp-file
+      // spooling (memory-cached streams, byte-identical output), pixels
+      // written straight into the INT_RGB raster (== setRGB for this
+      // type), one bulk getRGB read-back (same ARGB values as the
+      // per-pixel calls), and a reused output buffer per task.
+      javax.imageio.ImageIO.setUseCache(false)
+      val o = new java.io.ByteArrayOutputStream()
       it.map { row =>
         val id = row.getLong(0)
         val k = (id % 1000).toInt
         val img = new java.awt.image.BufferedImage(24, 16,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
-        for (y <- 0 until 16; x <- 0 until 24) {
-          val r = (7 * k + 3 * x + 5 * y) % 256
-          val g = (11 * k + 5 * x + 7 * y) % 256
-          val b = (13 * k + 7 * x + 11 * y) % 256
-          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        val px = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferInt].getData
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 24) {
+            val r = (7 * k + 3 * x + 5 * y) % 256
+            val g = (11 * k + 5 * x + 7 * y) % 256
+            val b = (13 * k + 7 * x + 11 * y) % 256
+            px(y * 24 + x) = (r << 16) | (g << 8) | b
+            x += 1
+          }
+          y += 1
         }
-        val o = new java.io.ByteArrayOutputStream()
+        o.reset()
         javax.imageio.ImageIO.write(img, "png", o)
         val back = graft.ops.Multimodal.decodeImage(o.toByteArray).get
+        val w = back.getWidth; val h = back.getHeight
+        val rgbs = back.getRGB(0, 0, w, h, null, 0, w)
         var sr = 0L; var sg = 0L; var sb = 0L
-        for (y <- 0 until back.getHeight; x <- 0 until back.getWidth) {
-          val rgb = back.getRGB(x, y)
+        var i = 0
+        while (i < rgbs.length) {
+          val rgb = rgbs(i)
           sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+          i += 1
         }
-        Row(id, back.getWidth.toLong, back.getHeight.toLong, sr, sg, sb)
+        Row(id, w.toLong, h.toLong, sr, sg, sb)
       }
     }
   }

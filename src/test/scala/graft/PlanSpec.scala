@@ -166,6 +166,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p46.contains("graft_normalize"), p46.take(1200))
   }
 
+  test("q15: minhash signatures are fully narrow (no explode, no exchange)") {
+    val p = plan("q15_minhash_lsh")
+    assert(!p.contains("Exchange") && !p.contains("Generate"), p.take(1500))
+    assert(p.contains("graft_minhash_md5"), p.take(1500))
+  }
+
+  test("q38: repetition stats are fully narrow (kernel top-bigram, no exchange)") {
+    val p = plan("q38_repetition")
+    assert(!p.contains("Exchange"), p.take(1500))
+    assert(p.contains("graft_top_bigram"), p.take(1500))
+  }
+
+  test("q44: dup-ngram mining has no Expand (manual two-level distinct)") {
+    val p = plan("q44_dup_ngrams")
+    assert(!p.contains("Expand"), p.take(2000))
+    assert(p.contains("graft_ngrams"), p.take(2000))
+  }
+
   test("q47: line dedup is two shuffles (line-hash window + doc regroup), no join") {
     val p = plan("q47_dedup_lines")
     assert("Exchange".r.findAllIn(p).size == 2, p.take(2000))
@@ -261,18 +279,25 @@ class PlanSpec extends AnyFunSuite {
       "shingles must sit above (after) the semi-join in the tree")
   }
 
-  test("q16: no self-join; signature subtree appears once") {
+  test("q16: no self-join; narrow signature kernel appears once") {
     val p = optimized("q16_minhash_pairs")
     assert(!p.contains("Join"), p.take(1500))
-    // the 3-shingle construction (native graft_shingles) exists exactly once
-    assert("graft_shingles".r.findAllIn(p).size == 1)
+    // r9: signatures via the narrow one-pass kernel, exactly once (no
+    // shingle explode, no per-doc aggregation in the subtree)
+    assert("graft_minhash_md5".r.findAllIn(p).size == 1, p.take(1500))
+    val exec = graft.queries.Queries.registry.find(_._1 == "q16_minhash_pairs").get
+      ._2(spark, dir).queryExecution.executedPlan.toString
+    // only the band-bucket groupBy and the pair distinct shuffle remain
+    assert("Exchange hashpartitioning".r.findAllIn(exec).size <= 2, exec.take(2000))
   }
 
-  test("q17: single aggregation, no bit-explode") {
+  test("q17: fully narrow simhash (no explode, no aggregation, no exchange)") {
     val p = optimized("q17_simhash")
-    assert("Aggregate".r.findAllIn(p).size == 1, p.take(1500))
-    // exactly one Generate: the token explode (the x16 bit explode is gone)
-    assert("Generate".r.findAllIn(p).size == 1, p.take(1500))
+    assert(p.contains("graft_simhash_md5"), p.take(1500))
+    assert(!p.contains("Aggregate") && !p.contains("Generate"), p.take(1500))
+    val exec = graft.queries.Queries.registry.find(_._1 == "q17_simhash").get
+      ._2(spark, dir).queryExecution.executedPlan.toString
+    assert(!exec.contains("Exchange"), exec.take(1500))
   }
 
   test("bucketed tables join co-located: no exchange on either side") {
