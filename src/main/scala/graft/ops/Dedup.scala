@@ -718,14 +718,16 @@ object Dedup {
       .agg(array_sort(collect_list(
         struct(col(idCol).as("id"), col(vecCol).as("v"), col("nrm")))).as("items"))
       .filter(size(col("items")) > 1)
-      .select(explode(expr(
-        """flatten(transform(items, (a, i) ->
-          |  transform(slice(items, i + 2, size(items)),
-          |            b -> named_struct('id1', a.id, 'id2', b.id,
-          |      'cos', aggregate(zip_with(a.v, b.v,
-          |               (x, y) -> cast(x as double) * cast(y as double)),
-          |               cast(0 as double), (acc, p) -> acc + p)
-          |             / (a.nrm * b.nrm)))))""".stripMargin)).as("pr"))
+      // r9: the in-lambda cosine runs the graft_dot kernel (Column-built
+      // lambda) instead of an interpreted aggregate(zip_with(...)) per
+      // element — ArrayDot is pinned bit-identical to that HOF form, so
+      // the pair set and scores are unchanged; still only (id1, id2, cos)
+      // structs enter the expanded array, never the vectors.
+      .select(explode(flatten(transform(col("items"), (a, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items"))), b =>
+          struct(a.getField("id").as("id1"), b.getField("id").as("id2"),
+            (Similarity.dot(a.getField("v"), b.getField("v")) /
+              (a.getField("nrm") * b.getField("nrm"))).as("cos")))))).as("pr"))
       .filter(col("pr.cos") >= threshold)
       .select(col("pr.id1").as("id1"), col("pr.id2").as("id2"),
         col("pr.cos").as("cos"))

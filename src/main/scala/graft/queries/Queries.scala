@@ -1064,7 +1064,13 @@ object Queries {
     */
   def q36VerifyPairs(s: SparkSession, dir: String): DataFrame = {
     val d = s.read.parquet(p(dir, "documents"))
-    graft.ops.Dedup.verifyPairs(q16MinhashPairs(s, dir), d, "doc_id", "text", 3)
+    // r9 (guide §5): verifyPairs references the pair set twice (the
+    // referenced-id semi-join side and the pair rows themselves) — pin
+    // the tiny candidate-pair table once (localCheckpoint, inside the
+    // timed computation) instead of re-running the whole LSH pipeline
+    // per reference. Values identical; q16 itself stays fully lazy.
+    val pairs = q16MinhashPairs(s, dir).localCheckpoint()
+    graft.ops.Dedup.verifyPairs(pairs, d, "doc_id", "text", 3)
       .select(col("id1"), col("id2"),
         expr("cast(round(1000000.0 * jaccard) as bigint)").as("jac_u"))
   }
