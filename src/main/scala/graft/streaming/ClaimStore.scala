@@ -208,6 +208,22 @@ object ClaimStore {
       },
       new java.util.concurrent.ThreadPoolExecutor.CallerRunsPolicy())
 
+  /** r9 (VERDICT "next round" #3, taken as a pure optimization): the
+    * sharded paths slice the caller's frame with `where(shard == s)` —
+    * on an unpinned frame each shard's job re-runs the whole upstream
+    * derivation, multiplying its cost by the shard count instead of
+    * splitting it. Materialize once (localCheckpoint) before the
+    * fan-out; already-pinned frames (LogicalRDD — the streaming
+    * callers' `pin`) pass through untouched.
+    */
+  private def pinOnce(df: DataFrame): DataFrame =
+    df.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ if df.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        df // caller-persisted (the streaming funnel's `pin`): cache is shared
+      case _ => df.localCheckpoint()
+    }
+
   private def perShard[T](n: Int)(body: Int => T): Vector[T] = {
     val futs = (0 until n).map(s =>
       shardPool.submit(new java.util.concurrent.Callable[T] {
@@ -523,9 +539,10 @@ object ClaimStore {
     if (cfg.shards <= 1) appendClaims1(spark, root, claims, hCol, batchId)
     else {
       guardSharded(spark, root, cfg.shards, persist = true)
+      val pinned = pinOnce(claims.select(col(hCol)))
       perShard(cfg.shards)(s =>
         appendClaims1(spark, shardRoot(root, s),
-          claims.where(shardExpr(hCol, cfg.shards) === s), hCol, batchId))
+          pinned.where(shardExpr(hCol, cfg.shards) === s), hCol, batchId))
       ()
     }
 
@@ -559,9 +576,10 @@ object ClaimStore {
     if (cfg.shards <= 1) seenFor1(spark, root, batchHashes, hCol, batchId, cfg)
     else {
       guardSharded(spark, root, cfg.shards, persist = false)
+      val pinned = pinOnce(batchHashes)
       val parts = perShard(cfg.shards)(s =>
         seenFor1(spark, shardRoot(root, s),
-          batchHashes.where(shardExpr(hCol, cfg.shards) === s),
+          pinned.where(shardExpr(hCol, cfg.shards) === s),
           hCol, batchId, cfg)).flatten
       if (parts.isEmpty) None else Some(parts.reduce(_ union _))
     }
