@@ -101,7 +101,21 @@ object Similarity {
     */
   def kmeansCodebook(df: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int = 5): DataFrame = {
+    // r9 (guide §5): each Lloyd's iteration scans the training sample
+    // twice (assignment + the update join) — pin it for the loop and
+    // release it before returning (strictly scoped to this call; the
+    // codebook itself is a driver-local table). A cached scan yields
+    // the same rows in the same partition order as the source scan, so
+    // the update's float summation order — and therefore the trained
+    // codebook — is bit-identical (pinned by the dynamic-oracle parity).
     val vecs = df.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try kmeansLoop(df, idCol, vecCol, k, iters, vecs)
+    finally vecs.unpersist(false)
+  }
+
+  private def kmeansLoop(df: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iters: Int, vecs: DataFrame): DataFrame = {
     // constant-valued (but non-foldable) partition key: the init ranking
     // runs over the k post-limit rows only, but a bare orderBy window
     // logs the global "no partition defined" warning on every run — the
